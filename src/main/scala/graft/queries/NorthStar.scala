@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** North-star LLM-data-pipeline battery (BASELINE.json): dedup,
+  * similarity search, text analysis, multimodal plumbing — each is a thin
+  * query wrapper over the graft.ext library operators.
+  *
+  * Scale design: every operator here avoids any driver-side collection.
+  * Dedup is a hash groupBy (map-side partial agg); near-dup candidates
+  * come from an LSH-style band join, never an all-pairs cross join at
+  * full scale; brute-force cosine bounds the query side, so the
+  * cross-join cost is |queries| × |corpus|, embarrassingly parallel over
+  * corpus partitions.
+  */
+object NorthStar {
+
+  /** Exact dedup over document text: one survivor (min doc_id) per
+    * distinct text + multiplicity. Deterministic version of
+    * dropDuplicates("text").
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", md5($"text".cast("binary")).as("text_hash"))
+  }
+
+  /** Normalized content fingerprint (lower + whitespace-collapse + md5) —
+    * the document-fingerprinting primitive used for near-exact dedup.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(
+      $"doc_id",
+      md5(lower(regexp_replace(trim($"text"), "\\s+", " ")).cast("binary")).as("fingerprint"))
+  }
+
+  /** Token statistics per document (whitespace tokenization). */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    t(s, dir, "documents").select(
+      $"doc_id",
+      $"n_chars",
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+  }
+
+  /** Text-quality scoring: stopword ratio, mean token length,
+    * type-token ratio — the length/punct/stopword heuristics of a
+    * training-data quality filter.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Array("the", "a", "of", "and", "to", "in", "is")
+    val toks = split(trim($"text"), "\\s+")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, c => c.isInCollection(stop)))
+    t(s, dir, "documents").select(
+      $"doc_id",
+      nTok.cast("long").as("n_tokens"),
+      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+      round($"n_chars".cast("double") / nTok, 4).as("chars_per_token"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio"))
+  }
+
+  /** N-gram (3-shingle) statistics per document — the shingle set
+    * feeding MinHash/Jaccard dedup, exposed as its own query.
+    */
+  def shingleStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val sh = transform(
+      sequence(lit(0), size(toks) - lit(3)),
+      i => concat_ws(" ",
+        element_at(toks, i + lit(1)),
+        element_at(toks, i + lit(2)),
+        element_at(toks, i + lit(3))))
+    t(s, dir, "documents")
+      .filter(size(toks) >= 3)
+      .select(
+        $"doc_id",
+        size(sh).cast("long").as("n_shingles"),
+        size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+  }
+
+  /** Brute-force cosine top-1 neighbor for a bounded query set
+    * (vec_id < 100) against the full corpus. Double-precision
+    * sequential fold on both sides keeps the oracle bit-comparable;
+    * round(6)+id tiebreak make the argmax deterministic.
+    */
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def norm(a: Column): Column = sqrt(dot(a, a))
+    val e = t(s, dir, "embeddings")
+    val q = e.filter($"vec_id" < 100).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val sim = round(dot($"qv", $"cv") / (norm($"qv") * norm($"cv")), 6)
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+    broadcast(q).join(c, $"qid" =!= $"cid")
+      .select($"qid", $"cid", sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"qid", $"cid", $"sim")
+  }
+
+  /** Multimodal plumbing: opaque binary payload column + typed metadata
+    * (byte length, content hash). The payload here derives from text
+    * (no image libs in container — SURVEY scope note); the schema and
+    * partition behavior match a real image/audio column.
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"), $"source")
+      .select(
+        $"doc_id",
+        length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("content_hash"),
+        $"source".as("modality_source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "fingerprint" -> (fingerprint _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "shingle_stats" -> (shingleStats _),
+    "sim_topk" -> (simTopK _),
+    "multimodal_meta" -> (multimodalMeta _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
+        | md5(text) AS text_hash
+        |FROM documents GROUP BY text""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, n_chars,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |   x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |   / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_ratio,
+        | round(CAST(n_chars AS DOUBLE)
+        |   / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_token,
+        | round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |   / len(string_split_regex(trim(text), '\s+')), 4) AS type_token_ratio
+        |FROM documents""".stripMargin,
+    "shingle_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id,
+        | CAST(len(ws) - 2 AS BIGINT) AS n_shingles,
+        | CAST(len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |   FOR i IN range(1, len(ws) - 1)])) AS BIGINT) AS n_distinct_shingles
+        |FROM tok WHERE len(ws) >= 3""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 100),
+        |     c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings),
+        |     p AS (SELECT qid, cid,
+        |             round(list_cosine_similarity(qv, cv), 6) AS sim
+        |           FROM q, c WHERE qid <> cid),
+        |     r AS (SELECT qid, cid, sim,
+        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+        |           FROM p)
+        |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_hash,
+        | source AS modality_source
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Relational battery: aggregations, joins, windows, sorts, set ops
+  * (SURVEY.md §2.6/§2.7). The reference itself has no joins/aggregates —
+  * these exercise the stock-Spark capabilities our engine exposes for
+  * enrichment/dedup/top-k, declared in SURVEY §2.7.
+  *
+  * Scale notes (100 TB design): every join below either broadcasts the
+  * small dimension explicitly or joins on the natural key so the shuffle
+  * is a single hash partitioning on the join key; aggregates are plain
+  * groupBy so Spark does partial (map-side) aggregation for free. All
+  * float aggregates are rounded to fixed decimals so results are stable
+  * under any partitioning / summation order.
+  */
+object Relational {
+
+  /** TPC-H Q1-style scan+aggregate over lineitem. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Aggregate with min/max over orders. */
+  def aggOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("sum_price"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"),
+        min($"o_orderdate").as("first_order"),
+        max($"o_orderdate").as("last_order"))
+  }
+
+  /** TPC-H Q3-style: 3-way join, aggregate, top-10 by revenue.
+    * customer is broadcast (small dim); tiebreak on key keeps the
+    * limit deterministic.
+    */
+  def q3TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = t(s, dir, "orders").filter($"o_orderdate" < to_timestamp(lit("1999-01-01 00:00:00")))
+    val li = t(s, dir, "lineitem").filter($"l_shipdate" > to_timestamp(lit("1999-01-01 00:00:00")))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 5-way star join rolled up to region/nation revenue.
+    * All dims (region, nation, customer) broadcast; the single shuffle
+    * is lineitem⨝orders on orderkey.
+    */
+  def q5Region(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = broadcast(
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name", $"r_name"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(dims, $"o_custkey" === $"c_custkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left outer join + aggregate: per-customer order stats incl. zeros. */
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spent"))
+  }
+
+  /** Left-semi join (EXISTS): customers having a big order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "orders").filter($"o_totalprice" > 100000.0)
+    t(s, dir, "customer")
+      .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent order. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** Window row_number top-N per group (top-3 orders per customer). */
+  def windowTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+  }
+
+  /** Window running sum over event time per user. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select($"event_id", $"user_id",
+        round(sum($"value").over(w), 2).as("running_value"))
+  }
+
+  /** Window lag: price delta per part over ship time. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_partkey").orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+        round($"l_extendedprice" - lag($"l_extendedprice", 1).over(w), 2).as("price_delta"))
+  }
+
+  /** Deterministic sort+limit (top-20 customers by balance). */
+  def sortLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      .limit(20)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  /** UNION (distinct) of two order subsets. */
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    o.filter($"o_orderstatus" === "O").select($"o_orderkey")
+      .union(o.filter($"o_totalprice" > 150000.0).select($"o_orderkey"))
+      .distinct()
+  }
+
+  /** INTERSECT of two order subsets. */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    o.filter($"o_orderstatus" === "O").select($"o_orderkey")
+      .intersect(o.filter($"o_totalprice" > 150000.0).select($"o_orderkey"))
+  }
+
+  /** EXCEPT of two order subsets. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    o.filter($"o_orderstatus" === "O").select($"o_orderkey")
+      .except(o.filter($"o_totalprice" > 150000.0).select($"o_orderkey"))
+  }
+
+  /** Batch equivalent of a tumbling event-time window (1 h) — the same
+    * groupBy runs under Structured Streaming in graft.stream.
+    */
+  def eventWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+  }
+
+  /** Approx distinct (HLL++) — no DuckDB oracle (sketches differ);
+    * correctness asserted in ApproxSpec against exact counts.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "agg_orders" -> (aggOrders _),
+    "q3_topk" -> (q3TopK _),
+    "q5_region" -> (q5Region _),
+    "join_left" -> (joinLeft _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "window_topn" -> (windowTopN _),
+    "window_running" -> (windowRunning _),
+    "window_lag" -> (windowLag _),
+    "sort_limit" -> (sortLimit _),
+    "set_union" -> (setUnion _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _),
+    "event_window" -> (eventWindow _),
+    "approx_distinct" -> (approxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_orders" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price,
+        | round(min(o_totalprice), 2) AS min_price,
+        | round(max(o_totalprice), 2) AS max_price,
+        | min(o_orderdate) AS first_order,
+        | max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_region" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey,
+        | count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "window_running" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events""".stripMargin,
+    "window_lag" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        | round(l_extendedprice - lag(l_extendedprice, 1) OVER (
+        |   PARTITION BY l_partkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC), 2) AS price_delta
+        |FROM lineitem""".stripMargin,
+    "sort_limit" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "set_union" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        |UNION
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 150000""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 150000""".stripMargin,
+    "set_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 150000""".stripMargin,
+    "event_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}
