@@ -1,0 +1,164 @@
+package graft.config
+
+/** The source-configuration DSL — the engine's "query language".
+  *
+  * Shape mirrors the reference DSL
+  * (`/root/reference/src/config/sources/sample_source.yaml:4-113`): a
+  * source bundles ingestion config, schema mapping/required/transforms,
+  * destination layout, warehouse physical design, quality checks, and
+  * monitoring thresholds. Parsed once on the driver; the engine compiles
+  * it into a declarative DataFrame plan.
+  */
+final case class SourceConfig(
+    name: String,
+    sourceType: SourceType,
+    description: String = "",
+    api: Option[ApiConfig] = None,
+    email: Option[EmailConfig] = None,
+    schema: SchemaConfig = SchemaConfig(),
+    destination: Destination = Destination(),
+    warehouse: Option[WarehouseConfig] = None,
+    qualityChecks: Seq[QualityCheck] = Nil,
+    monitoring: Monitoring = Monitoring())
+
+/** Pipeline branch discriminator (workflow_definition.json:15-45). */
+sealed trait SourceType
+object SourceType {
+  case object RestApi extends SourceType
+  case object Email extends SourceType
+  case object File extends SourceType
+  case object Stream extends SourceType
+  def parse(s: String): SourceType = s.toLowerCase match {
+    case "rest_api" | "api" => RestApi
+    case "email"            => Email
+    case "file" | "s3"      => File
+    case "stream" | "kinesis" | "kafka" => Stream
+    case other => throw new IllegalArgumentException(s"Unknown source type: $other")
+  }
+}
+
+/** Schema section: mapping + required + ordered transformations
+  * (sample_source.yaml:33-56).
+  *
+  * `mapping` is ordered (declaration order matters: later entries see the
+  * effect of earlier renames, matching the reference's sequential
+  * application, transform_data.py:41-51).
+  */
+final case class SchemaConfig(
+    inputFormat: String = "json",
+    mapping: Seq[(String, MappingTarget)] = Nil,
+    required: Seq[String] = Nil,
+    transformations: Seq[TransformSpec] = Nil)
+
+/** A mapping target: either a (possibly dotted) source path, or a
+  * struct-valued target built from sub-mappings — the declared
+  * nested-target semantics (sample_source.yaml:39-43) that the reference
+  * code would crash on (SURVEY.md P3); implemented correctly here.
+  */
+sealed trait MappingTarget
+object MappingTarget {
+  final case class Path(sourcePath: String) extends MappingTarget
+  final case class Struct(fields: Seq[(String, MappingTarget)]) extends MappingTarget
+}
+
+/** One entry of the ordered `transformations` list
+  * (transform_data.py:55-90). Unknown `kind`s are skipped silently —
+  * that IS the contract (transform_data.py:66-67).
+  */
+final case class TransformSpec(
+    field: String,
+    kind: String,
+    format: Option[String] = None,
+    pattern: Option[String] = None,
+    replacement: Option[String] = None)
+
+final case class DestinationZone(
+    bucket: String = "",
+    prefix: String = "",
+    format: String = "parquet",
+    partitionBy: Seq[String] = Nil) {
+  def path: String = if (bucket.isEmpty) prefix else s"$bucket/$prefix"
+}
+
+final case class Destination(
+    raw: Option[DestinationZone] = None,
+    processed: Option[DestinationZone] = None)
+
+/** REST-API source config (sample_source.yaml:12-30,
+  * api_ingestion/handler.py:101-273).
+  */
+final case class ApiConfig(
+    endpoint: String,
+    method: String = "GET",
+    headers: Map[String, String] = Map.empty,
+    parameters: Map[String, String] = Map.empty,
+    body: Option[String] = None,
+    pagination: Option[PaginationConfig] = None,
+    timeoutSeconds: Int = 30,
+    retry: RetryConfig = RetryConfig(),
+    auth: Option[AuthConfig] = None)
+
+/** Pagination modes (api_ingestion/handler.py:144-275): offset/limit,
+  * page-number, or next-token-at-dotted-path.
+  */
+final case class PaginationConfig(
+    enabled: Boolean = true,
+    style: String = "offset",         // offset | page | next_token
+    limitParam: String = "limit",
+    offsetParam: String = "offset",
+    pageParam: String = "page",
+    nextUrlPath: String = "next",     // dotted path into the JSON response
+    maxPages: Int = 10)               // reference default: handler.py:162
+
+final case class RetryConfig(
+    attempts: Int = 3,
+    backoff: String = "exponential",
+    baseSeconds: Double = 1.0)
+
+/** basic / bearer auth (api_ingestion/handler.py:118-131). */
+final case class AuthConfig(
+    authType: String,                 // basic | bearer
+    username: Option[String] = None,
+    password: Option[String] = None,
+    token: Option[String] = None)
+
+/** Email-attachment source (email_processor/handler.py:26-58,165-169). */
+final case class EmailConfig(
+    allowedSenders: Seq[String] = Nil,
+    allowedExtensions: Seq[String] = Seq(".csv", ".json", ".parquet"),
+    landingPrefix: String = "")
+
+/** Warehouse physical design (sample_source.yaml:74-82): distkey →
+  * repartition, sortkey → sortWithinPartitions, vacuum/analyze →
+  * maintenance.
+  */
+final case class WarehouseConfig(
+    schema: String,
+    table: String,
+    distkey: Option[String] = None,
+    sortkey: Seq[String] = Nil,
+    vacuumStrategy: String = "auto",
+    analyze: Boolean = true) {
+  def qualified: String = s"${schema}_$table" // session-catalog-safe name
+}
+
+/** Quality checks (sample_source.yaml:85-95). */
+final case class QualityCheck(
+    kind: String,                     // not_null | unique | regex
+    columns: Seq[String] = Nil,
+    pattern: Option[String] = None)
+
+final case class MetricSpec(
+    name: String,
+    threshold: Double,
+    comparison: String = "GreaterThan",
+    evaluationPeriods: Int = 1)
+
+final case class Monitoring(
+    metrics: Seq[MetricSpec] = Nil,
+    notifications: Seq[NotificationSpec] = Nil)
+
+final case class NotificationSpec(
+    kind: String,                     // email | slack
+    recipients: Seq[String] = Nil,
+    channel: Option[String] = None)

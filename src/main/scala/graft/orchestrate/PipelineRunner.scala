@@ -1,0 +1,155 @@
+package graft.orchestrate
+
+import java.time.LocalDateTime
+import java.util.UUID
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{SourceConfig, SourceType}
+import graft.quality.QualityChecks
+import graft.sink.{PartitionedWriter, WarehousePublisher}
+import graft.sources.SourceReader
+import graft.transform.TransformPipeline
+
+/** Control plane (SURVEY §2.9; workflow_definition.json): parameter
+  * injection (O1), source-type branch (O2), retry with exponential
+  * backoff (O3), catch → notification (O4), sync transform stage (O6),
+  * success report (O7). The crawler poll (O5) degenerates: schema
+  * discovery is synchronous inside spark.read.
+  */
+final case class PipelineContext(
+    executionId: String,
+    startTime: LocalDateTime,
+    sourceName: String,
+    sourceType: SourceType)
+
+object PipelineContext {
+  def create(cfg: SourceConfig, startTime: LocalDateTime = LocalDateTime.now()): PipelineContext =
+    PipelineContext(UUID.randomUUID().toString, startTime, cfg.name, cfg.sourceType)
+}
+
+final case class RunReport(
+    executionId: String,
+    sourceName: String,
+    inputCount: Long,
+    outputCount: Long,
+    qualityPassed: Boolean,
+    breachedMonitors: Seq[String],
+    outputPath: Option[String],
+    warehouseTable: Option[String])
+
+object Retry {
+  /** O3: attempts × exponential backoff (workflow_definition.json:50-57;
+    * config sample_source.yaml:28-30).
+    */
+  def withBackoff[A](attempts: Int, baseSeconds: Double = 1.0, multiplier: Double = 2.0,
+      sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+    var delayMs = (baseSeconds * 1000).toLong
+    var last: Throwable = null
+    var i = 0
+    while (i < math.max(1, attempts)) {
+      Try(f) match {
+        case Success(a) => return a
+        case Failure(e) =>
+          last = e
+          i += 1
+          if (i < attempts) { sleep(delayMs); delayMs = (delayMs * multiplier).toLong }
+      }
+    }
+    throw last
+  }
+}
+
+/** Failure/success notification hook (O4/O7) — the engine-side seam
+  * where the reference publishes to SNS.
+  */
+trait Notifier {
+  def success(report: RunReport): Unit = ()
+  def failure(context: PipelineContext, error: Throwable): Unit = ()
+}
+object Notifier { object Silent extends Notifier }
+
+object PipelineRunner {
+
+  /** The transform stage (§3 entry point 2) as one declarative plan:
+    * read → map → transform → filter → metadata → partition → write.
+    *
+    * Input/output row counts come from `observe()` metrics collected by
+    * the single write action — zero extra passes over the data (the
+    * reference re-executes the whole plan twice for its counts AND reads
+    * both from the post-transform df, transform_data.py:234-238; both
+    * fixed here).
+    */
+  def runTransform(
+      spark: SparkSession,
+      cfg: SourceConfig,
+      ctx: PipelineContext,
+      inputPath: String,
+      outputPath: String,
+      dataFormat: String): (Long, Long) = {
+    val inObs = org.apache.spark.sql.Observation()
+    val outObs = org.apache.spark.sql.Observation()
+    val raw = SourceReader.read(spark, dataFormat, inputPath)
+      .observe(inObs, count(lit(1)).as("n"))
+    val processed = cfg.destination.processed
+    val partitionBy = processed.map(_.partitionBy).getOrElse(Nil)
+    val transformed = TransformPipeline
+      .compile(cfg.schema, cfg.name, ctx.startTime, partitionBy)(raw)
+      .observe(outObs, count(lit(1)).as("n"))
+
+    PartitionedWriter.write(transformed, outputPath,
+      processed.map(_.format).getOrElse("parquet"), partitionBy)
+    (inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long])
+  }
+
+  /** Full pipeline run (§3 entry point 1): branch → transform → quality
+    * → monitors → optional warehouse publish → report.
+    */
+  def run(
+      spark: SparkSession,
+      cfg: SourceConfig,
+      inputPath: String,
+      outputPath: String,
+      dataFormat: String = "",
+      publish: Boolean = false,
+      notifier: Notifier = Notifier.Silent,
+      startTime: LocalDateTime = LocalDateTime.now()): RunReport = {
+    val ctx = PipelineContext.create(cfg, startTime)
+    try {
+      val fmt = if (dataFormat.nonEmpty) dataFormat else cfg.schema.inputFormat
+      // O2: branch on source type — api/email sources are expected to be
+      // already landed at inputPath by their ingest stage (the reference
+      // marks email/file/stream as landed passthroughs, workflow:67-81).
+      val (inCount, outCount) = Retry.withBackoff(cfg.api.map(_.retry.attempts).getOrElse(1),
+        cfg.api.map(_.retry.baseSeconds).getOrElse(1.0)) {
+        runTransform(spark, cfg, ctx, inputPath, outputPath, fmt)
+      }
+
+      val written = spark.read.format(
+        cfg.destination.processed.map(_.format).getOrElse("parquet")).load(outputPath)
+      val quality = QualityChecks.run(written, cfg.qualityChecks)
+
+      val metrics = Map(
+        "record_count" -> outCount.toDouble,
+        "error_count" -> (inCount - outCount).toDouble)
+      val breached = QualityChecks.evaluateMonitors(metrics, cfg.monitoring.metrics)
+        .collect { case (m, true) => m.name }
+
+      val table = if (publish && cfg.warehouse.nonEmpty)
+        Some(WarehousePublisher.publish(spark, written, cfg.warehouse.get).table)
+      else None
+
+      val report = RunReport(ctx.executionId, cfg.name, inCount, outCount,
+        quality.passed, breached, Some(outputPath), table)
+      notifier.success(report)
+      report
+    } catch {
+      case e: Throwable =>
+        notifier.failure(ctx, e)
+        throw e
+    }
+  }
+}

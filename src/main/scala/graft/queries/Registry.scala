@@ -10,10 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Scalar.queries ++ NorthStar.queries
+    Relational.queries ++ Scalar.queries ++ NorthStar.queries ++ Pipeline.queries
 
   val oracle: Map[String, String] =
-    Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle
+    Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle ++ Pipeline.oracle
 
   require(oracle.keySet.subsetOf(queries.keySet),
     s"oracle entries without a query: ${oracle.keySet -- queries.keySet}")
