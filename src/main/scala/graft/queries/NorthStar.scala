@@ -22,13 +22,20 @@ object NorthStar {
   /** Exact dedup over document text: one survivor (min doc_id) per
     * distinct text + multiplicity. Deterministic version of
     * dropDuplicates("text").
+    *
+    * Scale: the shuffle key is the fixed-width md5 digest, never the raw
+    * document — at 100 TB the exchange carries 32-byte keys + ids, not
+    * the corpus. (Hash collision would merge two docs; md5's 2^-64
+    * birthday bound at trillions of docs is acceptable for dedup, and a
+    * paranoid mode can re-verify survivors by length.)
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .groupBy($"text")
+      .select($"doc_id", md5($"text".cast("binary")).as("text_hash"))
+      .groupBy($"text_hash")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .select($"keep_id", $"n_copies", md5($"text".cast("binary")).as("text_hash"))
+      .select($"keep_id", $"n_copies", $"text_hash")
   }
 
   /** Normalized content fingerprint (lower + whitespace-collapse + md5) —
@@ -142,7 +149,7 @@ object NorthStar {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
         | md5(text) AS text_hash
-        |FROM documents GROUP BY text""".stripMargin,
+        |FROM documents GROUP BY md5(text)""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -180,26 +180,26 @@ object Relational {
       .except(o.filter($"o_totalprice" > 150000.0).select($"o_orderkey"))
   }
 
-  /** Batch equivalent of a tumbling event-time window (1 h) — the same
-    * groupBy runs under Structured Streaming in graft.stream.
+  /** Tumbling event-time window (1 h) × event_type, routed through
+    * [[graft.stream.EventWindows.tumblingByType]] — the exact function
+    * the streaming path executes (StreamSpec proves batch/stream parity
+    * on a MemoryStream). `window(ts,"1 hour").start` ≡
+    * `date_trunc('hour', ts)`, so the ANSI oracle is unchanged.
     */
-  def eventWindow(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "events")
-      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
-  }
+  def eventWindow(s: SparkSession, dir: String): DataFrame =
+    graft.stream.EventWindows.tumblingByType(t(s, dir, "events"), "1 hour")
 
   /** Approx distinct (HLL++) — no DuckDB oracle (sketches differ);
-    * correctness asserted in ApproxSpec against exact counts.
+    * correctness asserted in graft.queries.ApproxSpec: every estimate
+    * within 5% of the exact countDistinct.
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"))
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
