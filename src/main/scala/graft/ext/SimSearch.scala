@@ -1,0 +1,162 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north star; SURVEY §2.7).
+  *
+  * Two paths sharing one exact re-rank:
+  *  - [[bruteTopK]]: exact cosine top-k — the baseline and the correct
+  *    algorithm when the query side is small and exactness is required
+  *    (cost |Q|×|C|, embarrassingly parallel over corpus partitions);
+  *  - [[lshTopK]]: sign-random-projection (hyperplane) LSH — sparse
+  *    ±1 planes (Achlioptas-style) hash each vector to b band keys of
+  *    r bits; candidates = vectors sharing ≥1 band bucket with the
+  *    query; exact cosine re-rank picks the best candidate. The planes
+  *    are generated from a fixed seed, so the whole pipeline is
+  *    deterministic and its DuckDB oracle ([[lshOracleSql]]) replicates
+  *    the bucketing bit-for-bit — the CORRECTNESS gate checks the LSH
+  *    semantics differentially, not just the re-rank.
+  *
+  * Scale design (100 TB): banding shuffles fixed-width (band, key)
+  * pairs, never embeddings; the re-rank joins move only candidate-pair
+  * vectors. On clustered real-world embeddings the candidate fraction
+  * is the bucket occupancy of the query's cluster; on the adversarial
+  * near-uniform test fixture pruning is limited (≈36% of the corpus
+  * filtered at r=4, b=16 with 95% top-1 agreement vs brute force — see
+  * SimSearchSpec) — that is the information-theoretic reality of ANN on
+  * random vectors, not an implementation artifact. At scale, raise r
+  * (key space 2^r per band) and b to hold recall: r=16-24 gives
+  * 65k-16M buckets per band.
+  */
+object SimSearch {
+
+  /** Cosine primitives as sequential double folds — deterministic
+    * summation order, bit-reproducible by the oracle's list functions.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic sparse ±1 hyperplanes: `numPlanes` planes, each with
+    * `nnz` (dimension, sign) pairs from a fixed-seed PRNG. The literal
+    * plane set is embedded identically in the Spark plan and in the
+    * generated oracle SQL.
+    */
+  def planes(seed: Long, numPlanes: Int, dim: Int, nnz: Int): Seq[Seq[(Int, Int)]] = {
+    val rng = new Random(seed)
+    Seq.fill(numPlanes) {
+      val dims = rng.shuffle((0 until dim).toList).take(nnz).sorted
+      dims.map(d => (d, if (rng.nextBoolean()) 1 else -1))
+    }
+  }
+
+  /** Signed projection of an embedding onto one sparse plane; the fold
+    * order (ascending dimension) is what the oracle SQL reproduces.
+    */
+  private def proj(v: Column, plane: Seq[(Int, Int)]): Column =
+    plane.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
+      acc + element_at(v, d + 1).cast("double") * lit(s.toDouble)
+    }
+
+  /** One r-bit band key per band: bit k set iff the (b*r+k)-th
+    * projection is positive.
+    */
+  def bandKeyCols(v: Column, ps: Seq[Seq[(Int, Int)]], bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      (0 until rowsPerBand).foldLeft(lit(0)) { (acc, k) =>
+        acc + when(proj(v, ps(b * rowsPerBand + k)) > 0.0, lit(1 << k)).otherwise(lit(0))
+      }
+    }
+
+  /** Exact brute-force cosine top-1 for vec_id < queryBound. */
+  def bruteTopK(emb: DataFrame, queryBound: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < queryBound)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    rerank(broadcast(q).join(c, col("qid") =!= col("cid")))
+  }
+
+  /** LSH-bucketed top-1: candidates from shared band buckets, exact
+    * cosine re-rank. Defaults tuned on the 64-d test fixture.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      queryBound: Int,
+      seed: Long = 7,
+      numBands: Int = 16,
+      rowsPerBand: Int = 4,
+      nnz: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
+    val keys = bandKeyCols(col("embedding"), ps, numBands, rowsPerBand)
+    val banded = emb.select(col("vec_id"),
+      posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+    val cand = banded.filter(col("vec_id") < queryBound)
+      .select(col("band"), col("bkey"), col("vec_id").as("qid"))
+      .join(banded.select(col("band"), col("bkey"), col("vec_id").as("cid")),
+        Seq("band", "bkey"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
+    rerank(pairs)
+  }
+
+  /** Shared exact re-rank: deterministic cosine (round 6, cid tiebreak),
+    * top-1 per query.
+    */
+  private def rerank(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    pairs
+      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
+  /** DuckDB oracle for [[lshTopK]] with the same parameters: the plane
+    * set, projection fold order, band keys, bucket join, and re-rank
+    * are reproduced in ANSI-ish SQL, so the driver's hash compare
+    * verifies the LSH bucketing itself.
+    */
+  def lshOracleSql(
+      queryBound: Int,
+      seed: Long = 7,
+      numBands: Int = 16,
+      rowsPerBand: Int = 4,
+      nnz: Int = 8,
+      dim: Int = 64): String = {
+    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
+    def projSql(plane: Seq[(Int, Int)]): String =
+      plane.map { case (d, s) => s"v[${d + 1}]*${s.toDouble}" }.mkString("0.0 + ", " + ", "")
+    val keySql = (0 until numBands).map { b =>
+      val bits = (0 until rowsPerBand).map { k =>
+        s"(CASE WHEN ${projSql(ps(b * rowsPerBand + k))} > 0.0 THEN ${1 << k} ELSE 0 END)"
+      }
+      s"${bits.mkString(" + ")} AS k$b"
+    }
+    val unioned = (0 until numBands)
+      .map(b => s"SELECT vec_id, $b AS band, k$b AS bkey FROM k")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |k AS (SELECT vec_id, ${keySql.mkString(",\n  ")} FROM v),
+       |b AS ($unioned),
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
+       |         FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
+       |         WHERE a.vec_id < $queryBound AND a.vec_id <> c.vec_id),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+       |      FROM cand JOIN v qv ON qv.vec_id = qid JOIN v cv ON cv.vec_id = cid),
+       |r AS (SELECT qid, cid, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM p)
+       |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin
+  }
+}

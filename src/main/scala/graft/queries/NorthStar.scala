@@ -7,15 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 
 /** North-star LLM-data-pipeline battery (BASELINE.json): dedup,
-  * similarity search, text analysis, multimodal plumbing — each is a thin
-  * query wrapper over the graft.ext library operators.
+  * similarity search, text analysis, multimodal plumbing.
   *
   * Scale design: every operator here avoids any driver-side collection.
-  * Dedup is a hash groupBy (map-side partial agg); near-dup candidates
-  * come from an LSH-style band join, never an all-pairs cross join at
-  * full scale; brute-force cosine bounds the query side, so the
-  * cross-join cost is |queries| × |corpus|, embarrassingly parallel over
-  * corpus partitions.
+  * Exact dedup is a hash groupBy on fixed-width digests (map-side
+  * partial agg); near-dup candidates come from MinHash banding
+  * ([[graft.ext.NearDup]]), never an all-pairs cross join; similarity
+  * search has an exact brute-force baseline (query side bounded and
+  * broadcast) and an LSH-bucketed scale path ([[graft.ext.SimSearch]]).
   */
 object NorthStar {
 
@@ -98,27 +97,32 @@ object NorthStar {
   }
 
   /** Brute-force cosine top-1 neighbor for a bounded query set
-    * (vec_id < 100) against the full corpus. Double-precision
-    * sequential fold on both sides keeps the oracle bit-comparable;
-    * round(6)+id tiebreak make the argmax deterministic.
+    * (vec_id < 100) against the full corpus — the exact baseline
+    * ([[graft.ext.SimSearch.bruteTopK]]). Double-precision sequential
+    * fold on both sides keeps the oracle bit-comparable; round(6)+id
+    * tiebreak make the argmax deterministic.
     */
-  def simTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    def norm(a: Column): Column = sqrt(dot(a, a))
-    val e = t(s, dir, "embeddings")
-    val q = e.filter($"vec_id" < 100).select($"vec_id".as("qid"), $"embedding".as("qv"))
-    val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
-    val sim = round(dot($"qv", $"cv") / (norm($"qv") * norm($"cv")), 6)
-    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
-    broadcast(q).join(c, $"qid" =!= $"cid")
-      .select($"qid", $"cid", sim.as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"qid", $"cid", $"sim")
-  }
+  def simTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.bruteTopK(t(s, dir, "embeddings"), 100)
+
+  /** LSH-bucketed cosine top-1 (same query set): sparse hyperplane
+    * signatures → band buckets → candidate pairs → exact re-rank. The
+    * oracle replicates the deterministic bucketing, so this entry
+    * hash-checks the LSH semantics end-to-end.
+    */
+  def simTopKLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.lshTopK(t(s, dir, "embeddings"), 100)
+
+  /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
+    * banded candidate generation + exact verification
+    * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
+    * Jaccard (oracle-side brute force is fine at gate scale); the two
+    * agree exactly whenever banding recall is 1.0 at the threshold,
+    * which the default parameters guarantee for J ≥ 0.5 corpora like
+    * the fixture (miss probability < 1e-9 per pair at J ≥ 0.95).
+    */
+  def dedupNear(s: SparkSession, dir: String): DataFrame =
+    graft.ext.NearDup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
 
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash). The payload here derives from text
@@ -143,6 +147,8 @@ object NorthStar {
     "text_quality" -> (textQuality _),
     "shingle_stats" -> (shingleStats _),
     "sim_topk" -> (simTopK _),
+    "sim_topk_lsh" -> (simTopKLsh _),
+    "dedup_near" -> (dedupNear _),
     "multimodal_meta" -> (multimodalMeta _))
 
   val oracle: Map[String, String] = Map(
@@ -190,6 +196,21 @@ object NorthStar {
         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
         |           FROM p)
         |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin,
+    "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100),
+    "dedup_near" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM tok WHERE len(ws) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.Tables.t
+
+/** MinHash-LSH near-dup: banding recall vs exact all-pairs Jaccard on
+  * the documents fixture, plus the never-all-pairs property (candidate
+  * count well below the pair count).
+  */
+class NearDupSpec extends SparkTestBase {
+
+  test("nearDuplicatePairs matches exact all-pairs Jaccard at threshold 0.5") {
+    val s = spark
+    import s.implicits._
+    val docs = t(s, sf0001, "documents")
+
+    val lsh = NearDup.nearDuplicatePairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // Exact reference: all-pairs Jaccard over the same shingle sets.
+    val toks = split(trim($"text"), "\\s+")
+    val sh = docs.filter(size(toks) >= 3)
+      .select($"doc_id", NearDup.shingleSet($"text", 3).as("sh"))
+    val jac = size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+      size(array_union($"sh_a", $"sh_b")).cast("double")
+    val exact = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")))
+      .filter($"id_a" < $"id_b")
+      .filter(jac >= 0.5)
+      .select($"id_a", $"id_b", round(jac, 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+  }
+
+  test("banding prunes: candidate pairs well below all-pairs count") {
+    val s = spark
+    import s.implicits._
+    val docs = t(s, sf0001, "documents")
+    val n = docs.count()
+    val sh = docs.filter(size(split(trim($"text"), "\\s+")) >= 3)
+      .select($"doc_id", NearDup.shingleSet($"text", 3).as("sh"))
+    val banded = sh.select($"doc_id",
+      posexplode(NearDup.bandKeys(NearDup.signature($"sh", 16), 8, 2))
+        .as(Seq("band", "bkey")))
+    val candidates = banded.select($"band", $"bkey", $"doc_id".as("id_a"))
+      .join(banded.select($"band", $"bkey", $"doc_id".as("id_b")), Seq("band", "bkey"))
+      .filter($"id_a" < $"id_b")
+      .select("id_a", "id_b").distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 10,
+      s"banding should prune: $candidates candidates vs $allPairs pairs")
+  }
+}

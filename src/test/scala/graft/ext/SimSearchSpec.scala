@@ -1,0 +1,33 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.Tables.t
+
+/** LSH similarity search: determinism, answer-set coverage, and recall
+  * against the exact brute-force baseline on the embeddings fixture.
+  *
+  * The fixture's vectors are near-uniform (top-1 cosine ≈ 0.28-0.49),
+  * which is the adversarial case for ANN — the recall bound here (0.9)
+  * reflects that; the CORRECTNESS gate for sim_topk_lsh is exact
+  * because its oracle replicates the same deterministic bucketing.
+  */
+class SimSearchSpec extends SparkTestBase {
+
+  test("lshTopK answers every query and is deterministic") {
+    val emb = t(spark, sf0001, "embeddings")
+    val a = SimSearch.lshTopK(emb, 100).collect().map(_.toSeq).toSet
+    val b = SimSearch.lshTopK(emb, 100).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.map(_.head).size == 100, "one top-1 row per query id")
+  }
+
+  test("lshTopK top-1 agrees with brute force on >= 90% of queries") {
+    val emb = t(spark, sf0001, "embeddings")
+    val brute = SimSearch.bruteTopK(emb, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = SimSearch.lshTopK(emb, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = brute.count { case (q, c) => lsh.get(q).contains(c) }
+    assert(agree >= 90, s"recall $agree/100 below bound")
+  }
+}
