@@ -77,10 +77,21 @@ object EmailSource {
   def land(email: ParsedEmail, cfg: EmailConfig, dir: String): Seq[Path] = {
     Files.createDirectories(Paths.get(dir))
     allowedAttachments(email, cfg).map { a =>
-      val p = Paths.get(dir, a.filename)
+      val p = Paths.get(dir, sanitizeFilename(a.filename))
       Files.write(p, a.payload)
       p
     }
+  }
+
+  /** Landing names are portable-charset only: header-supplied filenames
+    * must not traverse directories (`../`) or break on filesystems
+    * without a unicode locale. The parsed Attachment keeps the decoded
+    * original for metadata.
+    */
+  private[ingest] def sanitizeFilename(name: String): String = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    val safe = base.map(c => if (c.isLetterOrDigit && c < 128 || "._-".contains(c)) c else '_')
+    if (safe.isEmpty || safe.forall(_ == '.')) "attachment.bin" else safe
   }
 
   /** Landed binary payloads as a DataFrame (binaryFile source): path,
@@ -147,7 +158,11 @@ object EmailSource {
       val cs = Charset.forName(m.group(1))
       val decoded = m.group(2).toUpperCase match {
         case "B" => new String(Base64.getMimeDecoder.decode(m.group(3)), cs)
-        case "Q" => decodeQuotedPrintable(m.group(3).replace('_', ' '))
+        // Q-decoding yields raw bytes as 0-255 chars; re-decode them with
+        // the word's declared charset (=?utf-8?Q?=C3=A9?= → "é", not "Ã©").
+        case "Q" => new String(
+          decodeQuotedPrintable(m.group(3).replace('_', ' '))
+            .getBytes(StandardCharsets.ISO_8859_1), cs)
       }
       scala.util.matching.Regex.quoteReplacement(decoded)
     })
