@@ -60,6 +60,7 @@ object ConfigLoader {
       inputFormat = str(schemaM, "type", "json"),
       mapping = obj(schemaM, "mapping").map(mappingTargets).getOrElse(Nil),
       required = strSeq(schemaM, "required"),
+      maxErrors = schemaM.get("max_errors").map(v => String.valueOf(v).toDouble.toInt),
       transformations = seq(schemaM, "transformations").map { t =>
         TransformSpec(
           field = str(t, "field"),

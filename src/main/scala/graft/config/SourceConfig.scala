@@ -48,7 +48,8 @@ final case class SchemaConfig(
     inputFormat: String = "json",
     mapping: Seq[(String, MappingTarget)] = Nil,
     required: Seq[String] = Nil,
-    transformations: Seq[TransformSpec] = Nil)
+    transformations: Seq[TransformSpec] = Nil,
+    maxErrors: Option[Int] = None) // corrupt-record budget (MAXERROR parity)
 
 /** A mapping target: either a (possibly dotted) source path, or a
   * struct-valued target built from sub-mappings — the declared

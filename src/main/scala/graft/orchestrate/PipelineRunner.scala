@@ -92,8 +92,15 @@ object PipelineRunner {
       dataFormat: String): (Long, Long) = {
     val inObs = org.apache.spark.sql.Observation()
     val outObs = org.apache.spark.sql.Observation()
-    val raw = SourceReader.read(spark, dataFormat, inputPath)
-      .observe(inObs, count(lit(1)).as("n"))
+    // max_errors in the config turns on the MAXERROR-style corrupt-record
+    // budget (json/parquet; untyped CSV has no per-row parse failures
+    // without a declared shape, so it stays on the plain reader).
+    val source = cfg.schema.maxErrors match {
+      case Some(budget) if dataFormat.toLowerCase != "csv" =>
+        SourceReader.readTolerant(spark, dataFormat, inputPath, budget).data
+      case _ => SourceReader.read(spark, dataFormat, inputPath)
+    }
+    val raw = source.observe(inObs, count(lit(1)).as("n"))
     val processed = cfg.destination.processed
     val partitionBy = processed.map(_.partitionBy).getOrElse(Nil)
     val transformed = TransformPipeline

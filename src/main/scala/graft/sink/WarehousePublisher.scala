@@ -1,80 +1,114 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.config.WarehouseConfig
 
-/** Warehouse publish with atomic staging swap (SURVEY K4-K7; reference
+/** Warehouse publish with atomic visibility (SURVEY K4-K7; reference
   * redshift_loader/handler.py:76-183).
   *
   * Reference protocol: CREATE staging LIKE target → COPY into staging →
-  * verify count → transactional double-RENAME swap → drop old → optional
-  * VACUUM/ANALYZE. Invariant to preserve: the load is all-or-nothing and
-  * readers never observe partial data.
+  * verify count → transactional double-RENAME swap → drop old. The
+  * double rename has a reader-visible gap (no table exists between the
+  * renames), so this engine uses a strictly stronger commit: each load
+  * writes an immutable versioned physical table `<target>_vN`, and the
+  * commit point is a single `CREATE OR REPLACE VIEW <target>` pointer
+  * swap — readers of `<target>` see the old version or the new one,
+  * never a missing table or partial data. A failure before the view
+  * swap leaves the previous version fully intact.
   *
-  * Spark-native equivalent on the session catalog: write the staging
-  * TABLE (distkey → repartition, sortkey → sortWithinPartitions — the
-  * physical-design mapping from sample_source.yaml:77-80), verify, then
-  * swap via catalog renames. A failure before the final rename leaves
-  * the old target intact; the staging table is dropped on any abort.
+  * Retention keeps the latest two physical versions so readers that
+  * resolved the previous pointer mid-swap finish their scan before the
+  * files disappear (lag-by-one retention, the same reason table formats
+  * keep a vacuum horizon).
   */
 object WarehousePublisher {
 
-  final case class PublishResult(table: String, rowsLoaded: Long, analyzed: Boolean)
+  final case class PublishResult(
+      table: String, rowsLoaded: Long, analyzed: Boolean, version: Long)
+
+  private val VersionRe = """(?i)(.*)_v(\d+)""".r
+
+  private def versionsOf(spark: SparkSession, target: String): Seq[(String, Long)] =
+    spark.catalog.listTables().collect().toSeq.collect {
+      case t if t.name.toLowerCase.startsWith(s"${target.toLowerCase}_v") =>
+        t.name.toLowerCase match {
+          case VersionRe(base, v) if base == target.toLowerCase => (t.name, v.toLong)
+        }
+    }
 
   def publish(spark: SparkSession, df: DataFrame, cfg: WarehouseConfig): PublishResult = {
     val target = cfg.qualified
-    val staging = s"${target}_staging"
-    val old = s"${target}_old"
 
     // Physical layout: distribution key → hash repartition (co-locates
     // equal keys, the distkey contract); sort keys → within-partition
     // sort (run-length/dictionary-friendly parquet, range-pruned scans).
-    val shaped0 = cfg.distkey.fold(df)(k => df.repartition(org.apache.spark.sql.functions.col(k)))
+    val shaped0 = cfg.distkey.fold(df)(k => df.repartition(col(k)))
     val shaped = if (cfg.sortkey.nonEmpty)
-      shaped0.sortWithinPartitions(cfg.sortkey.map(org.apache.spark.sql.functions.col): _*)
+      shaped0.sortWithinPartitions(cfg.sortkey.map(col): _*)
     else shaped0
 
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val existing = versionsOf(spark, target)
+    val version = existing.map(_._2).maxOption.getOrElse(0L) + 1L
+    val phys = s"${target}_v$version"
+
     try {
-      shaped.write.mode(SaveMode.Overwrite).saveAsTable(staging)
-      val loaded = spark.table(staging).count() // K7-style verification read
-      // Atomic-visibility swap: single catalog rename is the commit point.
-      spark.sql(s"DROP TABLE IF EXISTS $old")
-      val targetExists = spark.catalog.tableExists(target)
-      if (targetExists) spark.sql(s"ALTER TABLE $target RENAME TO $old")
-      try spark.sql(s"ALTER TABLE $staging RENAME TO $target")
-      catch {
-        case e: Throwable =>
-          if (targetExists) spark.sql(s"ALTER TABLE $old RENAME TO $target") // roll back
-          throw e
+      shaped.write.mode(SaveMode.Overwrite).saveAsTable(phys)
+      val loaded = spark.table(phys).count() // K7-style verification read
+      // Legacy plain tables at the target name would shadow the view.
+      if (spark.catalog.tableExists(target)
+        && spark.catalog.getTable(target).tableType != "VIEW")
+        spark.sql(s"DROP TABLE $target")
+      // Commit point: one atomic pointer swap.
+      spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $phys")
+      // Retention: latest two versions stay readable.
+      existing.filter(_._2 < version - 1).foreach { case (name, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
       }
-      spark.sql(s"DROP TABLE IF EXISTS $old")
-      val analyzed = maintain(spark, cfg, target)
-      PublishResult(target, loaded, analyzed)
+      val analyzed = maintain(spark, cfg, target, phys)
+      PublishResult(target, loaded, analyzed, version)
     } catch {
       case e: Throwable =>
-        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        spark.sql(s"DROP TABLE IF EXISTS $phys") // abort: old version untouched
         throw e
     }
   }
 
-  /** K6: table maintenance — ANALYZE maps to COMPUTE STATISTICS; the
-    * VACUUM analog (small-file compaction) is a rewrite, triggered here
-    * only under `vacuum_strategy: full` to keep `auto` cheap.
+  /** K6: table maintenance — ANALYZE maps to COMPUTE STATISTICS on the
+    * physical version; the VACUUM analog (small-file compaction)
+    * rewrites into the next version and re-points the view, so even
+    * compaction never interrupts readers. Triggered only under
+    * `vacuum_strategy: full` to keep `auto` cheap.
     */
-  private def maintain(spark: SparkSession, cfg: WarehouseConfig, table: String): Boolean = {
+  private def maintain(
+      spark: SparkSession, cfg: WarehouseConfig, target: String, phys: String): Boolean = {
+    var current = phys
     if (cfg.vacuumStrategy == "full") {
-      val compacted = spark.table(table).coalesce(
+      val compacted = spark.table(phys).coalesce(
         math.max(1, spark.sparkContext.defaultParallelism / 4))
-      val tmp = s"${table}_compact"
-      compacted.write.mode(SaveMode.Overwrite).saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      val next = versionsOf(spark, target).map(_._2).max + 1L
+      val nextPhys = s"${target}_v$next"
+      compacted.write.mode(SaveMode.Overwrite).saveAsTable(nextPhys)
+      spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $nextPhys")
+      current = nextPhys
     }
     if (cfg.analyze) {
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE $current COMPUTE STATISTICS")
       true
     } else false
+  }
+
+  /** K8 UNLOAD (README.md:57,148): export a published table/view to
+    * files for external consumers — a scan + write, counted in the
+    * same pass via observe().
+    */
+  def exportTable(
+      spark: SparkSession, table: String, path: String, format: String = "parquet"): Long = {
+    val obs = Observation()
+    spark.table(table)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).format(format).save(path)
+    obs.get("n").asInstanceOf[Long]
   }
 }
