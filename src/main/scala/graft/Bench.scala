@@ -15,9 +15,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen, parquet footer caches, shuffle infra)
+    // so the alphabetically-first query doesn't absorb startup cost.
+    spark.read.parquet(s"$sfDir/region.parquet").join(
+      spark.read.parquet(s"$sfDir/nation.parquet")).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -11,11 +11,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     // reader rejects; read nanos as long and truncate to micros (same
-    // semantics as DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // semantics as DuckDB's TIMESTAMP_NS → TIMESTAMP cast). Engine
+    // sessions (GraftSession/Bench/Verify/tests) set the conf at build
+    // time; this set-once guard covers foreign sessions (e.g. the
+    // harness smoke session) without re-mutating conf on every read.
+    if (spark.conf.get(NanosKey, "false") != "true") spark.conf.set(NanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

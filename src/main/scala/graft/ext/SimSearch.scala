@@ -75,11 +75,16 @@ object SimSearch {
       }
     }
 
-  /** Exact brute-force cosine top-1 for vec_id < queryBound. */
+  /** Exact brute-force cosine top-1 for vec_id < queryBound. Norms are
+    * computed once per vector before the pair join (identical floats,
+    * a third of the per-pair fold work).
+    */
   def bruteTopK(emb: DataFrame, queryBound: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < queryBound)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
     rerank(broadcast(q).join(c, col("qid") =!= col("cid")))
   }
 
@@ -98,25 +103,32 @@ object SimSearch {
     val keys = bandKeyCols(col("embedding"), ps, numBands, rowsPerBand)
     val banded = emb.select(col("vec_id"),
       posexplode(array(keys: _*)).as(Seq("band", "bkey")))
-    val cand = banded.filter(col("vec_id") < queryBound)
-      .select(col("band"), col("bkey"), col("vec_id").as("qid"))
+    // The query side is bounded (≤ queryBound × bands rows), so it
+    // broadcasts; the corpus side streams through the bucket join
+    // without shuffling embeddings — only (band, key, id) triples.
+    val cand = broadcast(banded.filter(col("vec_id") < queryBound)
+        .select(col("band"), col("bkey"), col("vec_id").as("qid")))
       .join(banded.select(col("band"), col("bkey"), col("vec_id").as("cid")),
         Seq("band", "bkey"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
     val pairs = cand
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
-      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
+      .join(broadcast(emb.filter(col("vec_id") < queryBound)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("cn")), "cid")
     rerank(pairs)
   }
 
-  /** Shared exact re-rank: deterministic cosine (round 6, cid tiebreak),
-    * top-1 per query.
+  /** Shared exact re-rank over (qid, cid, qv, cv, qn, cn) pairs:
+    * deterministic cosine (round 6, cid tiebreak), top-1 per query.
     */
   private def rerank(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     pairs
-      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("qid"), col("cid"), col("sim"))

@@ -13,6 +13,10 @@ import graft.config.{MetricSpec, QualityCheck}
   * aggregation); each unique check is its own groupBy (it genuinely
   * needs a shuffle on its key set). No collect of row data — only the
   * per-check violation counts come back to the driver.
+  *
+  * Null contract: a NULL value violates `not_null`, never `regex` —
+  * regex evaluates only present values (SQL `rlike` three-valued
+  * semantics). Configure both checks on a column to get both gates.
   */
 object QualityChecks {
 
@@ -36,7 +40,7 @@ object QualityChecks {
             c.columns.map(col(_).isNull).reduce(_ || _)
           case "regex" =>
             val target = c.columns.head
-            !col(target).rlike(c.pattern.getOrElse(".*")) || col(target).isNull
+            col(target).isNotNull && !col(target).rlike(c.pattern.getOrElse(".*"))
         }
         count(when(viol, 1)).as(s"__c$i")
     }
@@ -64,7 +68,7 @@ object QualityChecks {
       case c if c.kind == "not_null" => c.columns.map(col(_).isNull).reduce(_ || _)
       case c if c.kind == "regex" =>
         val t = c.columns.head
-        !col(t).rlike(c.pattern.getOrElse(".*")) || col(t).isNull
+        col(t).isNotNull && !col(t).rlike(c.pattern.getOrElse(".*"))
     }
     val base = if (scalarViol.nonEmpty) df.filter(scalarViol.reduce(_ || _))
                else df.limit(0)

@@ -76,18 +76,14 @@ object NorthStar {
       round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio"))
   }
 
-  /** N-gram (3-shingle) statistics per document — the shingle set
-    * feeding MinHash/Jaccard dedup, exposed as its own query.
+  /** N-gram (3-shingle) statistics per document — the shingle stream
+    * feeding MinHash/Jaccard dedup ([[graft.ext.NearDup.shingles]]),
+    * exposed as its own query.
     */
   def shingleStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = split(trim($"text"), "\\s+")
-    val sh = transform(
-      sequence(lit(0), size(toks) - lit(3)),
-      i => concat_ws(" ",
-        element_at(toks, i + lit(1)),
-        element_at(toks, i + lit(2)),
-        element_at(toks, i + lit(3))))
+    val sh = graft.ext.NearDup.shingles($"text", 3)
     t(s, dir, "documents")
       .filter(size(toks) >= 3)
       .select(

@@ -42,10 +42,9 @@ class NearDupSpec extends SparkTestBase {
     val docs = t(s, sf0001, "documents")
     val n = docs.count()
     val sh = docs.filter(size(split(trim($"text"), "\\s+")) >= 3)
-      .select($"doc_id", NearDup.shingleSet($"text", 3).as("sh"))
+      .select($"doc_id", NearDup.hashedShingles($"text", 3).as("hs"))
     val banded = sh.select($"doc_id",
-      posexplode(NearDup.bandKeys(NearDup.signature($"sh", 16), 8, 2))
-        .as(Seq("band", "bkey")))
+      posexplode(NearDup.bandKeys($"hs", 8, 2)).as(Seq("band", "bkey")))
     val candidates = banded.select($"band", $"bkey", $"doc_id".as("id_a"))
       .join(banded.select($"band", $"bkey", $"doc_id".as("id_b")), Seq("band", "bkey"))
       .filter($"id_a" < $"id_b")
