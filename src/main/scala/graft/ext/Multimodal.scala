@@ -1,0 +1,77 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
+
+/** Multimodal-column processing (north star): media payloads ride as
+  * opaque binary columns with typed metadata; decode / feature-extract
+  * runs as an imperative per-partition batch stage — the Scala analog
+  * of a pandas-batch UDF (`mapInPandas`): typed input rows, an
+  * executor-side iterator the decoder library consumes batch-wise, and
+  * a declared output schema the optimizer can prune against.
+  *
+  * The decoder itself is a STUB: this container has no image/audio
+  * codecs (SURVEY scope note), so [[StubDecoder]] deterministically
+  * fakes a header parse from the payload bytes. A real deployment
+  * swaps the decoder implementation; the Spark-side plumbing — binary
+  * schema, partition iteration, batch shape, output encoder — is the
+  * real, tested artifact.
+  *
+  * Scale: decode is map-only (no shuffle); payload bytes never leave
+  * the partition where they were read. Partition sizing for ~MB-scale
+  * payloads comes from spark.sql.files.maxPartitionBytes, not row
+  * counts.
+  */
+object Multimodal {
+
+  /** Typed decode result: byte length, a content hash of the header
+    * window, and fake decoded dimensions.
+    */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, header_hash: String, width: Int, height: Int)
+
+  /** Deterministic stand-in for a media codec: "dimensions" derive from
+    * the first payload bytes, the header hash from the first 16 bytes.
+    */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): (String, Int, Int) = {
+      val header = payload.take(16)
+      val md = MessageDigest.getInstance("MD5")
+      val hash = md.digest(header).map("%02x".format(_)).mkString
+      val w = ((payload(0) & 0xff) % 640) + 1
+      val h = ((payload(1) & 0xff) % 480) + 1
+      (hash, w, h)
+    }
+  }
+
+  /** Batch feature extraction over (doc_id, payload) rows. Rows with
+    * payloads under 2 bytes are dropped (undecodable), mirroring how a
+    * real decoder quarantines truncated media.
+    */
+  def decodeFeatures(docs: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
+    val rows: Dataset[(Long, Array[Byte])] = docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    rows.mapPartitions { it =>
+      // A codec-backed implementation would initialize the decoder once
+      // here and feed it record batches; the stub decodes row-wise.
+      it.filter(_._2.length >= 2).map { case (id, payload) =>
+        val (hash, w, h) = StubDecoder.decode(payload)
+        MediaFeatures(id, payload.length.toLong, hash, w, h)
+      }
+    }(Encoders.product[MediaFeatures])
+  }
+
+  /** DuckDB oracle replicating the stub decode from the text column the
+    * fixture payloads derive from.
+    */
+  def decodeOracleSql(table: String, textCol: String, idCol: String): String =
+    s"""SELECT $idCol AS doc_id,
+       | CAST(octet_length(CAST($textCol AS BLOB)) AS BIGINT) AS n_bytes,
+       | md5(substr($textCol, 1, 16)) AS header_hash,
+       | CAST(ascii(substr($textCol, 1, 1)) % 640 + 1 AS INT) AS width,
+       | CAST(ascii(substr($textCol, 2, 1)) % 480 + 1 AS INT) AS height
+       |FROM $table WHERE octet_length(CAST($textCol AS BLOB)) >= 2""".stripMargin
+}

@@ -34,8 +34,11 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** Cosine primitives as sequential double folds — deterministic
+  /** Reference dot product as a sequential double fold — deterministic
     * summation order, bit-reproducible by the oracle's list functions.
+    * The hot paths use [[graft.functions.DotProduct]] instead: a
+    * codegen'd expression with the identical operation sequence
+    * (SimSearchSpec asserts bit-equality between the two).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -80,12 +83,13 @@ object SimSearch {
     * a third of the per-pair fold work).
     */
   def bruteTopK(emb: DataFrame, queryBound: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val q = emb.filter(col("vec_id") < queryBound)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+        sqrt(ndot(col("embedding"), col("embedding"))).as("qn"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
-    rerank(broadcast(q).join(c, col("qid") =!= col("cid")))
+      sqrt(ndot(col("embedding"), col("embedding"))).as("cn"))
+    rerank(broadcast(q).join(c, col("qid") =!= col("cid")), ndot)
   }
 
   /** LSH-bucketed top-1: candidates from shared band buckets, exact
@@ -99,6 +103,7 @@ object SimSearch {
       rowsPerBand: Int = 4,
       nnz: Int = 8,
       dim: Int = 64): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
     val keys = bandKeyCols(col("embedding"), ps, numBands, rowsPerBand)
     val banded = emb.select(col("vec_id"),
@@ -115,23 +120,78 @@ object SimSearch {
     val pairs = cand
       .join(broadcast(emb.filter(col("vec_id") < queryBound)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))), "qid")
+          sqrt(ndot(col("embedding"), col("embedding"))).as("qn"))), "qid")
       .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("cn")), "cid")
-    rerank(pairs)
+        sqrt(ndot(col("embedding"), col("embedding"))).as("cn")), "cid")
+    rerank(pairs, ndot)
   }
 
   /** Shared exact re-rank over (qid, cid, qv, cv, qn, cn) pairs:
     * deterministic cosine (round 6, cid tiebreak), top-1 per query.
     */
-  private def rerank(pairs: DataFrame): DataFrame = {
+  private def rerank(pairs: DataFrame, ndot: (Column, Column) => Column): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     pairs
       .select(col("qid"), col("cid"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("qid"), col("cid"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-candidate pairs
+    * (id_a < id_b sharing ≥1 band bucket) with exact cosine ≥
+    * threshold. The dedup analog of [[lshTopK]] — candidates from
+    * bucketing, verification exact, all-pairs never materialized.
+    */
+  def nearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      seed: Long = 7,
+      numBands: Int = 16,
+      rowsPerBand: Int = 4,
+      nnz: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
+    val keys = bandKeyCols(col("embedding"), ps, numBands, rowsPerBand)
+    val banded = emb.select(col("vec_id"),
+      posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+    val cand = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("vec_id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val sides = Seq("a", "b").map { s =>
+      emb.select(col("vec_id").as(s"id_$s"), col("embedding").as(s"v_$s"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as(s"n_$s"))
+    }
+    cand.join(sides(0), "id_a").join(sides(1), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(ndot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Shared oracle CTE prefix: embeddings as double arrays, the plane
+    * projections, band keys, and the per-band bucket rows.
+    */
+  private def bucketCtes(
+      seed: Long, numBands: Int, rowsPerBand: Int, nnz: Int, dim: Int): String = {
+    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
+    def projSql(plane: Seq[(Int, Int)]): String =
+      plane.map { case (d, s) => s"v[${d + 1}]*${s.toDouble}" }.mkString("0.0 + ", " + ", "")
+    val keySql = (0 until numBands).map { b =>
+      val bits = (0 until rowsPerBand).map { k =>
+        s"(CASE WHEN ${projSql(ps(b * rowsPerBand + k))} > 0.0 THEN ${1 << k} ELSE 0 END)"
+      }
+      s"${bits.mkString(" + ")} AS k$b"
+    }
+    val unioned = (0 until numBands)
+      .map(b => s"SELECT vec_id, $b AS band, k$b AS bkey FROM k")
+      .mkString("\nUNION ALL ")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |k AS (SELECT vec_id, ${keySql.mkString(",\n  ")} FROM v),
+       |b AS ($unioned)""".stripMargin
   }
 
   /** DuckDB oracle for [[lshTopK]] with the same parameters: the plane
@@ -145,22 +205,8 @@ object SimSearch {
       numBands: Int = 16,
       rowsPerBand: Int = 4,
       nnz: Int = 8,
-      dim: Int = 64): String = {
-    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
-    def projSql(plane: Seq[(Int, Int)]): String =
-      plane.map { case (d, s) => s"v[${d + 1}]*${s.toDouble}" }.mkString("0.0 + ", " + ", "")
-    val keySql = (0 until numBands).map { b =>
-      val bits = (0 until rowsPerBand).map { k =>
-        s"(CASE WHEN ${projSql(ps(b * rowsPerBand + k))} > 0.0 THEN ${1 << k} ELSE 0 END)"
-      }
-      s"${bits.mkString(" + ")} AS k$b"
-    }
-    val unioned = (0 until numBands)
-      .map(b => s"SELECT vec_id, $b AS band, k$b AS bkey FROM k")
-      .mkString("\nUNION ALL ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |k AS (SELECT vec_id, ${keySql.mkString(",\n  ")} FROM v),
-       |b AS ($unioned),
+      dim: Int = 64): String =
+    s"""WITH ${bucketCtes(seed, numBands, rowsPerBand, nnz, dim)},
        |cand AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
        |         FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
        |         WHERE a.vec_id < $queryBound AND a.vec_id <> c.vec_id),
@@ -170,5 +216,20 @@ object SimSearch {
        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
        |      FROM p)
        |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin
-  }
+
+  /** DuckDB oracle for [[nearDupPairs]]. */
+  def nearDupOracleSql(
+      threshold: Double,
+      seed: Long = 7,
+      numBands: Int = 16,
+      rowsPerBand: Int = 4,
+      nnz: Int = 8,
+      dim: Int = 64): String =
+    s"""WITH ${bucketCtes(seed, numBands, rowsPerBand, nnz, dim)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |         FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
+       |         WHERE a.vec_id < c.vec_id),
+       |p AS (SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+       |      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= $threshold""".stripMargin
 }

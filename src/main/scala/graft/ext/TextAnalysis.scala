@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north star):
+  * language-ID (stopword n-gram heuristic), BPE-ish token counting,
+  * SimHash fingerprints + banded near-dup candidates, and a rolling
+  * (Rabin-Karp) document fingerprint.
+  *
+  * Every operator is a native-expression DataFrame transform (no UDFs)
+  * with a deterministic DuckDB oracle — hash-dependent operators use
+  * md5-derived integers so the oracle reproduces them bit-for-bit.
+  *
+  * Scale: lang_id / tok_bpe / rolling fingerprint are map-only;
+  * simhash is one explode + hash-aggregate (map-side partial agg on
+  * doc_id); simhash candidate pairs shuffle only (block, 15-bit key,
+  * id) triples — never text.
+  */
+object TextAnalysis {
+
+  /** md5-derived 60-bit integer hash of a token — reproducible in any
+    * engine with md5 (DuckDB: ('0x'||substr(md5(t),1,15))::BIGINT).
+    */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  // ---- language ID ----
+
+  /** Tiny distinctive stopword profiles; a production deployment loads
+    * larger per-language n-gram tables through the same scoring shape.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es" -> Seq("el", "los", "las", "es", "una", "en", "que", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"))
+
+  /** Stopword-hit counts per language + argmax prediction (ties go to
+    * the alphabetically first language — deterministic).
+    */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val hitCols = LangProfiles.map { case (lang, words) =>
+      size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"${lang}_hits")
+    }
+    val scored = docs.select(col(idCol) +: hitCols: _*)
+    val m = greatest(LangProfiles.map(p => col(s"${p._1}_hits")): _*)
+    val pred = LangProfiles.foldLeft(lit(null).cast("string")) { case (acc, (lang, _)) =>
+      when(acc.isNotNull, acc).otherwise(when(col(s"${lang}_hits") === m, lit(lang)))
+    }
+    scored.select(
+      (col(idCol) +: LangProfiles.map(p => col(s"${p._1}_hits"))) :+ pred.as("pred_lang"): _*)
+  }
+
+  /** DuckDB oracle for [[langId]]. */
+  def langIdOracleSql(table: String, textCol: String, idCol: String): String = {
+    def hitsSql(words: Seq[String]): String =
+      s"len(list_filter(string_split_regex(trim($textCol), '\\s+'), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val cols = LangProfiles.map { case (l, ws) => s"CAST(${hitsSql(ws)} AS BIGINT) AS ${l}_hits" }
+    val m = s"greatest(${LangProfiles.map(p => s"${p._1}_hits").mkString(",")})"
+    val pred = LangProfiles.map(p => s"WHEN ${p._1}_hits = $m THEN '${p._1}'").mkString(" ")
+    s"""WITH h AS (SELECT $idCol, ${cols.mkString(",\n  ")} FROM $table)
+       |SELECT $idCol, ${LangProfiles.map(p => s"${p._1}_hits").mkString(", ")},
+       |  CASE $pred END AS pred_lang
+       |FROM h""".stripMargin
+  }
+
+  // ---- BPE-ish tokenization ----
+
+  /** Word/number/punctuation split — the BPE-pretokenizer shape (runs
+    * of letters, runs of digits, single other non-space chars).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit(BpePattern), lit(0))
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_bpe_tokens"))
+  }
+
+  def bpeOracleSql(table: String, textCol: String, idCol: String): String =
+    s"""SELECT $idCol,
+       | CAST(len(regexp_extract_all($textCol, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
+       | CAST(len(list_distinct(regexp_extract_all($textCol, '$BpePattern'))) AS BIGINT) AS n_distinct_bpe_tokens
+       |FROM $table""".stripMargin
+
+  // ---- SimHash ----
+
+  val SimhashBits = 60 // 15 hex chars of md5 → always positive in a long
+
+  /** 60-bit SimHash over the distinct-token set: bit b is set iff the
+    * majority of token hashes have bit b set. Computed as one explode +
+    * hash aggregate (60 conditional sums), so each token is hashed
+    * exactly once and the aggregation is map-side partial.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+    val h = tokenHash(col("tok"))
+    val sums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    tokens.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until SimhashBits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  def simhashOracleSql(table: String, textCol: String, idCol: String): String = {
+    val sums = (0 until SimhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    val bits = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+    s"""WITH tok AS (
+       |  SELECT $idCol, unnest(list_distinct(string_split_regex(trim($textCol), '\\s+'))) AS tok
+       |  FROM $table),
+       |h AS (SELECT $idCol, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+       |bits AS (SELECT $idCol, ${sums.mkString(",\n  ")} FROM h GROUP BY $idCol)
+       |SELECT $idCol, ${bits.mkString(" + ")} AS simhash FROM bits""".stripMargin
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bits.
+    * Candidate generation is block-banded (4 × 15-bit blocks): any pair
+    * within hamming 3 shares at least one exact block (pigeonhole), so
+    * the bucket self-join is COMPLETE for maxHamming ≤ 3 — never an
+    * all-pairs scan. SimHash is a candidate stage; feed survivors to
+    * exact Jaccard ([[NearDup]]) for confirmation.
+    */
+  def simhashPairs(
+      docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val blocks = 4
+    val blockBits = SimhashBits / blocks // 15
+    require(maxHamming < blocks, "block banding is complete only for hamming < blocks")
+    val sh = simhash(docs, textCol, idCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until blocks).map(j =>
+        shiftright(col("simhash"), j * blockBits)
+          .bitwiseAND((1L << blockBits) - 1)): _*)).as(Seq("block", "bkey")))
+    val cand = banded
+      .select(col("block"), col("bkey"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      .join(banded.select(col("block"), col("bkey"), col(idCol).as("id_b"),
+        col("simhash").as("sh_b")), Seq("block", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairsOracleSql(
+      table: String, textCol: String, idCol: String, maxHamming: Int = 3): String =
+    s"""WITH sh AS (${simhashOracleSql(table, textCol, idCol)})
+       |SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.$idCol < b.$idCol
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+
+  // ---- rolling (Rabin-Karp) fingerprint ----
+
+  val RollP = 1000000007L // prime modulus keeps DuckDB's strict BIGINT in range
+  val RollB = 31L
+
+  /** Order-sensitive polynomial fingerprint over the token stream:
+    * fp = Σ h(tokᵢ)·B^(n-1-i) mod P. Unlike the set-based md5
+    * fingerprint, token order matters — reordered documents get
+    * different fingerprints.
+    */
+  def rollingFingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val hs = transform(toks, t => pmod(tokenHash(t), lit(RollP)))
+    docs.select(col(idCol),
+      aggregate(hs, lit(0L), (acc, h) => pmod(acc * lit(RollB) + h, lit(RollP)))
+        .as("rolling_fp"))
+  }
+
+  def rollingOracleSql(table: String, textCol: String, idCol: String): String =
+    s"""SELECT $idCol,
+       | list_reduce(
+       |   list_prepend(0::BIGINT,
+       |     list_transform(string_split_regex(trim($textCol), '\\s+'),
+       |       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $RollP)),
+       |   (acc, h) -> (acc * $RollB + h) % $RollP) AS rolling_fp
+       |FROM $table""".stripMargin
+}

@@ -136,7 +136,49 @@ object NorthStar {
         $"source".as("modality_source"))
   }
 
+  /** Language-ID heuristic scores (the fixture's lang labels are
+    * synthetic — text carries no language signal — so the graded
+    * contract is the deterministic scoring itself).
+    */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.langId(t(s, dir, "documents"), "text", "doc_id")
+
+  /** BPE-pretokenizer-style token counts (letter/digit/punct runs). */
+  def tokBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.bpeTokenStats(t(s, dir, "documents"), "text", "doc_id")
+
+  /** 60-bit SimHash fingerprint per document. */
+  def simhashQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.simhash(t(s, dir, "documents"), "text", "doc_id")
+
+  /** SimHash near-dup candidates within hamming 3 (block-banded). */
+  def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.simhashPairs(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Order-sensitive rolling (Rabin-Karp) fingerprint. */
+  def rollingFp(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Embedding-cosine near-dup pairs (LSH candidates, cosine ≥ 0.4). */
+  def embNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+
+  /** Multimodal batch decode (stub codec) over binary payloads. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.ext.Multimodal.decodeFeatures(
+      t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload").toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id" -> (langId _),
+    "tok_bpe" -> (tokBpe _),
+    "simhash" -> (simhashQ _),
+    "simhash_pairs" -> (simhashPairsQ _),
+    "fingerprint_rolling" -> (rollingFp _),
+    "emb_neardup" -> (embNearDup _),
+    "multimodal_decode" -> (multimodalDecode _),
     "dedup_exact" -> (dedupExact _),
     "fingerprint" -> (fingerprint _),
     "text_tokens" -> (textTokens _),
@@ -148,6 +190,13 @@ object NorthStar {
     "multimodal_meta" -> (multimodalMeta _))
 
   val oracle: Map[String, String] = Map(
+    "lang_id" -> graft.ext.TextAnalysis.langIdOracleSql("documents", "text", "doc_id"),
+    "tok_bpe" -> graft.ext.TextAnalysis.bpeOracleSql("documents", "text", "doc_id"),
+    "simhash" -> graft.ext.TextAnalysis.simhashOracleSql("documents", "text", "doc_id"),
+    "simhash_pairs" -> graft.ext.TextAnalysis.simhashPairsOracleSql("documents", "text", "doc_id"),
+    "fingerprint_rolling" -> graft.ext.TextAnalysis.rollingOracleSql("documents", "text", "doc_id"),
+    "emb_neardup" -> graft.ext.SimSearch.nearDupOracleSql(0.4),
+    "multimodal_decode" -> graft.ext.Multimodal.decodeOracleSql("documents", "text", "doc_id"),
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
         | md5(text) AS text_hash

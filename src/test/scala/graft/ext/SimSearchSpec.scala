@@ -13,6 +13,17 @@ import graft.Tables.t
   */
 class SimSearchSpec extends SparkTestBase {
 
+  test("codegen graft_dot is bit-identical to the declarative fold") {
+    import org.apache.spark.sql.functions.col
+    val emb = t(spark, sf0001, "embeddings")
+    val ndot = graft.functions.DotProduct.fn(spark)
+    val diff = emb.select(
+        SimSearch.dot(col("embedding"), col("embedding")).as("a"),
+        ndot(col("embedding"), col("embedding")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "codegen dot must match the fold exactly, not approximately")
+  }
+
   test("lshTopK answers every query and is deterministic") {
     val emb = t(spark, sf0001, "embeddings")
     val a = SimSearch.lshTopK(emb, 100).collect().map(_.toSeq).toSet

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.Tables.t
+
+/** Text-analysis operator properties: language scoring, order
+  * sensitivity of the rolling fingerprint, SimHash banding
+  * completeness, and the multimodal decode plumbing.
+  */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("langId scores stopword hits and predicts deterministically") {
+    val docs = Seq(
+      (1L, "the cat and the dog in a house"),
+      (2L, "der Hund und die Katze ist nicht da"),
+      (3L, "le chat est dans la maison pour le chien"),
+      (4L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(docs, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(5)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "fr")
+    assert(r(4L) == "de") // zero hits everywhere → alphabetical tiebreak
+  }
+
+  test("rolling fingerprint is order-sensitive; set fingerprint is not") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val roll = TextAnalysis.rollingFingerprint(docs, "text", "doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(roll.distinct.size == 2, "reordered tokens must change the rolling fingerprint")
+  }
+
+  test("simhash block banding finds exactly the all-pairs hamming<=3 set") {
+    val docs = t(spark, sf0001, "documents")
+    val banded = TextAnalysis.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextAnalysis.simhash(docs, "text", "doc_id")
+    val all = sh.select($"doc_id".as("id_a"), $"simhash".as("sh_a"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"simhash".as("sh_b")))
+      .filter($"id_a" < $"id_b")
+      .filter(bit_count($"sh_a".bitwiseXOR($"sh_b")) <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == all)
+    assert(all.nonEmpty)
+  }
+
+  test("bpe token stats split letter/digit/punct runs") {
+    val docs = Seq((1L, "ab2c, d-e 42")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenStats(docs, "text", "doc_id").head()
+    // ab|2|c|,|d|-|e|42 → 8 tokens, all distinct
+    assert(r.getLong(1) == 8 && r.getLong(2) == 8)
+  }
+
+  test("multimodal decode: mapPartitions stub extracts typed features") {
+    val docs = Seq(
+      (1L, "Hello world payload"),
+      (2L, "x")) // too short: quarantined by the decoder
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val feats = Multimodal.decodeFeatures(docs, "doc_id", "payload").collect()
+    assert(feats.map(_.doc_id).toSeq == Seq(1L))
+    val f = feats.head
+    assert(f.n_bytes == 19)
+    assert(f.width == ('H'.toInt % 640) + 1 && f.height == ('e'.toInt % 480) + 1)
+    assert(f.header_hash.length == 32)
+  }
+}
