@@ -121,6 +121,21 @@ object ConfigLoader {
         str(e, "landing_prefix"))
     }
 
+    val stream = obj(src, "stream").map { st =>
+      StreamConfig(
+        format = str(st, "format", "json"),
+        landingPath = str(st, "landing_path"),
+        brokers = str(st, "brokers"),
+        topic = str(st, "topic"),
+        watermarkColumn = str(st, "watermark_column", "ts"),
+        watermarkDelay = str(st, "watermark_delay", "10 minutes"),
+        windowDuration = optStr(st, "window_duration"),
+        dedupKeys = strSeq(st, "dedup_keys"),
+        checkpointDir = str(st, "checkpoint_dir"),
+        outputPath = str(st, "output_path"),
+        maxFilesPerTrigger = int(st, "max_files_per_trigger", 100))
+    }
+
     val wh = obj(src, "redshift").orElse(obj(src, "warehouse")).map { w =>
       WarehouseConfig(
         schema = str(w, "schema"),
@@ -156,6 +171,7 @@ object ConfigLoader {
       description = str(src, "description"),
       api = api,
       email = email,
+      stream = stream,
       schema = schema,
       destination = dest,
       warehouse = wh,

@@ -15,6 +15,7 @@ final case class SourceConfig(
     description: String = "",
     api: Option[ApiConfig] = None,
     email: Option[EmailConfig] = None,
+    stream: Option[StreamConfig] = None,
     schema: SchemaConfig = SchemaConfig(),
     destination: Destination = Destination(),
     warehouse: Option[WarehouseConfig] = None,
@@ -122,6 +123,26 @@ final case class AuthConfig(
     username: Option[String] = None,
     password: Option[String] = None,
     token: Option[String] = None)
+
+/** Streaming source/pipeline config (SURVEY §2.8; the reference
+  * declares the stream branch in README.md:11,56 and
+  * workflow_definition.json:77-81). `format: kafka` reads a broker
+  * topic; any file format streams a landing prefix (the S3-event
+  * analog). A set `windowDuration` turns on the tumbling event-time
+  * aggregate; `dedupKeys` turns on dropDuplicatesWithinWatermark.
+  */
+final case class StreamConfig(
+    format: String = "json",
+    landingPath: String = "",
+    brokers: String = "",
+    topic: String = "",
+    watermarkColumn: String = "ts",
+    watermarkDelay: String = "10 minutes",
+    windowDuration: Option[String] = None,
+    dedupKeys: Seq[String] = Nil,
+    checkpointDir: String = "",
+    outputPath: String = "",
+    maxFilesPerTrigger: Int = 100)
 
 /** Email-attachment source (email_processor/handler.py:26-58,165-169). */
 final case class EmailConfig(
