@@ -202,7 +202,37 @@ object Relational {
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
   }
 
+  /** ROLLUP hierarchy totals (priority → priority×status → grand). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** CUBE over the same two dimensions. */
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** PIVOT order status into columns (explicit value list keeps the
+    * output schema static — required for a plannable query at scale).
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum($"o_totalprice"), 2))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "pivot_status" -> (pivotStatus _),
     "q1_agg" -> (q1Agg _),
     "agg_orders" -> (aggOrders _),
     "q3_topk" -> (q3TopK _),
@@ -221,6 +251,20 @@ object Relational {
     "approx_distinct" -> (approxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "agg_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
