@@ -74,4 +74,67 @@ object Multimodal {
        | CAST(ascii(substr($textCol, 1, 1)) % 640 + 1 AS INT) AS width,
        | CAST(ascii(substr($textCol, 2, 1)) % 480 + 1 AS INT) AS height
        |FROM $table WHERE octet_length(CAST($textCol AS BLOB)) >= 2""".stripMargin
+
+  /** Typed resize result: the stub "resample" keeps the first
+    * `targetBytes` of the payload (a real codec re-encodes; the content
+    * hash proves which bytes flowed through the stage).
+    */
+  final case class ResizedMedia(doc_id: Long, out_bytes: Long, out_hash: String)
+
+  /** Batch resize stage — same mapPartitions plumbing as decode. */
+  def resize(docs: DataFrame, idCol: String, payloadCol: String, targetBytes: Int): Dataset[ResizedMedia] = {
+    val rows = docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    rows.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (id, payload) =>
+        val out = payload.take(targetBytes)
+        md.reset()
+        ResizedMedia(id, out.length.toLong, md.digest(out).map("%02x".format(_)).mkString)
+      }
+    }(Encoders.product[ResizedMedia])
+  }
+
+  def resizeOracleSql(table: String, textCol: String, idCol: String, targetBytes: Int): String =
+    s"""SELECT $idCol AS doc_id,
+       | CAST(least(octet_length(CAST($textCol AS BLOB)), $targetBytes) AS BIGINT) AS out_bytes,
+       | md5(substr($textCol, 1, $targetBytes)) AS out_hash
+       |FROM $table""".stripMargin
+
+  /** One row per sampled "frame": fixed-stride windows over the
+    * payload, each hashed — the video frame-sampling shape (a real
+    * pipeline decodes frames; the stride/window plumbing and the
+    * per-frame fan-out are what Spark owns).
+    */
+  final case class Frame(doc_id: Long, frame_no: Int, frame_hash: String)
+
+  def sampleFrames(
+      docs: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, maxFrames: Int): Dataset[Frame] = {
+    val rows = docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    rows.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, payload) =>
+        val nFrames = math.min(maxFrames, payload.length / frameBytes)
+        (0 until nFrames).iterator.map { f =>
+          val frame = payload.slice(f * frameBytes, (f + 1) * frameBytes)
+          md.reset()
+          Frame(id, f, md.digest(frame).map("%02x".format(_)).mkString)
+        }
+      }
+    }(Encoders.product[Frame])
+  }
+
+  def framesOracleSql(
+      table: String, textCol: String, idCol: String, frameBytes: Int, maxFrames: Int): String =
+    s"""WITH f AS (
+       |  SELECT $idCol AS doc_id, unnest(range(least($maxFrames,
+       |    octet_length(CAST($textCol AS BLOB)) // $frameBytes))) AS frame_no, $textCol AS t
+       |  FROM $table)
+       |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       | md5(substr(t, frame_no * $frameBytes + 1, $frameBytes)) AS frame_hash
+       |FROM f""".stripMargin
 }

@@ -126,6 +126,68 @@ object SimSearch {
     rerank(pairs, ndot)
   }
 
+  /** IVF-style ANN: K centroid vectors partition the corpus into cells
+    * (argmax rounded cosine, centroid-id tiebreak); each query probes
+    * its P nearest cells and re-ranks those candidates exactly.
+    *
+    * Centroids here are the first K corpus vectors so the index is
+    * fully deterministic and oracle-reproducible; production trains
+    * them offline (k-means) — the assignment/probe/re-rank plumbing,
+    * which is what runs at scale, is identical. Assignment cost is
+    * N×K dots (map-only, broadcast centroids); the probe join is keyed
+    * on cell id, so corpus embeddings shuffle at most once.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryBound: Int,
+      numCentroids: Int = 16,
+      probes: Int = 2): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+    val cents = broadcast(vecs.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn")))
+    // Rounding the assignment sim makes the ranking robust to
+    // cross-engine float-summation differences in the oracle.
+    val csim = round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    val ranked = vecs.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"), csim.as("csim"))
+      .withColumn("crn", row_number().over(w))
+    val cells = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
+    val probed = ranked.filter(col("vec_id") < queryBound && col("crn") <= probes)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+    val cand = broadcast(probed).join(cells, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val pairs = cand
+      .join(broadcast(vecs.filter(col("vec_id") < queryBound)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))), "qid")
+      .join(vecs.select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")), "cid")
+    rerank(pairs, ndot)
+  }
+
+  /** DuckDB oracle for [[ivfTopK]]. */
+  def ivfOracleSql(queryBound: Int, numCentroids: Int = 16, probes: Int = 2): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < $numCentroids),
+       |r AS (SELECT v.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY v.vec_id
+       |          ORDER BY round(list_cosine_similarity(v.v, cv), 6) DESC, cent_id ASC) AS crn
+       |      FROM v CROSS JOIN c),
+       |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r WHERE crn = 1),
+       |probe AS (SELECT vec_id AS qid, cent_id AS cell FROM r
+       |          WHERE crn <= $probes AND vec_id < $queryBound),
+       |cand AS (SELECT DISTINCT qid, cid
+       |         FROM probe JOIN cell ON probe.cell = cell.cell AND qid <> cid),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv2.v), 6) AS sim
+       |      FROM cand JOIN v qv ON qv.vec_id = qid JOIN v cv2 ON cv2.vec_id = cid),
+       |rr AS (SELECT qid, cid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |       FROM p)
+       |SELECT qid, cid, sim FROM rr WHERE rn = 1""".stripMargin
+
   /** Shared exact re-rank over (qid, cid, qv, cv, qn, cn) pairs:
     * deterministic cosine (round 6, cid tiebreak), top-1 per query.
     */

@@ -109,6 +109,12 @@ object NorthStar {
   def simTopKLsh(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.lshTopK(t(s, dir, "embeddings"), 100)
 
+  /** IVF-style ANN top-1 (same query set): centroid cells + probe-2 +
+    * exact re-rank; the oracle replicates the deterministic index.
+    */
+  def simTopKIvf(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.ivfTopK(t(s, dir, "embeddings"), 100)
+
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
@@ -171,6 +177,19 @@ object NorthStar {
       "doc_id", "payload").toDF()
   }
 
+  private def payloadDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+  }
+
+  /** Multimodal resize stage (stub resample to 64 bytes). */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.resize(payloadDocs(s, dir), "doc_id", "payload", 64).toDF()
+
+  /** Multimodal frame sampling (32-byte frames, up to 8 per doc). */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.sampleFrames(payloadDocs(s, dir), "doc_id", "payload", 32, 8).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "tok_bpe" -> (tokBpe _),
@@ -179,6 +198,8 @@ object NorthStar {
     "fingerprint_rolling" -> (rollingFp _),
     "emb_neardup" -> (embNearDup _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_frames" -> (multimodalFrames _),
     "dedup_exact" -> (dedupExact _),
     "fingerprint" -> (fingerprint _),
     "text_tokens" -> (textTokens _),
@@ -186,6 +207,7 @@ object NorthStar {
     "shingle_stats" -> (shingleStats _),
     "sim_topk" -> (simTopK _),
     "sim_topk_lsh" -> (simTopKLsh _),
+    "sim_topk_ivf" -> (simTopKIvf _),
     "dedup_near" -> (dedupNear _),
     "multimodal_meta" -> (multimodalMeta _))
 
@@ -197,6 +219,8 @@ object NorthStar {
     "fingerprint_rolling" -> graft.ext.TextAnalysis.rollingOracleSql("documents", "text", "doc_id"),
     "emb_neardup" -> graft.ext.SimSearch.nearDupOracleSql(0.4),
     "multimodal_decode" -> graft.ext.Multimodal.decodeOracleSql("documents", "text", "doc_id"),
+    "multimodal_resize" -> graft.ext.Multimodal.resizeOracleSql("documents", "text", "doc_id", 64),
+    "multimodal_frames" -> graft.ext.Multimodal.framesOracleSql("documents", "text", "doc_id", 32, 8),
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
         | md5(text) AS text_hash
@@ -242,6 +266,7 @@ object NorthStar {
         |           FROM p)
         |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin,
     "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100),
+    "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100),
     "dedup_near" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),

@@ -32,6 +32,13 @@ class SimSearchSpec extends SparkTestBase {
     assert(a.map(_.head).size == 100, "one top-1 row per query id")
   }
 
+  test("ivfTopK answers every query deterministically") {
+    val emb = t(spark, sf0001, "embeddings")
+    val a = SimSearch.ivfTopK(emb, 100).collect().map(_.toSeq).toSet
+    val b = SimSearch.ivfTopK(emb, 100).collect().map(_.toSeq).toSet
+    assert(a == b && a.map(_.head).size == 100)
+  }
+
   test("lshTopK top-1 agrees with brute force on >= 90% of queries") {
     val emb = t(spark, sf0001, "embeddings")
     val brute = SimSearch.bruteTopK(emb, 100).collect()
