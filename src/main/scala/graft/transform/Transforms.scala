@@ -11,9 +11,13 @@ import graft.config.TransformSpec
   *
   * Contract preserved exactly:
   *  - transforms apply in declaration order;
-  *  - entries with a missing field or type are skipped;
-  *  - UNKNOWN transform types are skipped silently
-  *    (transform_data.py:66-67) — that is part of the DSL;
+  *  - entries with an EMPTY field or type are skipped
+  *    (transform_data.py:66-67 `if not field or not transform_type`);
+  *  - UNKNOWN transform types are skipped silently — that is part of
+  *    the DSL;
+  *  - a transform naming a column absent from the frame fails analysis,
+  *    exactly as the reference's `col(field)` would — misconfiguration
+  *    surfaces loudly rather than silently dropping a declared cast;
   *  - `datetime` parses to DATE (time-of-day truncated), the reference's
   *    behavior even for time-bearing formats (transform_data.py:71).
   *
@@ -33,11 +37,9 @@ object Transforms {
     if (t.field.isEmpty || t.kind.isEmpty) return df
     t.kind match {
       case "datetime" =>
-        val fmt = normalizeDateFormat(t.format.getOrElse("yyyy-MM-dd HH:mm:ss"))
-        df.withColumn(t.field, to_date(col(t.field), fmt))
+        df.withColumn(t.field, to_date(col(t.field), validFormat(t)))
       case "timestamp" => // engine extension: full-precision variant of datetime
-        val fmt = normalizeDateFormat(t.format.getOrElse("yyyy-MM-dd HH:mm:ss"))
-        df.withColumn(t.field, to_timestamp(col(t.field), fmt))
+        df.withColumn(t.field, to_timestamp(col(t.field), validFormat(t)))
       case "string"  => df.withColumn(t.field, col(t.field).cast(StringType))
       case "integer" => df.withColumn(t.field, col(t.field).cast(IntegerType))
       case "double"  => df.withColumn(t.field, col(t.field).cast(DoubleType))
@@ -54,4 +56,19 @@ object Transforms {
     fmt
       .replace("YYYY", "yyyy") // moment year (Java YYYY = week-based year)
       .replace("DD", "dd")     // moment day-of-month (Java DD = day-of-year)
+
+  /** Malformed format PATTERNS (unlike malformed values, which become
+    * nulls) are config errors — validated at plan-construction time so
+    * a typo fails the job before it launches, not on an executor
+    * mid-run.
+    */
+  private def validFormat(t: TransformSpec): String = {
+    val fmt = normalizeDateFormat(t.format.getOrElse("yyyy-MM-dd HH:mm:ss"))
+    try { java.time.format.DateTimeFormatter.ofPattern(fmt); fmt }
+    catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"invalid ${t.kind} format '${t.format.get}' for field '${t.field}'", e)
+    }
+  }
 }
