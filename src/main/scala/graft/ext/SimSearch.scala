@@ -126,6 +126,33 @@ object SimSearch {
     rerank(pairs, ndot)
   }
 
+  /** Exact brute-force top-k (ranked) for vec_id < queryBound. */
+  def bruteTopKN(emb: DataFrame, queryBound: Int, k: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < queryBound)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("qn"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      sqrt(ndot(col("embedding"), col("embedding"))).as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def bruteTopKNOracleSql(queryBound: Int, k: Int): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        round(list_cosine_similarity(q.v, c.v), 6) AS sim
+       |      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id < $queryBound),
+       |r AS (SELECT qid, cid, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM p)
+       |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k""".stripMargin
+
   /** IVF-style ANN: K centroid vectors partition the corpus into cells
     * (argmax rounded cosine, centroid-id tiebreak); each query probes
     * its P nearest cells and re-ranks those candidates exactly.

@@ -109,6 +109,12 @@ object NorthStar {
   def simTopKLsh(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.lshTopK(t(s, dir, "embeddings"), 100)
 
+  /** Exact ranked top-5 neighbors per query (Window top-k shape —
+    * compiles to WindowGroupLimit partial/final pruning).
+    */
+  def simTopK5(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.bruteTopKN(t(s, dir, "embeddings"), 100, 5)
+
   /** IVF-style ANN top-1 (same query set): centroid cells + probe-2 +
     * exact re-rank; the oracle replicates the deterministic index.
     */
@@ -208,6 +214,7 @@ object NorthStar {
     "sim_topk" -> (simTopK _),
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
+    "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
     "multimodal_meta" -> (multimodalMeta _))
 
@@ -267,6 +274,7 @@ object NorthStar {
         |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin,
     "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100),
     "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100),
+    "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),

@@ -9,8 +9,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle SQL exactly (driver hashes sort columns by name).
   */
 object Registry {
+  private val sources = Seq(
+    Relational.queries, Scalar.queries, NorthStar.queries, Pipeline.queries)
+
+  // ++ would silently keep the last duplicate — fail loudly instead.
+  require(sources.map(_.keySet.size).sum == sources.flatMap(_.keySet).distinct.size, {
+    val dups = sources.flatMap(_.keySet).groupBy(identity).collect {
+      case (k, vs) if vs.size > 1 => k
+    }
+    s"duplicate query names across battery files: ${dups.mkString(", ")}"
+  })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Scalar.queries ++ NorthStar.queries ++ Pipeline.queries
+    sources.reduce(_ ++ _)
 
   val oracle: Map[String, String] =
     Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle ++ Pipeline.oracle
