@@ -57,7 +57,9 @@ object Multimodal {
     rows.mapPartitions { it =>
       // A codec-backed implementation would initialize the decoder once
       // here and feed it record batches; the stub decodes row-wise.
-      it.filter(_._2.length >= 2).map { case (id, payload) =>
+      // NULL or truncated payloads are quarantined (dropped), matching
+      // the oracle's octet_length filter.
+      it.filter(t => t._2 != null && t._2.length >= 2).map { case (id, payload) =>
         val (hash, w, h) = StubDecoder.decode(payload)
         MediaFeatures(id, payload.length.toLong, hash, w, h)
       }
@@ -66,6 +68,11 @@ object Multimodal {
 
   /** DuckDB oracle replicating the stub decode from the text column the
     * fixture payloads derive from.
+    *
+    * ORACLE SCOPE: DuckDB 1.0 has no BLOB substring, so the oracle
+    * indexes by character — equal to the engine's byte indexing only
+    * for ASCII corpora (the fixture is ASCII). The engine's byte
+    * semantics are the correct ones for real media payloads.
     */
   def decodeOracleSql(table: String, textCol: String, idCol: String): String =
     s"""SELECT $idCol AS doc_id,
@@ -88,7 +95,7 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     rows.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
-      it.map { case (id, payload) =>
+      it.filter(_._2 != null).map { case (id, payload) =>
         val out = payload.take(targetBytes)
         md.reset()
         ResizedMedia(id, out.length.toLong, md.digest(out).map("%02x".format(_)).mkString)
@@ -117,7 +124,7 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     rows.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
-      it.flatMap { case (id, payload) =>
+      it.filter(_._2 != null).flatMap { case (id, payload) =>
         val nFrames = math.min(maxFrames, payload.length / frameBytes)
         (0 until nFrames).iterator.map { f =>
           val frame = payload.slice(f * frameBytes, (f + 1) * frameBytes)

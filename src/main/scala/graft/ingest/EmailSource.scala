@@ -85,13 +85,26 @@ object EmailSource {
 
   /** Landing names are portable-charset only: header-supplied filenames
     * must not traverse directories (`../`) or break on filesystems
-    * without a unicode locale. The parsed Attachment keeps the decoded
-    * original for metadata.
+    * without a unicode locale. When sanitization changes the name, a
+    * short hash of the ORIGINAL name is appended so distinct
+    * attachments can never collide onto one landing file (e.g.
+    * 'dáily.csv' and 'dàily.csv' both map to 'd_ily' but get different
+    * suffixes). The parsed Attachment keeps the decoded original for
+    * metadata.
     */
   private[ingest] def sanitizeFilename(name: String): String = {
     val base = name.substring(name.lastIndexOf('/') + 1)
     val safe = base.map(c => if (c.isLetterOrDigit && c < 128 || "._-".contains(c)) c else '_')
-    if (safe.isEmpty || safe.forall(_ == '.')) "attachment.bin" else safe
+    val usable = if (safe.isEmpty || safe.forall(_ == '.')) "attachment.bin" else safe
+    if (usable == base) usable
+    else {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(base.getBytes(StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      val dot = usable.lastIndexOf('.')
+      if (dot > 0) s"${usable.substring(0, dot)}-$tag${usable.substring(dot)}"
+      else s"$usable-$tag"
+    }
   }
 
   /** Landed binary payloads as a DataFrame (binaryFile source): path,

@@ -39,7 +39,8 @@ final case class RunReport(
     qualityPassed: Boolean,
     breachedMonitors: Seq[String],
     outputPath: Option[String],
-    warehouseTable: Option[String])
+    warehouseTable: Option[String],
+    quarantinedCount: Long = 0L)
 
 object Retry {
   /** O3: attempts × exponential backoff (workflow_definition.json:50-57;
@@ -89,27 +90,43 @@ object PipelineRunner {
       ctx: PipelineContext,
       inputPath: String,
       outputPath: String,
-      dataFormat: String): (Long, Long) = {
+      dataFormat: String): (Long, Long, Long) = {
     val inObs = org.apache.spark.sql.Observation()
     val outObs = org.apache.spark.sql.Observation()
     // max_errors in the config turns on the MAXERROR-style corrupt-record
     // budget (json/parquet; untyped CSV has no per-row parse failures
     // without a declared shape, so it stays on the plain reader).
-    val source = cfg.schema.maxErrors match {
+    val tolerant = cfg.schema.maxErrors match {
       case Some(budget) if dataFormat.toLowerCase != "csv" =>
-        SourceReader.readTolerant(spark, dataFormat, inputPath, budget).data
-      case _ => SourceReader.read(spark, dataFormat, inputPath)
+        Some(SourceReader.readTolerant(spark, dataFormat, inputPath, budget))
+      case _ => None
     }
-    val raw = source.observe(inObs, count(lit(1)).as("n"))
-    val processed = cfg.destination.processed
-    val partitionBy = processed.map(_.partitionBy).getOrElse(Nil)
-    val transformed = TransformPipeline
-      .compile(cfg.schema, cfg.name, ctx.startTime, partitionBy)(raw)
-      .observe(outObs, count(lit(1)).as("n"))
+    try {
+      val source = tolerant.map(_.data)
+        .getOrElse(SourceReader.read(spark, dataFormat, inputPath))
+      val raw = source.observe(inObs, count(lit(1)).as("n"))
+      val processed = cfg.destination.processed
+      val partitionBy = processed.map(_.partitionBy).getOrElse(Nil)
+      val transformed = TransformPipeline
+        .compile(cfg.schema, cfg.name, ctx.startTime, partitionBy)(raw)
+        .observe(outObs, count(lit(1)).as("n"))
 
-    PartitionedWriter.write(transformed, outputPath,
-      processed.map(_.format).getOrElse("parquet"), partitionBy)
-    (inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long])
+      PartitionedWriter.write(transformed, outputPath,
+        processed.map(_.format).getOrElse("parquet"), partitionBy)
+      // Rejected rows land beside the output for inspection — the
+      // stl_load_errors analog; counted but never silently discarded.
+      // The corrupt column is renamed on landing: files carrying a data
+      // column literally named _corrupt_record would trip Spark's
+      // corrupt-record-only scan restriction for every later reader.
+      val quarantined = tolerant.map { tr =>
+        if (tr.corruptCount > 0)
+          tr.corrupt.withColumnRenamed(SourceReader.CorruptCol, "raw_record")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .json(s"${outputPath.stripSuffix("/")}_quarantine")
+        tr.corruptCount
+      }.getOrElse(0L)
+      (inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long], quarantined)
+    } finally tolerant.foreach(_.unpersist())
   }
 
   /** Full pipeline run (§3 entry point 1): branch → transform → quality
@@ -130,7 +147,8 @@ object PipelineRunner {
       // O2: branch on source type — api/email sources are expected to be
       // already landed at inputPath by their ingest stage (the reference
       // marks email/file/stream as landed passthroughs, workflow:67-81).
-      val (inCount, outCount) = Retry.withBackoff(cfg.api.map(_.retry.attempts).getOrElse(1),
+      val (inCount, outCount, quarantined) = Retry.withBackoff(
+        cfg.api.map(_.retry.attempts).getOrElse(1),
         cfg.api.map(_.retry.baseSeconds).getOrElse(1.0)) {
         runTransform(spark, cfg, ctx, inputPath, outputPath, fmt)
       }
@@ -150,7 +168,7 @@ object PipelineRunner {
       else None
 
       val report = RunReport(ctx.executionId, cfg.name, inCount, outCount,
-        quality.passed, breached, Some(outputPath), table)
+        quality.passed, breached, Some(outputPath), table, quarantined)
       notifier.success(report)
       report
     } catch {

@@ -125,9 +125,14 @@ object NorthStar {
     * banded candidate generation + exact verification
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
     * Jaccard (oracle-side brute force is fine at gate scale); the two
-    * agree exactly whenever banding recall is 1.0 at the threshold,
-    * which the default parameters guarantee for J ≥ 0.5 corpora like
-    * the fixture (miss probability < 1e-9 per pair at J ≥ 0.95).
+    * agree exactly whenever banding catches every pair above the
+    * threshold. That is a property of the CORPUS, not a guarantee of
+    * the default parameters: capture probability is 1-(1-J²)^8 ≈ 90%
+    * at J = 0.5 but > 1-1e-9 at J ≥ 0.95, and every fixture pair above
+    * the threshold sits at J ≥ 0.96 (nothing lies in [0.2, 0.96]), so
+    * the gate is deterministic here. A corpus with mass just above the
+    * threshold needs more hashes/bands (k=64, b=32 → 99.99% at J=0.5)
+    * and an acknowledged probabilistic recall.
     */
   def dedupNear(s: SparkSession, dir: String): DataFrame =
     graft.ext.NearDup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
@@ -175,18 +180,14 @@ object NorthStar {
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4)
 
-  /** Multimodal batch decode (stub codec) over binary payloads. */
-  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    graft.ext.Multimodal.decodeFeatures(
-      t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-      "doc_id", "payload").toDF()
-  }
-
   private def payloadDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
   }
+
+  /** Multimodal batch decode (stub codec) over binary payloads. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.decodeFeatures(payloadDocs(s, dir), "doc_id", "payload").toDF()
 
   /** Multimodal resize stage (stub resample to 64 bytes). */
   def multimodalResize(s: SparkSession, dir: String): DataFrame =

@@ -30,12 +30,16 @@ object WarehousePublisher {
 
   private val VersionRe = """(?i)(.*)_v(\d+)""".r
 
+  /** Physical versions of `target` only: names that are not exactly
+    * `<target>_v<digits>` (views, sibling targets, backups) are
+    * ignored, never matched-on-error.
+    */
   private def versionsOf(spark: SparkSession, target: String): Seq[(String, Long)] =
-    spark.catalog.listTables().collect().toSeq.collect {
-      case t if t.name.toLowerCase.startsWith(s"${target.toLowerCase}_v") =>
-        t.name.toLowerCase match {
-          case VersionRe(base, v) if base == target.toLowerCase => (t.name, v.toLong)
-        }
+    spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      t.name.toLowerCase match {
+        case VersionRe(base, v) if base == target.toLowerCase => Some((t.name, v.toLong))
+        case _ => None
+      }
     }
 
   def publish(spark: SparkSession, df: DataFrame, cfg: WarehouseConfig): PublishResult = {
@@ -56,10 +60,14 @@ object WarehousePublisher {
     try {
       shaped.write.mode(SaveMode.Overwrite).saveAsTable(phys)
       val loaded = spark.table(phys).count() // K7-style verification read
-      // Legacy plain tables at the target name would shadow the view.
+      // One-time migration from a pre-versioning layout: a plain TABLE
+      // at the target name is RENAMED into the version chain (never
+      // dropped — a crash here must not lose the old data). The rename→
+      // create-view window is the legacy protocol's gap, paid once at
+      // migration; every later publish is a pure atomic view swap.
       if (spark.catalog.tableExists(target)
         && spark.catalog.getTable(target).tableType != "VIEW")
-        spark.sql(s"DROP TABLE $target")
+        spark.sql(s"ALTER TABLE $target RENAME TO ${target}_v${version - 1}")
       // Commit point: one atomic pointer swap.
       spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $phys")
       // Retention: latest two versions stay readable.

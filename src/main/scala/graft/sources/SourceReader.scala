@@ -34,9 +34,16 @@ object SourceReader {
   val CorruptCol = "_corrupt_record"
 
   /** Result of an error-tolerant read: clean rows (corrupt column
-    * dropped), the quarantined corrupt rows, and their count.
+    * dropped), the quarantined corrupt rows, and their count. Call
+    * [[TolerantRead.unpersist]] once the load is consumed — the parsed
+    * input is cached for the budget check and would otherwise pin
+    * executor storage for the session lifetime.
     */
-  final case class TolerantRead(data: DataFrame, corrupt: DataFrame, corruptCount: Long)
+  final case class TolerantRead(
+      data: DataFrame, corrupt: DataFrame, corruptCount: Long,
+      private val cached: Option[DataFrame] = None) {
+    def unpersist(): Unit = cached.foreach { c => c.unpersist(); () }
+  }
 
   final class ErrorBudgetExceeded(val corrupt: Long, val budget: Int)
     extends RuntimeException(s"corrupt records $corrupt exceed error budget $budget")
@@ -90,11 +97,14 @@ object SourceReader {
       return TolerantRead(df, df.limit(0), 0L)
     val cached = df.cache()
     val corrupt = cached.filter(col(CorruptCol).isNotNull)
-    val bad = corrupt.count()
-    if (bad > maxErrors) throw new ErrorBudgetExceeded(bad, maxErrors)
+    val bad =
+      try corrupt.count()
+      catch { case e: Throwable => cached.unpersist(); throw e }
+    if (bad > maxErrors) { cached.unpersist(); throw new ErrorBudgetExceeded(bad, maxErrors) }
     TolerantRead(
       cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
       corrupt,
-      bad)
+      bad,
+      Some(cached))
   }
 }

@@ -26,6 +26,10 @@ object StreamPipeline {
     val st = cfg.stream.getOrElse(
       throw new IllegalArgumentException(s"source '${cfg.name}' has no stream section"))
 
+    require(st.landingPath.nonEmpty,
+      s"source '${cfg.name}': stream.landing_path must point at schema-sample " +
+        "files (for kafka it declares the value schema; for file streams it " +
+        "is the landing prefix)")
     val source: DataFrame = st.format.toLowerCase match {
       case "kafka" =>
         val schema = graft.sources.SourceReader.read(spark, "json", st.landingPath).schema

@@ -92,7 +92,11 @@ class EmailSourceSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-email").toString
     val mail = EmailSource.parse(raw)
     val landed = EmailSource.land(mail, EmailConfig(allowedExtensions = Seq(".csv")), dir)
-    assert(landed.map(_.getFileName.toString) == Seq("d_ily.csv")) // sanitized landing name
+    // sanitized landing name: portable chars + collision-proof hash tag
+    val name = landed.head.getFileName.toString
+    assert(name.startsWith("d_ily-") && name.endsWith(".csv"))
+    // distinct unicode names must land distinctly
+    assert(EmailSource.sanitizeFilename("dáily.csv") != EmailSource.sanitizeFilename("dàily.csv"))
     val df = EmailSource.readLanded(spark, dir)
     val row = df.select("length", "content").collect().head
     assert(row.getLong(0) == csvPayload.getBytes(StandardCharsets.UTF_8).length)

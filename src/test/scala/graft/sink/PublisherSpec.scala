@@ -62,6 +62,17 @@ class PublisherSpec extends SparkTestBase {
     assert(spark.table("pubspec_abort").count() == 1)
   }
 
+  test("legacy plain table migrates into the version chain without data loss") {
+    // Pre-versioning layout: a plain TABLE at the target name.
+    Seq((1, "legacy")).toDF("k", "v").write.saveAsTable("pubspec_legacy")
+    val cfg = WarehouseConfig(schema = "pubspec", table = "legacy", analyze = false)
+    WarehousePublisher.publish(spark, Seq((2, "new"), (3, "new")).toDF("k", "v"), cfg)
+    assert(spark.table("pubspec_legacy").count() == 2) // view → new version
+    assert(spark.catalog.getTable("pubspec_legacy").tableType == "VIEW")
+    // old data renamed into the chain, not dropped
+    assert(spark.table("pubspec_legacy_v0").collect().map(_.getString(1)).toSeq == Seq("legacy"))
+  }
+
   test("exportTable (UNLOAD) round-trips a published table") {
     val cfg = WarehouseConfig(schema = "pubspec", table = "exp", analyze = false)
     WarehousePublisher.publish(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), cfg)

@@ -55,6 +55,20 @@ class SourceReaderSpec extends SparkTestBase {
     assert(r.data.count() == 2)
   }
 
+  test("pipeline lands rejected rows in a quarantine path and reports the count") {
+    import graft.config.{SchemaConfig, SourceConfig, SourceType}
+    val in = writeLines("d.json", Seq(
+      """{"id":1,"v":"a"}""", "garbage line", """{"id":2,"v":"b"}"""))
+    val out = Files.createTempDirectory("graft-qr").toString + "/out"
+    val cfg = SourceConfig(name = "qtest", sourceType = SourceType.File,
+      schema = SchemaConfig(inputFormat = "json", maxErrors = Some(5)))
+    val report = graft.orchestrate.PipelineRunner.run(spark, cfg, in, out)
+    assert(report.inputCount == 2 && report.quarantinedCount == 1)
+    val q = spark.read.json(s"${out}_quarantine")
+    assert(q.count() == 1)
+    assert(q.select("raw_record").head().getString(0) == "garbage line")
+  }
+
   test("parquet mergeSchema unions columns added over time") {
     val s = spark
     import s.implicits._
