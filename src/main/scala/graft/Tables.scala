@@ -23,8 +23,12 @@ object Tables {
     if (spark.conf.get(NanosKey, "false") != "true") spark.conf.set(NanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
+      // Integral `div`, NOT `/`: Column./ is double division, and at
+      // ~1.7e18 nanos a double's ulp exceeds 1000, rounding some
+      // timestamps up a microsecond (caught by the session-window
+      // oracle, and enough to push boundary events across windows).
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 }

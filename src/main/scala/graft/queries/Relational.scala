@@ -189,6 +189,33 @@ object Relational {
   def eventWindow(s: SparkSession, dir: String): DataFrame =
     graft.stream.EventWindows.tumblingByType(t(s, dir, "events"), "1 hour")
 
+  /** Sliding event-time window (1 h every 30 min) via the shared
+    * streaming code — each event lands in two windows.
+    */
+  def eventWindowSliding(s: SparkSession, dir: String): DataFrame =
+    graft.stream.EventWindows.slidingByType(t(s, dir, "events"), "1 hour", "30 minutes")
+
+  /** Session windows per user (30 min gap) via the shared streaming
+    * code; oracle is the classic gaps-and-islands rewrite.
+    */
+  def eventSessions(s: SparkSession, dir: String): DataFrame =
+    graft.stream.EventWindows.sessionByUser(t(s, dir, "events"), "30 minutes")
+
+  /** Exact percentile aggregates (ordered-set aggregation; DuckDB
+    * quantile_cont uses the same linear interpolation).
+    */
+  def aggPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+  }
+
   /** Approx distinct (HLL++) — no DuckDB oracle (sketches differ);
     * correctness asserted in graft.queries.ApproxSpec: every estimate
     * within 5% of the exact countDistinct.
@@ -248,6 +275,9 @@ object Relational {
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
     "event_window" -> (eventWindow _),
+    "event_window_sliding" -> (eventWindowSliding _),
+    "event_sessions" -> (eventSessions _),
+    "agg_percentiles" -> (aggPercentiles _),
     "approx_distinct" -> (approxDistinct _))
 
   val oracle: Map[String, String] = Map(
@@ -357,5 +387,39 @@ object Relational {
     "event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "event_window_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    ((floor(epoch(ts))::BIGINT // 1800) - i) * 1800 AS start_s
+        |  FROM events CROSS JOIN range(2) r(i)
+        |  WHERE epoch(ts) < ((floor(epoch(ts))::BIGINT // 1800) - i) * 1800 + 3600)
+        |SELECT make_timestamp(start_s * 1000000) AS window_start,
+        |  make_timestamp((start_s + 3600) * 1000000) AS window_end,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "event_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }
