@@ -69,7 +69,10 @@ object SimSearch {
     }
 
   /** One r-bit band key per band: bit k set iff the (b*r+k)-th
-    * projection is positive.
+    * projection is positive. Reference implementation in stock Column
+    * algebra — inlining planes×nnz terms blows the 64 KB codegen
+    * method limit, so the hot paths use [[bandKeysNative]] instead
+    * (bit-identical; spec-asserted).
     */
   def bandKeyCols(v: Column, ps: Seq[Seq[(Int, Int)]], bands: Int, rowsPerBand: Int): Seq[Column] =
     (0 until bands).map { b =>
@@ -77,6 +80,15 @@ object SimSearch {
         acc + when(proj(v, ps(b * rowsPerBand + k)) > 0.0, lit(1 << k)).otherwise(lit(0))
       }
     }
+
+  /** All band keys as one array via the loop-codegen'd
+    * [[graft.functions.SignBandKeys]] expression.
+    */
+  def bandKeysNative(v: Column, ps: Seq[Seq[(Int, Int)]], bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SignBandKeys(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        ps.map(_.map(_._1)), ps.map(_.map(_._2.toDouble)), bands, rowsPerBand))
 
   /** Exact brute-force cosine top-1 for vec_id < queryBound. Norms are
     * computed once per vector before the pair join (identical floats,
@@ -105,18 +117,21 @@ object SimSearch {
       dim: Int = 64): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
-    val keys = bandKeyCols(col("embedding"), ps, numBands, rowsPerBand)
     val banded = emb.select(col("vec_id"),
-      posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+      posexplode(bandKeysNative(col("embedding"), ps, numBands, rowsPerBand))
+        .as(Seq("band", "bkey")))
     // The query side is bounded (≤ queryBound × bands rows), so it
     // broadcasts; the corpus side streams through the bucket join
     // without shuffling embeddings — only (band, key, id) triples.
+    // No distinct here: a pair surfacing from several bands yields
+    // identical (qid, cid, sim) rows, which the re-rank's row_number
+    // collapses for free — cheaper than a 10^6-row dedup exchange.
     val cand = broadcast(banded.filter(col("vec_id") < queryBound)
         .select(col("band"), col("bkey"), col("vec_id").as("qid")))
       .join(banded.select(col("band"), col("bkey"), col("vec_id").as("cid")),
         Seq("band", "bkey"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
+      .select("qid", "cid")
     val pairs = cand
       .join(broadcast(emb.filter(col("vec_id") < queryBound)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -185,9 +200,10 @@ object SimSearch {
       .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
     val probed = ranked.filter(col("vec_id") < queryBound && col("crn") <= probes)
       .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+    // Duplicates from probing 2 cells collapse in the re-rank (rn = 1).
     val cand = broadcast(probed).join(cells, "cell")
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
+      .select("qid", "cid")
     val pairs = cand
       .join(broadcast(vecs.filter(col("vec_id") < queryBound)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))), "qid")
@@ -242,14 +258,19 @@ object SimSearch {
       nnz: Int = 8,
       dim: Int = 64): DataFrame = {
     val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
-    val keys = bandKeyCols(col("embedding"), ps, numBands, rowsPerBand)
     val banded = emb.select(col("vec_id"),
-      posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+      posexplode(bandKeysNative(col("embedding"), ps, numBands, rowsPerBand))
+        .as(Seq("band", "bkey")))
+    // Duplicate candidate pairs (several shared bands) are verified
+    // redundantly and deduped AFTER the threshold filter, where only
+    // the handful of surviving pairs pay the exchange — profiling put
+    // the pre-verify distinct of ~10^6 pairs at ~5s vs ~0.2s of
+    // redundant codegen'd dot products.
     val cand = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
       .join(banded.select(col("band"), col("bkey"), col("vec_id").as("id_b")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val sides = Seq("a", "b").map { s =>
       emb.select(col("vec_id").as(s"id_$s"), col("embedding").as(s"v_$s"),
@@ -259,6 +280,7 @@ object SimSearch {
       .select(col("id_a"), col("id_b"),
         round(ndot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
   }
 
   /** Shared oracle CTE prefix: embeddings as double arrays, the plane

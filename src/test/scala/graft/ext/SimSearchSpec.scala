@@ -32,6 +32,19 @@ class SimSearchSpec extends SparkTestBase {
     assert(a.map(_.head).size == 100, "one top-1 row per query id")
   }
 
+  test("codegen band keys are identical to the declarative Column algebra") {
+    import org.apache.spark.sql.functions.{array, col}
+    val emb = t(spark, sf0001, "embeddings")
+    val ps = SimSearch.planes(7, 64, 64, 8)
+    val decl = emb.select(col("vec_id"),
+      array(SimSearch.bandKeyCols(col("embedding"), ps, 16, 4): _*).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val native = emb.select(col("vec_id"),
+      SimSearch.bandKeysNative(col("embedding"), ps, 16, 4).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == decl)
+  }
+
   test("ivfTopK answers every query deterministically") {
     val emb = t(spark, sf0001, "embeddings")
     val a = SimSearch.ivfTopK(emb, 100).collect().map(_.toSeq).toSet
