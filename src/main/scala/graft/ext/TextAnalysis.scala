@@ -135,20 +135,23 @@ object TextAnalysis {
     val blockBits = SimhashBits / blocks // 15
     require(maxHamming < blocks, "block banding is complete only for hamming < blocks")
     val sh = simhash(docs, textCol, idCol)
+    // repartition on the bucket key → the self-join's sides share one
+    // materialized exchange, so the explode + 60-sum simhash aggregate
+    // runs once (AQE stage reuse), not once per branch.
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until blocks).map(j =>
         shiftright(col("simhash"), j * blockBits)
           .bitwiseAND((1L << blockBits) - 1)): _*)).as(Seq("block", "bkey")))
-    val cand = banded
-      .select(col("block"), col("bkey"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-      .join(banded.select(col("block"), col("bkey"), col(idCol).as("id_b"),
-        col("simhash").as("sh_b")), Seq("block", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    cand
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .repartition(col("block"), col("bkey"))
+    val left = banded.alias("a")
+    val right = banded.alias("b")
+    left.join(right,
+        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   def simhashPairsOracleSql(
