@@ -107,7 +107,7 @@ object Multimodal {
     s"""SELECT $idCol AS doc_id,
        | CAST(least(octet_length(CAST($textCol AS BLOB)), $targetBytes) AS BIGINT) AS out_bytes,
        | md5(substr($textCol, 1, $targetBytes)) AS out_hash
-       |FROM $table""".stripMargin
+       |FROM $table WHERE $textCol IS NOT NULL""".stripMargin
 
   /** One row per sampled "frame": fixed-stride windows over the
     * payload, each hashed — the video frame-sampling shape (a real

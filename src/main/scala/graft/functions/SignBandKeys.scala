@@ -48,6 +48,7 @@ case class SignBandKeys(
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val isF = elemIsFloat
+    val n = v.numElements()
     val keys = new Array[Int](numBands)
     var b = 0
     while (b < numBands) {
@@ -58,13 +59,21 @@ case class SignBandKeys(
         val ds = dimsArr(p)
         val sg = signsArr(p)
         var s = 0.0
+        var valid = true
         var j = 0
-        while (j < ds.length) {
-          val x = if (isF) v.getFloat(ds(j)).toDouble else v.getDouble(ds(j))
-          s += x * sg(j)
+        while (valid && j < ds.length) {
+          val d = ds(j)
+          // A missing or null element null-poisons the projection in
+          // the declarative formulation (non-ANSI element_at), leaving
+          // the bit unset — reproduced here, never read out of bounds.
+          if (d >= n || v.isNullAt(d)) valid = false
+          else {
+            val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
+            s += x * sg(j)
+          }
           j += 1
         }
-        if (s > 0.0) key |= (1 << k)
+        if (valid && s > 0.0) key |= (1 << k)
         k += 1
       }
       keys(b) = key
@@ -79,23 +88,30 @@ case class SignBandKeys(
     val get = if (elemIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
       val keys = ctx.freshName("keys")
+      val n = ctx.freshName("n")
       val b = ctx.freshName("b")
       val k = ctx.freshName("k")
       val p = ctx.freshName("p")
       val s = ctx.freshName("s")
       val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
       val key = ctx.freshName("key")
+      val valid = ctx.freshName("valid")
       s"""
          |int[] $keys = new int[$numBands];
+         |int $n = $v.numElements();
          |for (int $b = 0; $b < $numBands; $b++) {
          |  int $key = 0;
          |  for (int $k = 0; $k < $rowsPerBand; $k++) {
          |    int $p = $b * $rowsPerBand + $k;
          |    double $s = 0.0;
-         |    for (int $j = 0; $j < $dimsRef[$p].length; $j++) {
-         |      $s += ((double) $v.$get($dimsRef[$p][$j])) * $signsRef[$p][$j];
+         |    boolean $valid = true;
+         |    for (int $j = 0; $valid && $j < $dimsRef[$p].length; $j++) {
+         |      int $d = $dimsRef[$p][$j];
+         |      if ($d >= $n || $v.isNullAt($d)) { $valid = false; }
+         |      else { $s += ((double) $v.$get($d)) * $signsRef[$p][$j]; }
          |    }
-         |    if ($s > 0.0) $key |= (1 << $k);
+         |    if ($valid && $s > 0.0) $key |= (1 << $k);
          |  }
          |  $keys[$b] = $key;
          |}

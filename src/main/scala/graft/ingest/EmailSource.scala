@@ -96,10 +96,13 @@ object EmailSource {
     val base = name.substring(name.lastIndexOf('/') + 1)
     val safe = base.map(c => if (c.isLetterOrDigit && c < 128 || "._-".contains(c)) c else '_')
     val usable = if (safe.isEmpty || safe.forall(_ == '.')) "attachment.bin" else safe
-    if (usable == base) usable
+    // Tag whenever ANY part of the original (including a stripped
+    // directory prefix) was altered, hashing the FULL original name —
+    // 'a/report.csv' and 'b/report.csv' must land distinctly.
+    if (usable == name) usable
     else {
       val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(base.getBytes(StandardCharsets.UTF_8))
+        .digest(name.getBytes(StandardCharsets.UTF_8))
         .take(4).map("%02x".format(_)).mkString
       val dot = usable.lastIndexOf('.')
       if (dot > 0) s"${usable.substring(0, dot)}-$tag${usable.substring(dot)}"

@@ -118,11 +118,18 @@ object PipelineRunner {
       // The corrupt column is renamed on landing: files carrying a data
       // column literally named _corrupt_record would trip Spark's
       // corrupt-record-only scan restriction for every later reader.
+      // A clean run DELETES any stale quarantine from a previous run of
+      // the same output path — the path always reflects this load.
+      val qPath = s"${outputPath.stripSuffix("/")}_quarantine"
       val quarantined = tolerant.map { tr =>
         if (tr.corruptCount > 0)
           tr.corrupt.withColumnRenamed(SourceReader.CorruptCol, "raw_record")
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .json(s"${outputPath.stripSuffix("/")}_quarantine")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(qPath)
+        else {
+          val p = new org.apache.hadoop.fs.Path(qPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
         tr.corruptCount
       }.getOrElse(0L)
       (inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long], quarantined)
@@ -157,9 +164,12 @@ object PipelineRunner {
         cfg.destination.processed.map(_.format).getOrElse("parquet")).load(outputPath)
       val quality = QualityChecks.run(written, cfg.qualityChecks)
 
+      // error_count covers both filtered rows and parse rejects, so a
+      // monitor on it breaches when the budgeted quarantine fills up.
       val metrics = Map(
         "record_count" -> outCount.toDouble,
-        "error_count" -> (inCount - outCount).toDouble)
+        "error_count" -> (inCount - outCount + quarantined).toDouble,
+        "quarantined_count" -> quarantined.toDouble)
       val breached = QualityChecks.evaluateMonitors(metrics, cfg.monitoring.metrics)
         .collect { case (m, true) => m.name }
 

@@ -54,20 +54,24 @@ object WarehousePublisher {
     else shaped0
 
     val existing = versionsOf(spark, target)
-    val version = existing.map(_._2).maxOption.getOrElse(0L) + 1L
+    // One-time migration from a pre-versioning layout: a plain TABLE at
+    // the target name is RENAMED into the version chain (never dropped —
+    // a crash must not lose the old data). It takes the next free slot,
+    // and the new load the one after, so the rename can never collide
+    // with an existing version. The rename→create-view window is the
+    // legacy protocol's gap, paid once; every later publish is a pure
+    // atomic view swap.
+    val legacyExists = spark.catalog.tableExists(target) &&
+      spark.catalog.getTable(target).tableType != "VIEW"
+    val nextSlot = existing.map(_._2).maxOption.getOrElse(0L) + 1L
+    val legacySlot = if (legacyExists) Some(nextSlot) else None
+    val version = if (legacyExists) nextSlot + 1L else nextSlot
     val phys = s"${target}_v$version"
 
     try {
       shaped.write.mode(SaveMode.Overwrite).saveAsTable(phys)
       val loaded = spark.table(phys).count() // K7-style verification read
-      // One-time migration from a pre-versioning layout: a plain TABLE
-      // at the target name is RENAMED into the version chain (never
-      // dropped — a crash here must not lose the old data). The rename→
-      // create-view window is the legacy protocol's gap, paid once at
-      // migration; every later publish is a pure atomic view swap.
-      if (spark.catalog.tableExists(target)
-        && spark.catalog.getTable(target).tableType != "VIEW")
-        spark.sql(s"ALTER TABLE $target RENAME TO ${target}_v${version - 1}")
+      legacySlot.foreach(s => spark.sql(s"ALTER TABLE $target RENAME TO ${target}_v$s"))
       // Commit point: one atomic pointer swap.
       spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $phys")
       // Retention: latest two versions stay readable.

@@ -69,8 +69,12 @@ class PublisherSpec extends SparkTestBase {
     WarehousePublisher.publish(spark, Seq((2, "new"), (3, "new")).toDF("k", "v"), cfg)
     assert(spark.table("pubspec_legacy").count() == 2) // view → new version
     assert(spark.catalog.getTable("pubspec_legacy").tableType == "VIEW")
-    // old data renamed into the chain, not dropped
-    assert(spark.table("pubspec_legacy_v0").collect().map(_.getString(1)).toSeq == Seq("legacy"))
+    // old data renamed into the chain (next free slot), not dropped
+    assert(spark.table("pubspec_legacy_v1").collect().map(_.getString(1)).toSeq == Seq("legacy"))
+    // a second publish after migration works (no version collisions)
+    WarehousePublisher.publish(spark, Seq((9, "x")).toDF("k", "v"),
+      WarehouseConfig(schema = "pubspec", table = "legacy", analyze = false))
+    assert(spark.table("pubspec_legacy").count() == 1)
   }
 
   test("exportTable (UNLOAD) round-trips a published table") {
