@@ -51,6 +51,29 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding window: stream matches batch on same rows") {
+    val s = spark
+    import s.implicits._
+    val batch = EventWindows.slidingByType(fixture.toDF(), "1 hour", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    val ms = mkStream
+    val q = EventWindows.slidingByType(
+        ms.toDF().withWatermark("ts", "10 minutes"), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    try {
+      ms.addData(fixture)
+      q.processAllAvailable()
+      assert(s.table("sliding").collect().map(_.toSeq).toSet == batch)
+    } finally q.stop()
+  }
+
+  test("graft_dot is SQL-callable once registered in a session") {
+    graft.functions.DotProduct.fn(spark) // idempotent registration
+    val v = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("session window: stream matches batch on same rows") {
     val s = spark
     import s.implicits._
