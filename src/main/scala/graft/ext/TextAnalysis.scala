@@ -162,6 +162,22 @@ object TextAnalysis {
        |FROM sh a JOIN sh b ON a.$idCol < b.$idCol
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
+  // ---- deterministic sampling ----
+
+  /** Hash-based deterministic sampling: keep rows whose id-hash bucket
+    * (md5-derived, 0-99) falls below `pct`. Unlike rand()-based
+    * sampling this is reproducible across runs/engines, composable
+    * (disjoint pct ranges give disjoint splits — train/val/test), and
+    * stable under repartitioning — the sampling primitive a
+    * training-data pipeline needs for mixes and ablations.
+    */
+  def deterministicSample(docs: DataFrame, idCol: String, pct: Int): DataFrame =
+    docs.filter(pmod(tokenHash(col(idCol).cast("string")), lit(100L)) < pct)
+
+  def sampleOracleSql(table: String, idCol: String, pct: Int): String =
+    s"""SELECT * FROM $table
+       |WHERE ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))::BIGINT % 100 < $pct""".stripMargin
+
   // ---- rolling (Rabin-Karp) fingerprint ----
 
   val RollP = 1000000007L // prime modulus keeps DuckDB's strict BIGINT in range

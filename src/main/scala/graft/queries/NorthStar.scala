@@ -176,6 +176,10 @@ object NorthStar {
   def rollingFp(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "text", "doc_id")
 
+  /** Deterministic 20% sample of documents by id-hash bucket. */
+  def docSample(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.deterministicSample(t(s, dir, "documents"), "doc_id", 20)
+
   /** Embedding-cosine near-dup pairs (LSH candidates, cosine ≥ 0.4). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4)
@@ -203,6 +207,7 @@ object NorthStar {
     "simhash" -> (simhashQ _),
     "simhash_pairs" -> (simhashPairsQ _),
     "fingerprint_rolling" -> (rollingFp _),
+    "doc_sample" -> (docSample _),
     "emb_neardup" -> (embNearDup _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
@@ -225,6 +230,7 @@ object NorthStar {
     "simhash" -> graft.ext.TextAnalysis.simhashOracleSql("documents", "text", "doc_id"),
     "simhash_pairs" -> graft.ext.TextAnalysis.simhashPairsOracleSql("documents", "text", "doc_id"),
     "fingerprint_rolling" -> graft.ext.TextAnalysis.rollingOracleSql("documents", "text", "doc_id"),
+    "doc_sample" -> graft.ext.TextAnalysis.sampleOracleSql("documents", "doc_id", 20),
     "emb_neardup" -> graft.ext.SimSearch.nearDupOracleSql(0.4),
     "multimodal_decode" -> graft.ext.Multimodal.decodeOracleSql("documents", "text", "doc_id"),
     "multimodal_resize" -> graft.ext.Multimodal.resizeOracleSql("documents", "text", "doc_id", 64),

@@ -31,6 +31,35 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.monitoring.metrics.head == MetricSpec("record_count", 10.0, "GreaterThan", 1))
   }
 
+  test("stream section and max_errors parse from YAML") {
+    val cfg = ConfigLoader.fromYaml(
+      """source:
+        |  name: s1
+        |  type: stream
+        |  schema:
+        |    type: json
+        |    max_errors: 7
+        |  stream:
+        |    format: kafka
+        |    brokers: broker1:9092
+        |    topic: events
+        |    landing_path: /tmp/schema_sample
+        |    watermark_column: event_ts
+        |    watermark_delay: 5 minutes
+        |    window_duration: 10 minutes
+        |    dedup_keys: [event_id]
+        |    checkpoint_dir: /tmp/ckpt
+        |    max_files_per_trigger: 7
+        |""".stripMargin)
+    assert(cfg.sourceType == SourceType.Stream)
+    assert(cfg.schema.maxErrors.contains(7))
+    val st = cfg.stream.get
+    assert(st.format == "kafka" && st.brokers == "broker1:9092" && st.topic == "events")
+    assert(st.watermarkColumn == "event_ts" && st.watermarkDelay == "5 minutes")
+    assert(st.windowDuration.contains("10 minutes"))
+    assert(st.dedupKeys == Seq("event_id") && st.maxFilesPerTrigger == 7)
+  }
+
   test("customers_nested parses: struct-valued targets and dotted paths") {
     val cfg = load("customers_nested",
       env = Map("GRAFT_TEST_OUT" -> "/tmp/x", "GRAFT_STUB_ENDPOINT" -> "http://localhost:1"),

@@ -77,6 +77,18 @@ class PublisherSpec extends SparkTestBase {
     assert(spark.table("pubspec_legacy").count() == 1)
   }
 
+  test("vacuum_strategy full compacts into a fresh version without breaking the view") {
+    val cfg = WarehouseConfig(schema = "pubspec", table = "vac",
+      vacuumStrategy = "full", analyze = true)
+    val r = WarehousePublisher.publish(spark,
+      Seq.tabulate(50)(i => (i, s"v$i")).toDF("k", "v"), cfg)
+    assert(r.analyzed)
+    assert(spark.table("pubspec_vac").count() == 50) // view follows compaction
+    val versions = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.matches("pubspec_vac_v\\d+"))
+    assert(versions.length >= 2) // original + compacted rewrite
+  }
+
   test("exportTable (UNLOAD) round-trips a published table") {
     val cfg = WarehouseConfig(schema = "pubspec", table = "exp", analyze = false)
     WarehousePublisher.publish(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), cfg)
