@@ -92,6 +92,50 @@ object NearDup {
     array((0 until numBands).map(b =>
       hash((0 until rowsPerBand).map(r => minhash(hs, b * rowsPerBand + r)) :+ lit(b): _*)): _*)
 
+  /** Near-duplicate CLUSTERS: connected components over the near-dup
+    * pair graph, labeled by the component's minimum doc id — the form
+    * production dedup consumes (keep one survivor per cluster, not per
+    * pair; A~B and B~C must collapse to one document even when A~C was
+    * never a candidate).
+    *
+    * Distributed min-label propagation over the edge list: each round
+    * every node takes the minimum label among itself and its
+    * neighbors; rounds repeat until a fixed point. Iterations are
+    * bounded by the component diameter — near-dup clusters are tiny
+    * (pairs/triples), so convergence is 2-3 rounds; each round is one
+    * join + aggregate on the (sparse) pair list, never the corpus.
+    */
+  def nearDuplicateClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .localCheckpoint() // pairs are small; cut the LSH lineage once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("next_id"),
+          col("cluster_id").as("prev_id"))
+        .localCheckpoint()
+      changed = next.filter(col("next_id") < col("prev_id")).count()
+      labels = next.select(col("node"), col("next_id").as("cluster_id"))
+    }
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
   /** Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
     * candidates generated by MinHash banding only.
     */

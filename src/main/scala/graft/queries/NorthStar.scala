@@ -137,6 +137,13 @@ object NorthStar {
   def dedupNear(s: SparkSession, dir: String): DataFrame =
     graft.ext.NearDup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
 
+  /** Connected near-dup components labeled by min doc id — the
+    * keep-one-survivor-per-cluster form; oracle via recursive
+    * transitive closure over the same exact-Jaccard pair graph.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ext.NearDup.nearDuplicateClusters(t(s, dir, "documents"), "doc_id", "text", 0.5)
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash). The payload here derives from text
     * (no image libs in container — SURVEY scope note); the schema and
@@ -222,6 +229,7 @@ object NorthStar {
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
+    "dedup_clusters" -> (dedupClusters _),
     "multimodal_meta" -> (multimodalMeta _))
 
   val oracle: Map[String, String] = Map(
@@ -296,6 +304,27 @@ object NorthStar {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -36,6 +36,25 @@ class NearDupSpec extends SparkTestBase {
     assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
   }
 
+  test("clusters are transitive: chained pairs collapse to one min label") {
+    val s = spark
+    import s.implicits._
+    // A~B and B~C by heavy shingle overlap; D isolated.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base + " endA endA2 endA3"),
+      (20L, base + " endB endB2 endB3"),   // ~ doc 10
+      (30L, base.replace("tok1 ", "") + " endB endB2 endB3 extra"), // ~ doc 20
+      (99L, (1 to 40).map(i => s"zzz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val clusters = NearDup.nearDuplicateClusters(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.get(10L).contains(10L))
+    assert(clusters.get(20L).contains(10L))
+    assert(clusters.get(30L).contains(10L)) // transitive through 20
+    assert(!clusters.contains(99L))         // isolated docs aren't in the graph
+  }
+
   test("banding prunes: candidate pairs well below all-pairs count") {
     val s = spark
     import s.implicits._
