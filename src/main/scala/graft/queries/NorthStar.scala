@@ -144,6 +144,38 @@ object NorthStar {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.ext.NearDup.nearDuplicateClusters(t(s, dir, "documents"), "doc_id", "text", 0.5)
 
+  /** The cleaned corpus: every document except non-survivor cluster
+    * members (cluster minimum survives) — the actual output a dedup
+    * stage hands to training. Anti-join against the (sparse) loser
+    * set, so the corpus streams through one broadcast-able filter.
+    */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val losers = graft.ext.NearDup
+      .nearDuplicateClusters(t(s, dir, "documents"), "doc_id", "text", 0.5)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id")
+    t(s, dir, "documents")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
+  /** Documents passing the training-data quality gate: token count and
+    * stopword-ratio thresholds over the same heuristics text_quality
+    * scores — the filter stage that consumes those scores.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Array("the", "a", "of", "and", "to", "in", "is")
+    val toks = split(trim($"text"), "\\s+")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, c => c.isInCollection(stop)))
+    t(s, dir, "documents")
+      .filter(nTok >= 10 && nTok <= 5000 &&
+        nStop.cast("double") / nTok >= 0.01)
+      .select($"doc_id", nTok.cast("long").as("n_tokens"))
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash). The payload here derives from text
     * (no image libs in container — SURVEY scope note); the schema and
@@ -230,6 +262,8 @@ object NorthStar {
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_survivors" -> (dedupSurvivors _),
+    "quality_filter" -> (qualityFilter _),
     "multimodal_meta" -> (multimodalMeta _))
 
   val oracle: Map[String, String] = Map(
@@ -325,6 +359,40 @@ object NorthStar {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
+    "dedup_survivors" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM tok WHERE len(ws) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |losers AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING least(src, min(dst)) <> src)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "quality_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens FROM q
+        |WHERE n_tokens >= 10 AND n_tokens <= 5000 AND stop_ratio >= 0.01""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
