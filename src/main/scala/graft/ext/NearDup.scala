@@ -112,13 +112,16 @@ object NearDup {
       threshold: Double): DataFrame = {
     val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold)
       .select(col("id_a"), col("id_b"))
+    // Materialize the sparse edge list once (cuts the LSH lineage);
+    // each round persists its labels and releases the previous round's
+    // — iterative state never accumulates in executor storage.
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst")
-      .localCheckpoint() // pairs are small; cut the LSH lineage once
+      .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
-      .localCheckpoint()
+      .persist()
+    labels.count() // materialize before the loop mutates the variable
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -129,10 +132,12 @@ object NearDup {
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("next_id"),
           col("cluster_id").as("prev_id"))
-        .localCheckpoint()
+        .persist()
       changed = next.filter(col("next_id") < col("prev_id")).count()
+      labels.unpersist()
       labels = next.select(col("node"), col("next_id").as("cluster_id"))
     }
+    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
 

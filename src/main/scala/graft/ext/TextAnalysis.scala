@@ -165,18 +165,28 @@ object TextAnalysis {
   // ---- deterministic sampling ----
 
   /** Hash-based deterministic sampling: keep rows whose id-hash bucket
-    * (md5-derived, 0-99) falls below `pct`. Unlike rand()-based
-    * sampling this is reproducible across runs/engines, composable
-    * (disjoint pct ranges give disjoint splits — train/val/test), and
-    * stable under repartitioning — the sampling primitive a
+    * (md5-derived, 0-99) lies in [lo, hi). Unlike rand()-based
+    * sampling this is reproducible across runs/engines, composable —
+    * [0,80)/[80,90)/[90,100) give disjoint train/val/test splits — and
+    * stable under repartitioning: the sampling primitive a
     * training-data pipeline needs for mixes and ablations.
     */
+  def deterministicSample(docs: DataFrame, idCol: String, lo: Int, hi: Int): DataFrame = {
+    val bucket = pmod(tokenHash(col(idCol).cast("string")), lit(100L))
+    docs.filter(bucket >= lo && bucket < hi)
+  }
+
+  /** Prefix convenience: the first `pct` buckets. */
   def deterministicSample(docs: DataFrame, idCol: String, pct: Int): DataFrame =
-    docs.filter(pmod(tokenHash(col(idCol).cast("string")), lit(100L)) < pct)
+    deterministicSample(docs, idCol, 0, pct)
+
+  def sampleOracleSql(table: String, idCol: String, lo: Int, hi: Int): String =
+    s"""SELECT * FROM $table
+       |WHERE ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))::BIGINT % 100 >= $lo
+       |  AND ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))::BIGINT % 100 < $hi""".stripMargin
 
   def sampleOracleSql(table: String, idCol: String, pct: Int): String =
-    s"""SELECT * FROM $table
-       |WHERE ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))::BIGINT % 100 < $pct""".stripMargin
+    sampleOracleSql(table, idCol, 0, pct)
 
   // ---- rolling (Rabin-Karp) fingerprint ----
 

@@ -58,16 +58,24 @@ object NorthStar {
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
   }
 
+  /** Shared quality heuristics: one stopword list and token columns
+    * feed BOTH the scorer (text_quality) and the gate (quality_filter)
+    * so they can never silently diverge.
+    */
+  private val QualityStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def qToks = split(trim(org.apache.spark.sql.functions.col("text")), "\\s+")
+  private def qTok = size(qToks)
+  private def qStop = size(filter(qToks, c => c.isInCollection(QualityStopwords)))
+
   /** Text-quality scoring: stopword ratio, mean token length,
     * type-token ratio — the length/punct/stopword heuristics of a
     * training-data quality filter.
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = Array("the", "a", "of", "and", "to", "in", "is")
-    val toks = split(trim($"text"), "\\s+")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, c => c.isInCollection(stop)))
+    val toks = qToks
+    val nTok = qTok
+    val nStop = qStop
     t(s, dir, "documents").select(
       $"doc_id",
       nTok.cast("long").as("n_tokens"),
@@ -166,14 +174,10 @@ object NorthStar {
     */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = Array("the", "a", "of", "and", "to", "in", "is")
-    val toks = split(trim($"text"), "\\s+")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, c => c.isInCollection(stop)))
     t(s, dir, "documents")
-      .filter(nTok >= 10 && nTok <= 5000 &&
-        nStop.cast("double") / nTok >= 0.01)
-      .select($"doc_id", nTok.cast("long").as("n_tokens"))
+      .filter(qTok >= 10 && qTok <= 5000 &&
+        qStop.cast("double") / qTok >= 0.01)
+      .select($"doc_id", qTok.cast("long").as("n_tokens"))
   }
 
   /** Multimodal plumbing: opaque binary payload column + typed metadata
@@ -266,6 +270,32 @@ object NorthStar {
     "quality_filter" -> (qualityFilter _),
     "multimodal_meta" -> (multimodalMeta _))
 
+  /** Shared oracle building blocks for the near-dup family — the
+    * shingle sets, the exact-Jaccard pair graph, and the component
+    * closure appear once, so the three oracles can never diverge.
+    */
+  private val ShingleCtes =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |      FOR i IN range(1, len(ws) - 1)]) AS s
+      |  FROM tok WHERE len(ws) >= 3)""".stripMargin
+  private val PairsCte =
+    """pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)""".stripMargin
+  private val ClosureCtes =
+    """e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "lang_id" -> graft.ext.TextAnalysis.langIdOracleSql("documents", "text", "doc_id"),
     "tok_bpe" -> graft.ext.TextAnalysis.bpeOracleSql("documents", "text", "doc_id"),
@@ -325,13 +355,7 @@ object NorthStar {
     "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |      FOR i IN range(1, len(ws) - 1)]) AS s
-        |  FROM tok WHERE len(ws) >= 3)
+      s"""WITH $ShingleCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
@@ -339,57 +363,27 @@ object NorthStar {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |      FOR i IN range(1, len(ws) - 1)]) AS s
-        |  FROM tok WHERE len(ws) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |      UNION SELECT id_b, id_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+      s"""WITH RECURSIVE $ShingleCtes,
+        |$PairsCte,
+        |$ClosureCtes
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
     "dedup_survivors" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |      FOR i IN range(1, len(ws) - 1)]) AS s
-        |  FROM tok WHERE len(ws) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |      UNION SELECT id_b, id_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      s"""WITH RECURSIVE $ShingleCtes,
+        |$PairsCte,
+        |$ClosureCtes,
         |losers AS (
         |  SELECT src AS doc_id FROM reach GROUP BY src
         |  HAVING least(src, min(dst)) <> src)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "quality_filter" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |      x -> x IN (${QualityStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio
         |  FROM documents)
         |SELECT doc_id, n_tokens FROM q
         |WHERE n_tokens >= 10 AND n_tokens <= 5000 AND stop_ratio >= 0.01""".stripMargin,

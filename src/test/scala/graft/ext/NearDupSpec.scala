@@ -36,22 +36,29 @@ class NearDupSpec extends SparkTestBase {
     assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
   }
 
-  test("clusters are transitive: chained pairs collapse to one min label") {
+  test("clusters are transitive: chained pairs collapse through the bridge doc") {
     val s = spark
     import s.implicits._
-    // A~B and B~C by heavy shingle overlap; D isolated.
-    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // True chain: doc 20 bridges disjoint halves A and B, so 10~20 and
+    // 20~30 are edges while 10 and 30 share NOTHING (J = 0) — only
+    // multi-round propagation can give 30 the min label.
+    val a = (1 to 30).map(i => s"aa$i").mkString(" ")
+    val b = (1 to 30).map(i => s"bb$i").mkString(" ")
     val docs = Seq(
-      (10L, base + " endA endA2 endA3"),
-      (20L, base + " endB endB2 endB3"),   // ~ doc 10
-      (30L, base.replace("tok1 ", "") + " endB endB2 endB3 extra"), // ~ doc 20
-      (99L, (1 to 40).map(i => s"zzz$i").mkString(" "))
+      (10L, a),
+      (20L, s"$a $b"), // J(10,20) = J(20,30) ≈ 0.48; J(10,30) = 0
+      (30L, b),
+      (99L, (1 to 30).map(i => s"zz$i").mkString(" "))
     ).toDF("doc_id", "text")
-    val clusters = NearDup.nearDuplicateClusters(docs, "doc_id", "text", 0.5)
+    // sanity: the chain's ends are NOT a direct pair at this threshold
+    val pairs = NearDup.nearDuplicatePairs(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L), (20L, 30L)))
+    val clusters = NearDup.nearDuplicateClusters(docs, "doc_id", "text", 0.3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.get(10L).contains(10L))
     assert(clusters.get(20L).contains(10L))
-    assert(clusters.get(30L).contains(10L)) // transitive through 20
+    assert(clusters.get(30L).contains(10L)) // transitive through 20 only
     assert(!clusters.contains(99L))         // isolated docs aren't in the graph
   }
 
