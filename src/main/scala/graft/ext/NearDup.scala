@@ -110,18 +110,31 @@ object NearDup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold)
-      .select(col("id_a"), col("id_b"))
-    // Materialize the sparse edge list once (cuts the LSH lineage);
-    // each round persists its labels and releases the previous round's
-    // — iterative state never accumulates in executor storage.
+    // Shingle once, cache, verify against the cache: without this the
+    // candidate pipeline re-derives text→shingle→hash three times
+    // (banding + both verify joins). Safe to release after the pairs
+    // themselves are cached.
+    val sh = shingleSets(docs, idCol, textCol, 3).persist()
+    // Persist the directed pairs BEFORE symmetrizing: the union's two
+    // branches otherwise each recompute the whole LSH candidate+verify
+    // pipeline — the dominant cost — instead of reading it once.
+    val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold,
+        precomputedShingles = Some(sh))
+      .select(col("id_a"), col("id_b")).persist()
+    pairs.count() // materialize so both union branches hit the cache
+    sh.unpersist()
+    // The sparse edge list also persists (cuts the LSH lineage); each
+    // round persists its labels and releases the previous round's —
+    // iterative state never accumulates in executor storage.
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .persist()
-    labels.count() // materialize before the loop mutates the variable
+    // No pre-loop materialization: round 1's action realizes both the
+    // edge cache and the initial labels in one job; later rounds reuse
+    // the caches, and unpersist on a never-built cache is a no-op.
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -138,12 +151,25 @@ object NearDup {
       labels = next.select(col("node"), col("next_id").as("cluster_id"))
     }
     edges.unpersist()
+    pairs.unpersist()
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
 
   /** Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
     * candidates generated by MinHash banding only.
     */
+  /** (doc_id, hs) hashed-shingle sets — the map-side input every LSH
+    * stage consumes. Exposed so iterative consumers (clusters) can
+    * persist it once instead of re-deriving it per downstream join.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .filter(size(toks) >= shingleLen)
+      .select(col(idCol).as("doc_id"), hashedShingles(col(textCol), shingleLen).as("hs"))
+  }
+
   def nearDuplicatePairs(
       docs: DataFrame,
       idCol: String,
@@ -151,13 +177,12 @@ object NearDup {
       threshold: Double,
       shingleLen: Int = 3,
       numHashes: Int = 16,
-      numBands: Int = 8): DataFrame = {
+      numBands: Int = 8,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rows = numHashes / numBands
-    val toks = split(trim(col(textCol)), "\\s+")
-    val sh = docs
-      .filter(size(toks) >= shingleLen)
-      .select(col(idCol).as("doc_id"), hashedShingles(col(textCol), shingleLen).as("hs"))
+    val sh = precomputedShingles.getOrElse(
+      shingleSets(docs, idCol, textCol, shingleLen))
 
     // The explicit repartition on the bucket key makes the self-join's
     // two sides share ONE materialized exchange (AQE stage reuse), so

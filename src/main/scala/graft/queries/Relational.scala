@@ -201,6 +201,14 @@ object Relational {
   def eventSessions(s: SparkSession, dir: String): DataFrame =
     graft.stream.EventWindows.sessionByUser(t(s, dir, "events"), "30 minutes")
 
+  /** Same sessionization through the custom-state fold
+    * ([[graft.stream.StatefulSessions]], the flatMapGroupsWithState
+    * path's shared core) — must agree with `event_sessions` and the
+    * gaps-and-islands oracle bit-for-bit.
+    */
+  def eventSessionsState(s: SparkSession, dir: String): DataFrame =
+    graft.stream.StatefulSessions.sessionsBatch(t(s, dir, "events"), "30 minutes")
+
   /** Exact percentile aggregates (ordered-set aggregation; DuckDB
     * quantile_cont uses the same linear interpolation).
     */
@@ -277,8 +285,29 @@ object Relational {
     "event_window" -> (eventWindow _),
     "event_window_sliding" -> (eventWindowSliding _),
     "event_sessions" -> (eventSessions _),
+    "event_sessions_state" -> (eventSessionsState _),
     "agg_percentiles" -> (aggPercentiles _),
     "approx_distinct" -> (approxDistinct _))
+
+  /** Gaps-and-islands rewrite of 30-min-gap sessionization; shared by
+    * the session_window query and its custom-state twin. */
+  private val sessionsOracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |            >= INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "agg_rollup" ->
@@ -398,23 +427,9 @@ object Relational {
         |  make_timestamp((start_s + 3600) * 1000000) AS window_end,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
-    "event_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |            >= INTERVAL 30 MINUTE
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM o)
-        |SELECT min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "event_sessions" -> sessionsOracleSql,
+    // Same sessions, computed by the custom-state fold — one SQL truth.
+    "event_sessions_state" -> sessionsOracleSql,
     "agg_percentiles" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

@@ -1,0 +1,119 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+
+/** Custom-state sessionization (SURVEY §2.8): the flatMapGroupsWithState
+  * path must agree with the session_window operator and with its own
+  * batch twin, emit each session exactly once in append mode, and drop
+  * late events.
+  */
+class StatefulSessionsSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    Ev(1, 1, ts("2024-01-01 10:05:00"), "click", 1.0),
+    Ev(2, 1, ts("2024-01-01 10:25:00"), "click", 2.5), // 20 min gap: same session
+    Ev(3, 1, ts("2024-01-01 11:30:00"), "view", 3.0),  // 65 min gap: new session
+    Ev(4, 2, ts("2024-01-01 10:45:00"), "view", 4.0),
+    Ev(5, 2, ts("2024-01-01 11:20:00"), "click", 0.5), // 35 min gap: new session
+    Ev(6, 3, ts("2024-01-01 11:40:00"), "view", 2.0))
+
+  test("batch custom-state fold matches session_window bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val viaWindow = EventWindows.sessionByUser(fixture.toDF(), "30 minutes")
+      .collect().map(_.toSeq).toSet
+    val viaState = StatefulSessions.sessionsBatch(fixture.toDF(), "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(viaState == viaWindow)
+    assert(viaState.nonEmpty)
+  }
+
+  test("a gap of exactly the timeout breaks the session (oracle contract)") {
+    // Pinned divergence: Spark's session_window would merge these two
+    // (it treats touching windows as one session); the gaps-and-islands
+    // oracle — and therefore this operator — breaks at >= gap.
+    val s = spark
+    import s.implicits._
+    val boundary = Seq(
+      Ev(1, 7, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(2, 7, ts("2024-01-01 10:30:00"), "click", 2.0))
+    val out = StatefulSessions.sessionsBatch(boundary.toDF(), "30 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(3)))
+    assert(out.toSet == Set(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:30:00"), 1L)))
+  }
+
+  test("merge bridges a late-but-in-watermark event across two open sessions") {
+    import StatefulSessions.SessAgg
+    val gapUs = 30L * 60 * 1000000
+    val a = SessAgg(0L, 0L, 1, 1.0)                    // session at t=0
+    val b = SessAgg(40 * 60 * 1000000L, 40 * 60 * 1000000L, 1, 2.0) // t=40min
+    assert(StatefulSessions.merge(Seq(a, b), gapUs).size == 2)
+    // An event at t=20min arrives later: all three now chain into one.
+    val bridge = SessAgg(20 * 60 * 1000000L, 20 * 60 * 1000000L, 1, 4.0)
+    val merged = StatefulSessions.merge(Seq(a, b, bridge), gapUs)
+    assert(merged == List(SessAgg(0L, b.lastUs, 3, 7.0)))
+  }
+
+  test("stream emits each closed session exactly once and matches batch") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[Ev](org.apache.spark.sql.Encoders.product[Ev], s.sqlContext)
+    val q = StatefulSessions.sessionsStream(ms.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      // Out-of-order within a batch + across batches (still in watermark).
+      ms.addData(fixture(1), fixture(0), fixture(3))
+      q.processAllAvailable()
+      ms.addData(fixture(2), fixture(4), fixture(5))
+      q.processAllAvailable()
+      // Advance the watermark far past every quiet period, then run one
+      // more batch so event-time timeouts fire and flush open sessions.
+      ms.addData(Ev(90, 99, ts("2024-01-01 18:00:00"), "tick", 0.0))
+      q.processAllAvailable()
+      ms.addData(Ev(91, 99, ts("2024-01-01 19:00:00"), "tick", 0.0))
+      q.processAllAvailable()
+
+      val streamed = s.table("state_sessions")
+        .filter($"user_id" <= 3).collect().map(_.toSeq)
+      val batch = StatefulSessions.sessionsBatch(fixture.toDF(), "30 minutes")
+        .collect().map(_.toSeq)
+      // Exactly once: no duplicate emissions across microbatches.
+      assert(streamed.length == streamed.toSet.size)
+      assert(streamed.toSet == batch.toSet)
+    } finally q.stop()
+  }
+
+  test("late event behind the watermark is dropped, not sessionized") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[Ev](org.apache.spark.sql.Encoders.product[Ev], s.sqlContext)
+    val q = StatefulSessions.sessionsStream(ms.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("state_late")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1, 1, ts("2024-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // Watermark is now 09:50; push it far ahead.
+      ms.addData(Ev(2, 99, ts("2024-01-01 15:00:00"), "tick", 0.0))
+      q.processAllAvailable()
+      // Watermark 14:50: this 10:05 event is late — must NOT extend or
+      // create a session, even though it reaches the state function.
+      ms.addData(Ev(3, 1, ts("2024-01-01 10:05:00"), "click", 99.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, 99, ts("2024-01-01 16:00:00"), "tick", 0.0))
+      q.processAllAvailable()
+
+      val u1 = s.table("state_late").filter($"user_id" === 1)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(3), r.getDouble(4)))
+      assert(u1.toSeq == Seq((ts("2024-01-01 10:00:00"), 1L, 1.0)))
+    } finally q.stop()
+  }
+}
