@@ -12,15 +12,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * oracle: sessions break when the gap between consecutive events is
   * ≥ the timeout, and a session ends at last-event + gap).
   *
-  * Shared core: [[merge]] / [[advance]] fold *session aggregates* —
-  * (start, last, count, sum) — never raw events, so per-key state is
-  * O(open sessions), not O(events). The batch path closes everything
-  * (end of input = watermark at +∞); the streaming path keeps sessions
-  * whose quiet period the watermark hasn't passed in [[GroupState]] and
-  * flushes them on event-time timeout. Both paths emit through the same
-  * [[merge]], which is the batch-parity guarantee `StatefulSessionsSpec`
-  * asserts (and the `event_sessions_state` oracle checks against the
-  * same gaps-and-islands SQL as `event_sessions`).
+  * Both paths fold *session aggregates* — (start, last, count, sum) —
+  * never raw events. The streaming path keeps open sessions in
+  * [[GroupState]] (state = O(open sessions)) and flushes them through
+  * [[merge]]/[[advance]] on event-time timeout; the batch path
+  * secondary-sorts by (user_id, ts) and streams a single open aggregate
+  * per key through the partition iterator (memory = O(1) even for a
+  * hot key). Both implement the same exact-gap boundary contract as
+  * [[merge]], which is the batch-parity guarantee
+  * `StatefulSessionsSpec` asserts (and the `event_sessions_state`
+  * oracle checks against the same gaps-and-islands SQL as
+  * `event_sessions`).
   *
   * Scale: one shuffle on user_id; state per key is a handful of longs
   * per *open* session and the event-time timeout bounds how long a
@@ -106,23 +108,59 @@ object StatefulSessions {
         col("user_id"), col("n_events").as("n_events"),
         round(col("sum_value"), 2).as("total_value"))
 
-  /** Batch sessionization through the shared fold: end of input closes
-    * every session (watermark +∞). Output schema matches
-    * [[EventWindows.sessionByUser]] exactly.
+  /** Batch sessionization: end of input closes every session. Output
+    * schema matches [[EventWindows.sessionByUser]] exactly, and the
+    * exact-gap boundary matches [[merge]] (a gap of exactly the timeout
+    * breaks — same `>= INTERVAL` contract as the gaps-and-islands
+    * oracle).
+    *
+    * Scale: a hash repartition on user_id plus a secondary sort on
+    * (user_id, ts) — Spark's external sort spills, so a partition never
+    * has to fit in memory — then a single-pass streaming fold that holds
+    * exactly ONE open-session aggregate at a time. Per-key (and
+    * per-partition) memory is O(1): a hot key with 10⁸ events costs no
+    * more heap than one with 3. (The previous shape, `flatMapGroups`
+    * with a per-key `toSeq`, materialized every event of a key.)
     */
   def sessionsBatch(events: DataFrame, gap: String): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val gapUs = gapUsOf(gap)
-    shape(toEvents(events)
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        val singles =
-          it.map(e => SessAgg(usOf(e.ts), usOf(e.ts), 1L, e.value)).toSeq
-        val (closed, open) = advance(singles, gapUs, Long.MaxValue)
-        assert(open.isEmpty) // watermark +∞ closes everything
-        closed.iterator.map(c => (c.startUs, c.lastUs + gapUs, uid, c.n, c.sum))
-      })
+    val sorted = toEvents(events)
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+    shape(sorted.mapPartitions { it =>
+      new Iterator[(Long, Long, Long, Long, Double)] {
+        private var pending: (Long, Long, Long, Long, Double) = _
+        private var ready = false
+        private var uid = 0L
+        private var open: SessAgg = null
+        private def close(): Unit = {
+          pending = (open.startUs, open.lastUs + gapUs, uid, open.n, open.sum)
+          ready = true
+        }
+        private def pull(): Unit = {
+          while (!ready && it.hasNext) {
+            val e = it.next(); val t = usOf(e.ts)
+            if (open == null) {
+              uid = e.user_id; open = SessAgg(t, t, 1L, e.value)
+            } else if (e.user_id != uid) {
+              close(); uid = e.user_id; open = SessAgg(t, t, 1L, e.value)
+            } else if (t - open.lastUs >= gapUs) {
+              close(); open = SessAgg(t, t, 1L, e.value)
+            } else {
+              open = SessAgg(open.startUs, t, open.n + 1L, open.sum + e.value)
+            }
+          }
+          if (!ready && open != null) { close(); open = null }
+        }
+        def hasNext: Boolean = { if (!ready) pull(); ready }
+        def next(): (Long, Long, Long, Long, Double) = {
+          if (!hasNext) throw new NoSuchElementException
+          ready = false; pending
+        }
+      }
+    })
   }
 
   /** Streaming sessionization with explicit custom state. Append-mode:
@@ -152,8 +190,11 @@ object StatefulSessions {
           if (state.exists) state.remove()
         } else {
           state.update(OpenSessions(open))
-          // Fire strictly after the newest quiet period ends (ms, ceil).
-          val quietEndMs = open.map(s => s.lastUs + gapUs).max / 1000L + 1L
+          // Fire strictly after the EARLIEST quiet period ends (ms,
+          // ceil): the oldest open session flushes as soon as the
+          // watermark passes it, rather than waiting on the newest —
+          // the timeout invocation re-advances and re-arms for the next.
+          val quietEndMs = open.map(s => s.lastUs + gapUs).min / 1000L + 1L
           state.setTimeoutTimestamp(quietEndMs)
         }
         closed.iterator.map(c => (c.startUs, c.lastUs + gapUs, uid, c.n, c.sum))

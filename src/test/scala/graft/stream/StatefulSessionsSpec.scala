@@ -91,6 +91,24 @@ class StatefulSessionsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hot key: 10^6 events for ONE user sessionize without per-key buffering") {
+    // The r2 shape (flatMapGroups + per-key toSeq) would materialize all
+    // 10^6 events of the key on one executor thread; the sorted
+    // single-pass fold holds one aggregate. Events tick every second,
+    // with an extra 1h jump every 100k events -> exactly 10 sessions.
+    import org.apache.spark.sql.functions._
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC, micros
+    val df = spark.range(1000000).select(
+      lit(42L).as("user_id"),
+      timestamp_micros(lit(base) + col("id") * 1000000L +
+        expr("id div 100000") * 3600000000L).as("ts"),
+      lit(1.5).as("value"))
+    val out = StatefulSessions.sessionsBatch(df, "30 minutes").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(3) == 100000L))
+    assert(out.map(_.getDouble(4)).sum == 1500000.0)
+  }
+
   test("late event behind the watermark is dropped, not sessionized") {
     val s = spark
     import s.implicits._
