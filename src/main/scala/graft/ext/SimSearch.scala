@@ -28,11 +28,76 @@ import org.apache.spark.sql.functions._
   * near-uniform test fixture pruning is limited (≈36% of the corpus
   * filtered at r=4, b=16 with 95% top-1 agreement vs brute force — see
   * SimSearchSpec) — that is the information-theoretic reality of ANN on
-  * random vectors, not an implementation artifact. At scale, raise r
-  * (key space 2^r per band) and b to hold recall: r=16-24 gives
-  * 65k-16M buckets per band.
+  * random vectors, not an implementation artifact. Index geometry is
+  * never defaulted: entry points demand an [[LshParams]]/[[IvfParams]],
+  * and [[LshParams.forCorpus]]/[[IvfParams.forCorpus]] derive
+  * scale-safe values from a corpus-size hint (r=16-24 → 65k-16M
+  * buckets per band at 10⁷-10⁹ vectors).
   */
 object SimSearch {
+
+  /** Hyperplane-LSH index geometry. The public entry points DEMAND one
+    * — there is no silent fixture-tuned default — so the safe path is
+    * the default: pass [[LshParams.forCorpus]] with a corpus-size hint
+    * (any estimate within 2× is fine; it only moves the occupancy
+    * target), or explicit values you have tuned.
+    */
+  final case class LshParams(
+      seed: Long, numBands: Int, rowsPerBand: Int, nnz: Int, dim: Int) {
+    require(numBands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 30,
+      s"bad LSH geometry: bands=$numBands rows=$rowsPerBand")
+  }
+
+  object LshParams {
+    private def ceilLog2(x: Long): Int =
+      if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+
+    /** Scale-aware geometry: `rowsPerBand` targets an expected bucket
+      * occupancy of ~64 vectors (2^r ≥ corpusSize/64, clamped to
+      * [4, 24]), so bucket self-join cost stays ~O(N·occupancy) instead
+      * of going quadratic when the corpus outgrows a fixed key space —
+      * at 10⁹ vectors this derives r=24 (16.7M buckets/band). More
+      * bands raise recall at linear cost; 16 is the standard
+      * operating point for ≥90% top-1 agreement at this occupancy.
+      */
+    def forCorpus(corpusSize: Long, dim: Int, numBands: Int = 16,
+        nnz: Int = 8, seed: Long = 7): LshParams = {
+      require(corpusSize > 0, "corpusSize hint must be positive")
+      val r = math.min(24, math.max(4, ceilLog2(corpusSize / 64)))
+      LshParams(seed, numBands, r, nnz, dim)
+    }
+
+    /** The sf-fixture geometry (64-d, ~10³ vectors → 16 buckets/band).
+      * For tests and the fixture-scale query registry only — real
+      * deployments go through [[forCorpus]].
+      */
+    val fixture: LshParams = LshParams(seed = 7, numBands = 16,
+      rowsPerBand = 4, nnz = 8, dim = 64)
+  }
+
+  /** IVF index geometry; same contract as [[LshParams]] — demanded at
+    * the entry point, derived from a corpus hint by [[IvfParams.forCorpus]].
+    */
+  final case class IvfParams(numCentroids: Int, probes: Int) {
+    require(numCentroids >= 1 && probes >= 1 && probes <= numCentroids,
+      s"bad IVF geometry: centroids=$numCentroids probes=$probes")
+  }
+
+  object IvfParams {
+    /** K ≈ √N (the standard IVF sizing: balances N/K assignment cost
+      * against K-way probe fan-out), clamped to [16, 65536]; probes
+      * scale as K/16 so recall holds as the cell count grows.
+      */
+    def forCorpus(corpusSize: Long): IvfParams = {
+      require(corpusSize > 0, "corpusSize hint must be positive")
+      val k = math.min(1 << 16,
+        math.max(16, math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
+      IvfParams(k, math.max(2, k / 16))
+    }
+
+    /** Fixture-scale geometry (~10³ vectors): 16 cells, 2 probes. */
+    val fixture: IvfParams = IvfParams(numCentroids = 16, probes = 2)
+  }
 
   /** Reference dot product as a sequential double fold — deterministic
     * summation order, bit-reproducible by the oracle's list functions.
@@ -105,20 +170,13 @@ object SimSearch {
   }
 
   /** LSH-bucketed top-1: candidates from shared band buckets, exact
-    * cosine re-rank. Defaults tuned on the 64-d test fixture.
+    * cosine re-rank. Geometry is demanded — see [[LshParams]].
     */
-  def lshTopK(
-      emb: DataFrame,
-      queryBound: Int,
-      seed: Long = 7,
-      numBands: Int = 16,
-      rowsPerBand: Int = 4,
-      nnz: Int = 8,
-      dim: Int = 64): DataFrame = {
+  def lshTopK(emb: DataFrame, queryBound: Int, p: LshParams): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
-    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
+    val ps = planes(p.seed, p.numBands * p.rowsPerBand, p.dim, p.nnz)
     val banded = emb.select(col("vec_id"),
-      posexplode(bandKeysNative(col("embedding"), ps, numBands, rowsPerBand))
+      posexplode(bandKeysNative(col("embedding"), ps, p.numBands, p.rowsPerBand))
         .as(Seq("band", "bkey")))
     // The query side is bounded (≤ queryBound × bands rows), so it
     // broadcasts; the corpus side streams through the bucket join
@@ -179,15 +237,11 @@ object SimSearch {
     * N×K dots (map-only, broadcast centroids); the probe join is keyed
     * on cell id, so corpus embeddings shuffle at most once.
     */
-  def ivfTopK(
-      emb: DataFrame,
-      queryBound: Int,
-      numCentroids: Int = 16,
-      probes: Int = 2): DataFrame = {
+  def ivfTopK(emb: DataFrame, queryBound: Int, p: IvfParams): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
       sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
-    val cents = broadcast(vecs.filter(col("vec_id") < numCentroids)
+    val cents = broadcast(vecs.filter(col("vec_id") < p.numCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn")))
     // Rounding the assignment sim makes the ranking robust to
     // cross-engine float-summation differences in the oracle.
@@ -198,7 +252,7 @@ object SimSearch {
       .withColumn("crn", row_number().over(w))
     val cells = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
-    val probed = ranked.filter(col("vec_id") < queryBound && col("crn") <= probes)
+    val probed = ranked.filter(col("vec_id") < queryBound && col("crn") <= p.probes)
       .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
     // Duplicates from probing 2 cells collapse in the re-rank (rn = 1).
     val cand = broadcast(probed).join(cells, "cell")
@@ -212,7 +266,9 @@ object SimSearch {
   }
 
   /** DuckDB oracle for [[ivfTopK]]. */
-  def ivfOracleSql(queryBound: Int, numCentroids: Int = 16, probes: Int = 2): String =
+  def ivfOracleSql(queryBound: Int, p: IvfParams): String = {
+    val numCentroids = p.numCentroids
+    val probes = p.probes
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < $numCentroids),
        |r AS (SELECT v.vec_id, cent_id,
@@ -230,6 +286,7 @@ object SimSearch {
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
        |       FROM p)
        |SELECT qid, cid, sim FROM rr WHERE rn = 1""".stripMargin
+  }
 
   /** Shared exact re-rank over (qid, cid, qv, cv, qn, cn) pairs:
     * deterministic cosine (round 6, cid tiebreak), top-1 per query.
@@ -249,17 +306,10 @@ object SimSearch {
     * threshold. The dedup analog of [[lshTopK]] — candidates from
     * bucketing, verification exact, all-pairs never materialized.
     */
-  def nearDupPairs(
-      emb: DataFrame,
-      threshold: Double,
-      seed: Long = 7,
-      numBands: Int = 16,
-      rowsPerBand: Int = 4,
-      nnz: Int = 8,
-      dim: Int = 64): DataFrame = {
-    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
+  def nearDupPairs(emb: DataFrame, threshold: Double, p: LshParams): DataFrame = {
+    val ps = planes(p.seed, p.numBands * p.rowsPerBand, p.dim, p.nnz)
     val banded = emb.select(col("vec_id"),
-      posexplode(bandKeysNative(col("embedding"), ps, numBands, rowsPerBand))
+      posexplode(bandKeysNative(col("embedding"), ps, p.numBands, p.rowsPerBand))
         .as(Seq("band", "bkey")))
     // Duplicate candidate pairs (several shared bands) are verified
     // redundantly and deduped AFTER the threshold filter, where only
@@ -286,9 +336,9 @@ object SimSearch {
   /** Shared oracle CTE prefix: embeddings as double arrays, the plane
     * projections, band keys, and the per-band bucket rows.
     */
-  private def bucketCtes(
-      seed: Long, numBands: Int, rowsPerBand: Int, nnz: Int, dim: Int): String = {
-    val ps = planes(seed, numBands * rowsPerBand, dim, nnz)
+  private def bucketCtes(p: LshParams): String = {
+    import p.{numBands, rowsPerBand}
+    val ps = planes(p.seed, numBands * rowsPerBand, p.dim, p.nnz)
     def projSql(plane: Seq[(Int, Int)]): String =
       plane.map { case (d, s) => s"v[${d + 1}]*${s.toDouble}" }.mkString("0.0 + ", " + ", "")
     val keySql = (0 until numBands).map { b =>
@@ -310,14 +360,8 @@ object SimSearch {
     * are reproduced in ANSI-ish SQL, so the driver's hash compare
     * verifies the LSH bucketing itself.
     */
-  def lshOracleSql(
-      queryBound: Int,
-      seed: Long = 7,
-      numBands: Int = 16,
-      rowsPerBand: Int = 4,
-      nnz: Int = 8,
-      dim: Int = 64): String =
-    s"""WITH ${bucketCtes(seed, numBands, rowsPerBand, nnz, dim)},
+  def lshOracleSql(queryBound: Int, p: LshParams): String =
+    s"""WITH ${bucketCtes(p)},
        |cand AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
        |         FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
        |         WHERE a.vec_id < $queryBound AND a.vec_id <> c.vec_id),
@@ -329,14 +373,8 @@ object SimSearch {
        |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin
 
   /** DuckDB oracle for [[nearDupPairs]]. */
-  def nearDupOracleSql(
-      threshold: Double,
-      seed: Long = 7,
-      numBands: Int = 16,
-      rowsPerBand: Int = 4,
-      nnz: Int = 8,
-      dim: Int = 64): String =
-    s"""WITH ${bucketCtes(seed, numBands, rowsPerBand, nnz, dim)},
+  def nearDupOracleSql(threshold: Double, p: LshParams): String =
+    s"""WITH ${bucketCtes(p)},
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
        |         FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
        |         WHERE a.vec_id < c.vec_id),

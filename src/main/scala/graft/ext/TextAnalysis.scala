@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: lang_id / tok_bpe / rolling fingerprint are map-only;
   * simhash is one explode + hash-aggregate (map-side partial agg on
-  * doc_id); simhash candidate pairs shuffle only (block, 15-bit key,
-  * id) triples — never text.
+  * doc_id); simhash candidate pairs shuffle only (band, combined-block
+  * key, id) tuples — never text — with a 2^24 key space per band at
+  * the defaults (see [[simhashBandKeys]]).
   */
 object TextAnalysis {
 
@@ -122,37 +123,79 @@ object TextAnalysis {
        |SELECT $idCol, ${bits.mkString(" + ")} AS simhash FROM bits""".stripMargin
   }
 
-  /** SimHash near-dup candidates: pairs within `maxHamming` bits.
-    * Candidate generation is block-banded (4 × 15-bit blocks): any pair
-    * within hamming 3 shares at least one exact block (pigeonhole), so
-    * the bucket self-join is COMPLETE for maxHamming ≤ 3 — never an
-    * all-pairs scan. SimHash is a candidate stage; feed survivors to
-    * exact Jaccard ([[NearDup]]) for confirmation.
+  /** Band keys for a SimHash fingerprint: split the 60 bits into
+    * `maxHamming + combine` blocks (the last block absorbs any
+    * remainder bits) and emit one key per `combine`-subset of blocks,
+    * each key the concatenation of its blocks' values.
+    *
+    * Completeness (pigeonhole): ≤ maxHamming flipped bits dirty at most
+    * maxHamming blocks, leaving ≥ combine clean blocks — so at least
+    * one subset is clean on both sides and the pair shares that band's
+    * key exactly. Spec'd as a property test in `TextAnalysisSpec`.
+    *
+    * Key space per band is 2^(combine · blockBits): at the defaults
+    * (maxHamming=3, combine=2 → 5 blocks × 12 bits, C(5,2)=10 bands of
+    * 24-bit keys) that is ~16.7M buckets/band — expected bucket
+    * occupancy stays O(N/2²⁴), vs the 32k-bucket cap of single-block
+    * banding, which went quadratic at ~10⁸ docs. Raising `combine`
+    * (e.g. 3 → 6 blocks, 20 bands, 30-bit keys) trades more bands for
+    * another 64× key space at corpus scale.
     */
-  def simhashPairs(
-      docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val blocks = 4
-    val blockBits = SimhashBits / blocks // 15
-    require(maxHamming < blocks, "block banding is complete only for hamming < blocks")
-    val sh = simhash(docs, textCol, idCol)
+  def simhashBandKeys(fp: Column, maxHamming: Int, combine: Int): Column = {
+    require(combine >= 1, "combine must be >= 1")
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val blocks = maxHamming + combine
+    require(blocks <= SimhashBits, s"need $blocks blocks of >= 1 bit from $SimhashBits bits")
+    val blockBits = SimhashBits / blocks
+    // Block j: [j*blockBits, ...); the last block takes the remainder so
+    // every fingerprint bit lands in exactly one block.
+    def width(j: Int): Int =
+      if (j == blocks - 1) SimhashBits - (blocks - 1) * blockBits else blockBits
+    def block(j: Int): Column =
+      shiftright(fp, j * blockBits).bitwiseAND((1L << width(j)) - 1)
+    val combos = (0 until blocks).combinations(combine).toSeq
+    array(combos.map(c =>
+      c.foldLeft(lit(0L)) { (acc, j) =>
+        shiftleft(acc, width(j)).bitwiseOR(block(j))
+      }): _*)
+  }
+
+  /** SimHash near-dup candidate pairs from precomputed fingerprints
+    * (column `simhash`). Banded by [[simhashBandKeys]]: the bucket
+    * self-join is COMPLETE for the given `maxHamming` and never an
+    * all-pairs scan; only (band, key, id, fingerprint) tuples shuffle —
+    * never text.
+    */
+  def simhashPairsFromFingerprints(
+      fps: DataFrame, idCol: String,
+      maxHamming: Int = 3, combine: Int = 2): DataFrame = {
     // repartition on the bucket key → the self-join's sides share one
-    // materialized exchange, so the explode + 60-sum simhash aggregate
+    // materialized exchange, so the upstream fingerprint computation
     // runs once (AQE stage reuse), not once per branch.
-    val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until blocks).map(j =>
-        shiftright(col("simhash"), j * blockBits)
-          .bitwiseAND((1L << blockBits) - 1)): _*)).as(Seq("block", "bkey")))
-      .repartition(col("block"), col("bkey"))
+    val banded = fps.select(col(idCol), col("simhash"),
+      posexplode(simhashBandKeys(col("simhash"), maxHamming, combine))
+        .as(Seq("band", "bkey")))
+      .repartition(col("band"), col("bkey"))
     val left = banded.alias("a")
     val right = banded.alias("b")
     left.join(right,
-        col("a.block") === col("b.block") && col("a.bkey") === col("b.bkey"))
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bits, end
+    * to end from text. SimHash is a candidate stage; feed survivors to
+    * exact Jaccard ([[NearDup]]) for confirmation.
+    */
+  def simhashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, combine: Int = 2): DataFrame =
+    simhashPairsFromFingerprints(
+      simhash(docs, textCol, idCol), idCol, maxHamming, combine)
 
   def simhashPairsOracleSql(
       table: String, textCol: String, idCol: String, maxHamming: Int = 3): String =

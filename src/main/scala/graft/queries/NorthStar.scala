@@ -115,7 +115,8 @@ object NorthStar {
     * hash-checks the LSH semantics end-to-end.
     */
   def simTopKLsh(s: SparkSession, dir: String): DataFrame =
-    graft.ext.SimSearch.lshTopK(t(s, dir, "embeddings"), 100)
+    graft.ext.SimSearch.lshTopK(t(s, dir, "embeddings"), 100,
+      graft.ext.SimSearch.LshParams.fixture)
 
   /** Exact ranked top-5 neighbors per query (Window top-k shape —
     * compiles to WindowGroupLimit partial/final pruning).
@@ -127,7 +128,8 @@ object NorthStar {
     * exact re-rank; the oracle replicates the deterministic index.
     */
   def simTopKIvf(s: SparkSession, dir: String): DataFrame =
-    graft.ext.SimSearch.ivfTopK(t(s, dir, "embeddings"), 100)
+    graft.ext.SimSearch.ivfTopK(t(s, dir, "embeddings"), 100,
+      graft.ext.SimSearch.IvfParams.fixture)
 
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification
@@ -225,7 +227,8 @@ object NorthStar {
 
   /** Embedding-cosine near-dup pairs (LSH candidates, cosine ≥ 0.4). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
-    graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+    graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4,
+      graft.ext.SimSearch.LshParams.fixture)
 
   private def payloadDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -303,7 +306,7 @@ object NorthStar {
     "simhash_pairs" -> graft.ext.TextAnalysis.simhashPairsOracleSql("documents", "text", "doc_id"),
     "fingerprint_rolling" -> graft.ext.TextAnalysis.rollingOracleSql("documents", "text", "doc_id"),
     "doc_sample" -> graft.ext.TextAnalysis.sampleOracleSql("documents", "doc_id", 20),
-    "emb_neardup" -> graft.ext.SimSearch.nearDupOracleSql(0.4),
+    "emb_neardup" -> graft.ext.SimSearch.nearDupOracleSql(0.4, graft.ext.SimSearch.LshParams.fixture),
     "multimodal_decode" -> graft.ext.Multimodal.decodeOracleSql("documents", "text", "doc_id"),
     "multimodal_resize" -> graft.ext.Multimodal.resizeOracleSql("documents", "text", "doc_id", 64),
     "multimodal_frames" -> graft.ext.Multimodal.framesOracleSql("documents", "text", "doc_id", 32, 8),
@@ -351,8 +354,8 @@ object NorthStar {
         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
         |           FROM p)
         |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin,
-    "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100),
-    "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100),
+    "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100, graft.ext.SimSearch.LshParams.fixture),
+    "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100, graft.ext.SimSearch.IvfParams.fixture),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
       s"""WITH $ShingleCtes

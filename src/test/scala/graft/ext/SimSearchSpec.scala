@@ -26,8 +26,8 @@ class SimSearchSpec extends SparkTestBase {
 
   test("lshTopK answers every query and is deterministic") {
     val emb = t(spark, sf0001, "embeddings")
-    val a = SimSearch.lshTopK(emb, 100).collect().map(_.toSeq).toSet
-    val b = SimSearch.lshTopK(emb, 100).collect().map(_.toSeq).toSet
+    val a = SimSearch.lshTopK(emb, 100, SimSearch.LshParams.fixture).collect().map(_.toSeq).toSet
+    val b = SimSearch.lshTopK(emb, 100, SimSearch.LshParams.fixture).collect().map(_.toSeq).toSet
     assert(a == b)
     assert(a.map(_.head).size == 100, "one top-1 row per query id")
   }
@@ -47,8 +47,8 @@ class SimSearchSpec extends SparkTestBase {
 
   test("ivfTopK answers every query deterministically") {
     val emb = t(spark, sf0001, "embeddings")
-    val a = SimSearch.ivfTopK(emb, 100).collect().map(_.toSeq).toSet
-    val b = SimSearch.ivfTopK(emb, 100).collect().map(_.toSeq).toSet
+    val a = SimSearch.ivfTopK(emb, 100, SimSearch.IvfParams.fixture).collect().map(_.toSeq).toSet
+    val b = SimSearch.ivfTopK(emb, 100, SimSearch.IvfParams.fixture).collect().map(_.toSeq).toSet
     assert(a == b && a.map(_.head).size == 100)
   }
 
@@ -56,9 +56,21 @@ class SimSearchSpec extends SparkTestBase {
     val emb = t(spark, sf0001, "embeddings")
     val brute = SimSearch.bruteTopK(emb, 100).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val lsh = SimSearch.lshTopK(emb, 100).collect()
+    val lsh = SimSearch.lshTopK(emb, 100, SimSearch.LshParams.fixture).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agree = brute.count { case (q, c) => lsh.get(q).contains(c) }
     assert(agree >= 90, s"recall $agree/100 below bound")
+  }
+
+  test("forCorpus derives scale-safe index geometry, clamped") {
+    import SimSearch.{IvfParams, LshParams}
+    // Occupancy target ~64/bucket: 2^r tracks corpusSize/64.
+    assert(LshParams.forCorpus(1000, 64).rowsPerBand == 4)        // floor clamp
+    assert(LshParams.forCorpus(1000000, 64).rowsPerBand == 14)    // ceil(log2(15625))
+    assert(LshParams.forCorpus(1000000000L, 64).rowsPerBand == 24) // ceiling clamp
+    assert(IvfParams.forCorpus(1000) == IvfParams(32, 2))
+    assert(IvfParams.forCorpus(100000000L) == IvfParams(10000, 625))
+    assert(IvfParams.forCorpus(100L * 1000 * 1000 * 1000).numCentroids == 65536)
+    intercept[IllegalArgumentException](LshParams.forCorpus(0, 64))
   }
 }

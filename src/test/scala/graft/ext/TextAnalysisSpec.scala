@@ -46,6 +46,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(all.nonEmpty)
   }
 
+  test("band-key completeness property: any pair within maxHamming shares a band") {
+    // Pure pigeonhole check on the banding itself, decoupled from text:
+    // seeded random 60-bit fingerprints, each paired with a copy that
+    // has up to maxHamming random bits flipped (including bits in the
+    // wider last block). Every such pair MUST surface from the banded
+    // self-join — this is the completeness contract simhashBandKeys
+    // documents, across several (maxHamming, combine) geometries.
+    val rnd = new scala.util.Random(20260812L)
+    val n = 120
+    for ((maxH, combine) <- Seq((3, 2), (2, 2), (3, 3), (3, 1))) {
+      val rows = (0 until n).flatMap { i =>
+        val base = rnd.nextLong() & ((1L << TextAnalysis.SimhashBits) - 1)
+        val flips = rnd.nextInt(maxH + 1)
+        val pert = (0 until flips).foldLeft(base) { (fp, _) =>
+          fp ^ (1L << rnd.nextInt(TextAnalysis.SimhashBits))
+        }
+        Seq((i.toLong * 2, base), (i.toLong * 2 + 1, pert))
+      }
+      val fps = rows.toDF("doc_id", "simhash")
+      val found = TextAnalysis
+        .simhashPairsFromFingerprints(fps, "doc_id", maxH, combine)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = rows.grouped(2).collect {
+        case Seq((ia, fa), (ib, fb))
+            if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= maxH =>
+          (ia, ib)
+      }.toSet
+      assert(expected.subsetOf(found),
+        s"missed pairs at maxHamming=$maxH combine=$combine: ${expected -- found}")
+      // And soundness: nothing beyond the hamming bound leaks through.
+      assert(found.forall { case (a, b) =>
+        val m = rows.toMap; java.lang.Long.bitCount(m(a) ^ m(b)) <= maxH
+      })
+    }
+  }
+
   test("bpe token stats split letter/digit/punct runs") {
     val docs = Seq((1L, "ab2c, d-e 42")).toDF("doc_id", "text")
     val r = TextAnalysis.bpeTokenStats(docs, "text", "doc_id").head()
