@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** MinHash-LSH near-duplicate detection (north star; SURVEY §2.6 A4).
@@ -35,6 +35,8 @@ import org.apache.spark.sql.functions._
   * distinct shingles) — the standard trade for never shuffling text.
   */
 object NearDup {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Distinct word n-gram shingle set. Callers must pre-filter rows
     * with fewer than `n` tokens (slice length would go negative).
@@ -105,59 +107,120 @@ object NearDup {
     * (pairs/triples), so convergence is 2-3 rounds; each round is one
     * join + aggregate on the (sparse) pair list, never the corpus.
     */
+  /** Propagation rounds are bounded by component diameter; a component
+    * whose diameter exceeds this is not a near-dup cluster but an
+    * adversarial chain — fail loudly instead of looping (or silently
+    * returning unconverged labels).
+    */
+  val MaxPropagationRounds = 50
+
+  /** Truncate the iterative lineage every this many rounds: persist
+    * bounds recompute but the logical plan still deepens per round, so
+    * long convergences pay growing analysis time without it.
+    */
+  private val CheckpointEvery = 5
+
   def nearDuplicateClusters(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      shingleLen: Int = DefaultShingleLen): DataFrame = {
     // Shingle once, cache, verify against the cache: without this the
     // candidate pipeline re-derives text→shingle→hash three times
     // (banding + both verify joins). Safe to release after the pairs
     // themselves are cached.
-    val sh = shingleSets(docs, idCol, textCol, 3).persist()
-    // Persist the directed pairs BEFORE symmetrizing: the union's two
-    // branches otherwise each recompute the whole LSH candidate+verify
-    // pipeline — the dominant cost — instead of reading it once.
-    val pairs = nearDuplicatePairs(docs, idCol, textCol, threshold,
-        precomputedShingles = Some(sh))
-      .select(col("id_a"), col("id_b")).persist()
-    pairs.count() // materialize so both union branches hit the cache
+    val sh = shingleSets(docs, idCol, textCol, shingleLen).persist()
+    // Symmetrize with one explode over the pair rows — NOT a two-branch
+    // union, which would scan (or worse, recompute) the LSH
+    // candidate+verify pipeline once per direction. The sparse edge
+    // list is the single materialization and cuts the LSH lineage.
+    val pair = nearDuplicatePairs(docs, idCol, textCol, threshold,
+      shingleLen, precomputedShingles = Some(sh))
+    val edges = pair.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    edges.count() // one job realizes the LSH pipeline into the edge cache
     sh.unpersist()
-    // The sparse edge list also persists (cuts the LSH lineage); each
-    // round persists its labels and releases the previous round's —
-    // iterative state never accumulates in executor storage.
-    val edges = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .persist()
-    // No pre-loop materialization: round 1's action realizes both the
-    // edge cache and the initial labels in one job; later rounds reuse
-    // the caches, and unpersist on a never-built cache is a no-op.
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      val next = labels
-        .join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(col("node"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("next_id"),
-          col("cluster_id").as("prev_id"))
-        .persist()
-      changed = next.filter(col("next_id") < col("prev_id")).count()
-      labels.unpersist()
-      labels = next.select(col("node"), col("next_id").as("cluster_id"))
+    // Convergence detection rides the round's one materializing action:
+    // labels only ever decrease, so the label sum (exact decimal — no
+    // long overflow, no float fuzz) is strictly decreasing until the
+    // fixed point. Observing it costs nothing extra; the previous shape
+    // ran a separate filter+count job per round.
+    def labelSum(df: DataFrame, obs: Observation): DataFrame =
+      df.observe(obs, sum(col("cluster_id").cast("decimal(38,0)")).as("lsum"))
+    var prevSum: java.math.BigDecimal = null
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      if (round > MaxPropagationRounds)
+        throw new IllegalStateException(
+          s"label propagation did not converge in $MaxPropagationRounds rounds: " +
+            "component diameter is pathological for near-dup clustering")
+      // One shuffle join + one min-aggregate per round: each node takes
+      // the min label over itself and its neighbors. (The previous
+      // shape used join + agg + left-join — one extra wide join per
+      // round for the same fixed point.)
+      val obs = new Observation(s"graft_cc_round_$round")
+      val prev = labels
+      val next = labelSum(
+        edges.join(labels, edges("dst") === labels("node"))
+          .select(col("src").as("node"), col("cluster_id"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id")),
+        obs).persist()
+      next.count() // materializes the cache AND fires the observation
+      val newSum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      converged = prevSum != null && prevSum.compareTo(newSum) == 0
+      prevSum = newSum
+      prev.unpersist() // the exact handle that was persisted — not a projection
+      labels =
+        if (round % CheckpointEvery == 0) { // truncate lineage, drop the cache
+          val cp = next.localCheckpoint(); next.unpersist(); cp
+        } else next
     }
     edges.unpersist()
-    pairs.unpersist()
+    log.info(s"near-dup label propagation converged in $round rounds")
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
 
-  /** Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
-    * candidates generated by MinHash banding only.
+  /** The cleaned corpus: every document except non-survivor cluster
+    * members (cluster minimum survives) — an anti-join against the
+    * sparse loser set, so the corpus streams through one
+    * broadcast-able filter.
+    *
+    * Pass `precomputedClusters` (the output of
+    * [[nearDuplicateClusters]]) when a pipeline materializes both the
+    * cluster map and the cleaned corpus — one LSH + propagation pass
+    * feeds both instead of re-running the dominant cost.
     */
+  def dedupSurvivors(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleLen: Int = DefaultShingleLen,
+      precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val clusters = precomputedClusters.getOrElse(
+      nearDuplicateClusters(docs, idCol, textCol, threshold, shingleLen))
+    val losers = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Word n-grams per shingle; shared by the pair and cluster pipelines
+    * so a precomputed shingle frame can never silently disagree with
+    * the pair stage it feeds.
+    */
+  val DefaultShingleLen = 3
+
   /** (doc_id, hs) hashed-shingle sets — the map-side input every LSH
     * stage consumes. Exposed so iterative consumers (clusters) can
     * persist it once instead of re-deriving it per downstream join.
@@ -170,12 +233,15 @@ object NearDup {
       .select(col(idCol).as("doc_id"), hashedShingles(col(textCol), shingleLen).as("hs"))
   }
 
+  /** Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
+    * candidates generated by MinHash banding only.
+    */
   def nearDuplicatePairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      shingleLen: Int = 3,
+      shingleLen: Int = DefaultShingleLen,
       numHashes: Int = 16,
       numBands: Int = 8,
       precomputedShingles: Option[DataFrame] = None): DataFrame = {

@@ -161,12 +161,8 @@ object NorthStar {
     */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val losers = graft.ext.NearDup
-      .nearDuplicateClusters(t(s, dir, "documents"), "doc_id", "text", 0.5)
-      .filter($"doc_id" =!= $"cluster_id")
-      .select($"doc_id")
-    t(s, dir, "documents")
-      .join(losers, Seq("doc_id"), "left_anti")
+    graft.ext.NearDup
+      .dedupSurvivors(t(s, dir, "documents"), "doc_id", "text", 0.5)
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 

@@ -62,6 +62,26 @@ class NearDupSpec extends SparkTestBase {
     assert(!clusters.contains(99L))         // isolated docs aren't in the graph
   }
 
+  test("one cluster pass feeds both the cluster map and the survivors") {
+    val s = spark
+    import s.implicits._
+    val docs = t(s, sf0001, "documents")
+    val clusters = NearDup
+      .nearDuplicateClusters(docs, "doc_id", "text", 0.5).persist()
+    val composed = NearDup
+      .dedupSurvivors(docs, "doc_id", "text", 0.5,
+        precomputedClusters = Some(clusters))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val standalone = NearDup.dedupSurvivors(docs, "doc_id", "text", 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(composed == standalone)
+    // survivors = corpus minus the non-minimum cluster members
+    val losers = clusters.filter($"doc_id" =!= $"cluster_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(composed == docs.select($"doc_id").collect().map(_.getLong(0)).toSet -- losers)
+    clusters.unpersist()
+  }
+
   test("banding prunes: candidate pairs well below all-pairs count") {
     val s = spark
     import s.implicits._
