@@ -143,7 +143,8 @@ object ConfigLoader {
         distkey = optStr(w, "distkey"),
         sortkey = strSeq(w, "sortkey"),
         vacuumStrategy = str(w, "vacuum_strategy", "auto"),
-        analyze = bool(w, "analyze", default = true))
+        analyze = bool(w, "analyze", default = true),
+        allowColumnEvolution = bool(w, "allow_column_evolution", default = false))
     }
 
     val qcs = seq(src, "quality_checks").map { q =>

@@ -160,7 +160,12 @@ final case class WarehouseConfig(
     distkey: Option[String] = None,
     sortkey: Seq[String] = Nil,
     vacuumStrategy: String = "auto",
-    analyze: Boolean = true) {
+    analyze: Boolean = true,
+    // Schema evolution gate (K7): additive columns are always allowed;
+    // dropping or retyping a published column fails the publish unless
+    // this opts in (mirrors the reference's information_schema check
+    // before COPY — redshift_loader/handler.py:102-118).
+    allowColumnEvolution: Boolean = false) {
   def qualified: String = s"${schema}_$table" // session-catalog-safe name
 }
 

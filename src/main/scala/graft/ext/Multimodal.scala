@@ -3,7 +3,7 @@ package graft.ext
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Multimodal-column processing (north star): media payloads ride as
   * opaque binary columns with typed metadata; decode / feature-extract
@@ -65,6 +65,16 @@ object Multimodal {
       }
     }(Encoders.product[MediaFeatures])
   }
+
+  /** Entry path for LANDED binaries (the S10 → binaryFile → decode
+    * chain): a `binaryFile`-sourced frame (path, content) becomes typed
+    * media features, with doc_id = xxhash64 of the landing path —
+    * stable across reruns and repartitionings, unlike a row number.
+    */
+  def decodeLanded(landed: DataFrame): Dataset[MediaFeatures] =
+    decodeFeatures(
+      landed.select(xxhash64(col("path")).as("doc_id"), col("content")),
+      "doc_id", "content")
 
   /** DuckDB oracle replicating the stub decode from the text column the
     * fixture payloads derive from.

@@ -290,7 +290,18 @@ object Relational {
     "approx_distinct" -> (approxDistinct _))
 
   /** Gaps-and-islands rewrite of 30-min-gap sessionization; shared by
-    * the session_window query and its custom-state twin. */
+    * the session_window query and its custom-state twin.
+    *
+    * Known boundary exposure (verified empirically): two events whose
+    * gap is EXACTLY the timeout break here (`>= INTERVAL`) and in the
+    * custom-state fold, but Spark's `session_window` operator merges
+    * touching windows into one session — so `event_sessions` would
+    * diverge from this oracle on exact-gap timestamps. The fixture's
+    * event times are generated at sub-second jitter, which never lands
+    * on the exact 1800.000000s boundary; `StatefulSessionsSpec` pins
+    * the contract for the custom-state path, where the boundary is
+    * ours to define.
+    */
   private val sessionsOracleSql: String =
     """WITH o AS (
       |  SELECT user_id, ts, value,

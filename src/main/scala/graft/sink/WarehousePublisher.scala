@@ -42,8 +42,45 @@ object WarehousePublisher {
       }
     }
 
+  /** Raised by the K7 schema gate: the incoming frame dropped or
+    * retyped columns of the currently published version and the config
+    * did not opt into evolution.
+    */
+  final class SchemaCompatException(msg: String) extends RuntimeException(msg)
+
+  /** K7 column introspection gate, mirroring the reference's
+    * information_schema.columns check before COPY
+    * (redshift_loader/handler.py:102-118): every column of the
+    * currently published version must exist in the incoming frame with
+    * the same type. Additive columns are always compatible (the view
+    * swap republishes the full schema, so readers see the superset);
+    * drops/retypes are silent data loss for downstream readers and
+    * fail the publish unless `allow_column_evolution` opts in.
+    *
+    * Catalog metadata only — no data is read.
+    */
+  private def checkColumnCompat(
+      spark: SparkSession, target: String, incoming: DataFrame): Unit = {
+    if (!spark.catalog.tableExists(target)) return
+    val published = spark.catalog.listColumns(target).collect()
+      .map(c => c.name.toLowerCase -> c.dataType).toMap
+    val offered = incoming.schema.map(f =>
+      f.name.toLowerCase -> f.dataType.simpleString).toMap
+    val dropped = published.keySet -- offered.keySet
+    val retyped = published.collect {
+      case (name, dt) if offered.get(name).exists(_ != dt) =>
+        s"$name: $dt -> ${offered(name)}"
+    }
+    if (dropped.nonEmpty || retyped.nonEmpty)
+      throw new SchemaCompatException(
+        s"incompatible publish to $target: dropped=[${dropped.toSeq.sorted.mkString(", ")}] " +
+          s"retyped=[${retyped.toSeq.sorted.mkString(", ")}] " +
+          "(set allow_column_evolution to publish anyway)")
+  }
+
   def publish(spark: SparkSession, df: DataFrame, cfg: WarehouseConfig): PublishResult = {
     val target = cfg.qualified
+    if (!cfg.allowColumnEvolution) checkColumnCompat(spark, target, df)
 
     // Physical layout: distribution key → hash repartition (co-locates
     // equal keys, the distkey contract); sort keys → within-partition

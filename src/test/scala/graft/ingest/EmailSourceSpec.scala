@@ -102,4 +102,28 @@ class EmailSourceSpec extends SparkTestBase {
     assert(row.getLong(0) == csvPayload.getBytes(StandardCharsets.UTF_8).length)
     assert(new String(row.getAs[Array[Byte]](1), StandardCharsets.UTF_8) == csvPayload)
   }
+
+  test("landed attachments flow end-to-end into multimodal decode") {
+    // The full S10 chain on REAL landed binaries: MIME walk -> land ->
+    // binaryFile read -> typed media features; every stage is the
+    // production code path, no synthetic payload column.
+    val dir = Files.createTempDirectory("graft-email-mm").toString
+    val mail = EmailSource.parse(raw)
+    val landed = EmailSource.land(
+      mail, EmailConfig(allowedExtensions = Seq(".csv", ".txt")), dir)
+    assert(landed.size == 2)
+    val feats = graft.ext.Multimodal
+      .decodeLanded(EmailSource.readLanded(spark, dir))
+      .collect()
+    assert(feats.length == 2) // both payloads exceed the 2-byte gate
+    val bytes = csvPayload.getBytes(StandardCharsets.UTF_8)
+    val expected = graft.ext.Multimodal.StubDecoder.decode(bytes)
+    val csvFeat = feats.find(_.n_bytes == bytes.length).get
+    assert((csvFeat.header_hash, csvFeat.width, csvFeat.height) == expected)
+    // ids are stable across re-reads (path-derived, not positional)
+    val again = graft.ext.Multimodal
+      .decodeLanded(EmailSource.readLanded(spark, dir)).collect()
+    assert(again.map(f => f.doc_id -> f.header_hash).toSet ==
+      feats.map(f => f.doc_id -> f.header_hash).toSet)
+  }
 }

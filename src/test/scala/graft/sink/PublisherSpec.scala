@@ -89,6 +89,33 @@ class PublisherSpec extends SparkTestBase {
     assert(versions.length >= 2) // original + compacted rewrite
   }
 
+  test("K7 schema gate: additive columns publish; drops and retypes are rejected") {
+    val cfg = WarehouseConfig(schema = "pubspec", table = "compat", analyze = false)
+    WarehousePublisher.publish(spark, Seq((1, "a")).toDF("k", "v"), cfg)
+
+    // Additive: a new column is compatible, publishes fine.
+    WarehousePublisher.publish(spark, Seq((1, "a", 9L)).toDF("k", "v", "extra"), cfg)
+    assert(spark.table("pubspec_compat").columns.toSeq == Seq("k", "v", "extra"))
+
+    // Dropping a published column is rejected before any write...
+    val drop = intercept[WarehousePublisher.SchemaCompatException] {
+      WarehousePublisher.publish(spark, Seq((1, "a")).toDF("k", "v"), cfg)
+    }
+    assert(drop.getMessage.contains("dropped=[extra]"))
+    // ...and so is retyping one.
+    val retype = intercept[WarehousePublisher.SchemaCompatException] {
+      WarehousePublisher.publish(spark, Seq((1, "a", "s")).toDF("k", "v", "extra"), cfg)
+    }
+    assert(retype.getMessage.contains("retyped=[extra: bigint -> string]"))
+    // The rejected publishes left the current version untouched.
+    assert(spark.table("pubspec_compat").count() == 1)
+
+    // Opting into evolution allows the drop.
+    WarehousePublisher.publish(spark, Seq((2, "b")).toDF("k", "v"),
+      cfg.copy(allowColumnEvolution = true))
+    assert(spark.table("pubspec_compat").columns.toSeq == Seq("k", "v"))
+  }
+
   test("exportTable (UNLOAD) round-trips a published table") {
     val cfg = WarehouseConfig(schema = "pubspec", table = "exp", analyze = false)
     WarehousePublisher.publish(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), cfg)
