@@ -231,6 +231,43 @@ object TextAnalysis {
   def sampleOracleSql(table: String, idCol: String, pct: Int): String =
     sampleOracleSql(table, idCol, 0, pct)
 
+  /** Stratified deterministic sampling: each stratum keeps its own
+    * id-hash bucket prefix [0, pct), so per-stratum rates compose into
+    * a training-data MIX (e.g. en 50%, de 20%, fr 10%) that is
+    * reproducible, repartition-stable, and — because every stratum
+    * samples from the same bucket function — consistent with
+    * [[deterministicSample]] splits: a document in the 20% global
+    * sample is in every stratum sample whose rate ≥ 20%.
+    *
+    * The rates ride a broadcast join (scales to arbitrarily many
+    * strata, unlike a literal when-chain); unlisted strata fall back to
+    * `defaultPct`.
+    */
+  def stratifiedSample(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require(rates.values.forall(p => p >= 0 && p <= 100) &&
+      defaultPct >= 0 && defaultPct <= 100, "rates are percents in [0,100]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val ratesDf = broadcast(rates.toSeq.toDF(stratumCol, "__pct"))
+    val bucket = pmod(tokenHash(col(idCol).cast("string")), lit(100L))
+    docs.join(ratesDf, Seq(stratumCol), "left")
+      .filter(bucket < coalesce(col("__pct"), lit(defaultPct)))
+      .drop("__pct")
+      .select(docs.columns.map(col): _*) // original column order
+  }
+
+  def stratifiedOracleSql(
+      table: String, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (k, p) => s"WHEN '$k' THEN $p" }.mkString(" ")
+    s"""SELECT * FROM $table
+       |WHERE ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))::BIGINT % 100
+       |  < (CASE $stratumCol $cases ELSE $defaultPct END)""".stripMargin
+  }
+
   // ---- rolling (Rabin-Karp) fingerprint ----
 
   val RollP = 1000000007L // prime modulus keeps DuckDB's strict BIGINT in range

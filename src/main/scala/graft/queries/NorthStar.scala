@@ -226,6 +226,54 @@ object NorthStar {
     graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4,
       graft.ext.SimSearch.LshParams.fixture)
 
+  /** Stratified training-data mix over documents: per-language
+    * deterministic sample rates (en 50%, de 20%, fr 10%, es 5%,
+    * unlisted 0).
+    */
+  val MixRates: Map[String, Int] = Map("en" -> 50, "de" -> 20, "fr" -> 10, "es" -> 5)
+  def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.stratifiedSample(
+      t(s, dir, "documents"), "doc_id", "lang", MixRates)
+
+  /** Backward as-of join: each event picks up the latest purchase (by
+    * the same user, at or before the event time). The right side is
+    * pre-aggregated to one row per (user, ts) — the as-of uniqueness
+    * contract — and the oracle is DuckDB's native ASOF LEFT JOIN, so
+    * the window-based Spark encoding is differentially checked against
+    * an independent as-of implementation.
+    */
+  def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    val events = t(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    graft.ext.AsofJoin.asofBackward(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      "user_id", "ts",
+      purchases, "p_user", "purchase_ts",
+      Seq("purchase_ts", "purchase_value"))
+  }
+
+  /** Bucketized point-in-range join: lineitem prices against
+    * overlapping 7500-wide price bands (each price can fall in 1-2
+    * bands), aggregated per band. Bucket width 5000 ≈ the band length
+    * scale, so each band explodes to ≤ 3 bucket rows.
+    */
+  def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    val bands = s.range(21).select(
+      col("id").as("band_id"),
+      (col("id") * 5000.0).as("lo"),
+      (col("id") * 5000.0 + 7500.0).as("hi"))
+    graft.ext.RangeJoin.pointInRange(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "l_extendedprice", bands, "lo", "hi", bucketWidth = 5000.0)
+      .groupBy("band_id")
+      .agg(count("*").as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+  }
+
   private def payloadDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -250,6 +298,9 @@ object NorthStar {
     "simhash_pairs" -> (simhashPairsQ _),
     "fingerprint_rolling" -> (rollingFp _),
     "doc_sample" -> (docSample _),
+    "stratified_sample" -> (stratifiedSampleQ _),
+    "asof_join" -> (asofJoinQ _),
+    "range_join" -> (rangeJoinQ _),
     "emb_neardup" -> (embNearDup _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
@@ -302,6 +353,27 @@ object NorthStar {
     "simhash_pairs" -> graft.ext.TextAnalysis.simhashPairsOracleSql("documents", "text", "doc_id"),
     "fingerprint_rolling" -> graft.ext.TextAnalysis.rollingOracleSql("documents", "text", "doc_id"),
     "doc_sample" -> graft.ext.TextAnalysis.sampleOracleSql("documents", "doc_id", 20),
+    "stratified_sample" ->
+      graft.ext.TextAnalysis.stratifiedOracleSql("documents", "doc_id", "lang", MixRates),
+    // DuckDB's NATIVE asof join — an independent implementation of the
+    // semantics, not a replay of the window encoding.
+    "asof_join" ->
+      """WITH p AS (SELECT user_id AS p_user, ts AS purchase_ts,
+        |             max(value) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |       p.purchase_ts, p.purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.p_user AND e.ts >= p.purchase_ts""".stripMargin,
+    "range_join" ->
+      """WITH bands AS (SELECT i AS band_id, i*5000.0 AS lo, i*5000.0+7500.0 AS hi
+        |               FROM range(21) t(i)),
+        |j AS (SELECT band_id, l_extendedprice
+        |      FROM lineitem JOIN bands
+        |        ON l_extendedprice >= lo AND l_extendedprice < hi)
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS total_price
+        |FROM j GROUP BY band_id""".stripMargin,
     "emb_neardup" -> graft.ext.SimSearch.nearDupOracleSql(0.4, graft.ext.SimSearch.LshParams.fixture),
     "multimodal_decode" -> graft.ext.Multimodal.decodeOracleSql("documents", "text", "doc_id"),
     "multimodal_resize" -> graft.ext.Multimodal.resizeOracleSql("documents", "text", "doc_id", 64),

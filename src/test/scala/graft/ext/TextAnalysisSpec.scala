@@ -89,6 +89,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getLong(1) == 8 && r.getLong(2) == 8)
   }
 
+  test("stratified sample composes consistently with the global hash split") {
+    val docs = t(spark, sf0001, "documents")
+    val rates = Map("en" -> 50, "de" -> 20)
+    val mixed = TextAnalysis.stratifiedSample(docs, "doc_id", "lang", rates)
+      .select($"doc_id", $"lang").collect().map(r => r.getLong(0) -> r.getString(1))
+    // Unlisted strata fall to the 0% default.
+    assert(mixed.map(_._2).toSet == Set("en", "de"))
+    // Same bucket function as deterministicSample: the 20% global
+    // prefix restricted to 'de' IS the de-stratum sample, and every
+    // 20%-prefix 'en' doc is inside the 50% en sample.
+    val global20 = TextAnalysis.deterministicSample(docs, "doc_id", 20)
+      .select($"doc_id", $"lang").collect().map(r => r.getLong(0) -> r.getString(1))
+    val mixedIds = mixed.map(_._1).toSet
+    assert(global20.filter(_._2 == "de").map(_._1).toSet ==
+      mixed.filter(_._2 == "de").map(_._1).toSet)
+    assert(global20.filter(_._2 == "en").map(_._1).toSet.subsetOf(mixedIds))
+    assert(mixed.nonEmpty)
+  }
+
   test("multimodal decode: mapPartitions stub extracts typed features") {
     val docs = Seq(
       (1L, "Hello world payload"),
