@@ -231,6 +231,19 @@ object NorthStar {
     * unlisted 0).
     */
   val MixRates: Map[String, Int] = Map("en" -> 50, "de" -> 20, "fr" -> 10, "es" -> 5)
+
+  /** DuckDB's NATIVE asof join — an independent implementation of the
+    * semantics, shared by the plain and chunked Spark encodings.
+    */
+  private val AsofOracleSql: String =
+    """WITH p AS (SELECT user_id AS p_user, ts AS purchase_ts,
+        |             max(value) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |       p.purchase_ts, p.purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.p_user AND e.ts >= p.purchase_ts""".stripMargin
+
   def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.stratifiedSample(
       t(s, dir, "documents"), "doc_id", "lang", MixRates)
@@ -253,6 +266,24 @@ object NorthStar {
       "user_id", "ts",
       purchases, "p_user", "purchase_ts",
       Seq("purchase_ts", "purchase_value"))
+  }
+
+  /** Skew-safe chunked as-of (same semantics, salted by 6-hour
+    * timeline chunks — the events fixture spans ~30 days, so the
+    * stitching crosses ~120 chunk boundaries); checked against the
+    * same native-ASOF oracle.
+    */
+  def asofJoinChunkedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    val events = t(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    graft.ext.AsofJoin.asofBackwardChunked(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      "user_id", "ts",
+      purchases, "p_user", "purchase_ts",
+      Seq("purchase_ts", "purchase_value"), chunk = "6 hours")
   }
 
   /** Bucketized point-in-range join: lineitem prices against
@@ -300,6 +331,7 @@ object NorthStar {
     "doc_sample" -> (docSample _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "asof_join" -> (asofJoinQ _),
+    "asof_join_chunked" -> (asofJoinChunkedQ _),
     "range_join" -> (rangeJoinQ _),
     "emb_neardup" -> (embNearDup _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -357,14 +389,8 @@ object NorthStar {
       graft.ext.TextAnalysis.stratifiedOracleSql("documents", "doc_id", "lang", MixRates),
     // DuckDB's NATIVE asof join — an independent implementation of the
     // semantics, not a replay of the window encoding.
-    "asof_join" ->
-      """WITH p AS (SELECT user_id AS p_user, ts AS purchase_ts,
-        |             max(value) AS purchase_value
-        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
-        |       p.purchase_ts, p.purchase_value
-        |FROM events e ASOF LEFT JOIN p
-        |  ON e.user_id = p.p_user AND e.ts >= p.purchase_ts""".stripMargin,
+    "asof_join" -> AsofOracleSql,
+    "asof_join_chunked" -> AsofOracleSql,
     "range_join" ->
       """WITH bands AS (SELECT i AS band_id, i*5000.0 AS lo, i*5000.0+7500.0 AS hi
         |               FROM range(21) t(i)),

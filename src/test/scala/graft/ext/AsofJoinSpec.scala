@@ -38,6 +38,29 @@ class AsofJoinSpec extends SparkTestBase {
       13L -> Some(99.0), 14L -> Some(55.0), 15L -> None))
   }
 
+  test("chunked as-of equals the plain shape for every chunk width") {
+    // Deterministic random timelines: 5 keys, 400 trades, 150 quotes,
+    // spread over ~3 days so hour-scale chunks create many boundaries
+    // (matches that must carry across 1, 2, ... empty chunks).
+    val rnd = new scala.util.Random(42)
+    val base = 1704067200L // 2024-01-01 UTC, seconds
+    def randTs() = new Timestamp((base + rnd.nextInt(260000)) * 1000L)
+    val ls = (0 until 400).map(i => (i.toLong, rnd.nextInt(5).toLong, randTs()))
+      .toDF("trade_id", "t_key", "t_ts")
+    val rs = (0 until 150).map(i => (rnd.nextInt(5).toLong, randTs(), rnd.nextDouble()))
+      .toDF("q_key", "q_ts", "price")
+      .groupBy("q_key", "q_ts").agg(org.apache.spark.sql.functions.max("price").as("price"))
+    val plain = AsofJoin.asofBackward(
+        ls, "t_key", "t_ts", rs, "q_key", "q_ts", Seq("q_ts", "price"))
+      .collect().map(_.toSeq).toSet
+    for (chunk <- Seq("37 minutes", "1 hour", "1 day", "30 days")) {
+      val chunked = AsofJoin.asofBackwardChunked(
+          ls, "t_key", "t_ts", rs, "q_key", "q_ts", Seq("q_ts", "price"), chunk)
+        .collect().map(_.toSeq).toSet
+      assert(chunked == plain, s"chunk '$chunk' diverged from the plain as-of")
+    }
+  }
+
   test("output keeps every left row and the left column set plus payloads") {
     val out = AsofJoin.asofBackward(
       trades, "t_key", "t_ts", quotes, "q_key", "q_ts", Seq("price"))
