@@ -166,6 +166,26 @@ object NorthStar {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** The COMPOSED corpus pipeline — what a training-data run actually
+    * ships: near-dup dedup (one cluster pass, reused via
+    * `precomputedClusters`), the quality gate, then the stratified
+    * language mix. Every stage is the same library operator the
+    * standalone queries register; the oracle chains the same SQL
+    * truths, so composition itself is hash-checked end-to-end.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val clusters = graft.ext.NearDup
+      .nearDuplicateClusters(docs, "doc_id", "text", 0.5)
+    val survivors = graft.ext.NearDup.dedupSurvivors(
+      docs, "doc_id", "text", 0.5, precomputedClusters = Some(clusters))
+    val gated = survivors.filter(qTok >= 10 && qTok <= 5000 &&
+      qStop.cast("double") / qTok >= 0.01)
+    graft.ext.TextAnalysis.stratifiedSample(gated, "doc_id", "lang", MixRates)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
   /** Documents passing the training-data quality gate: token count and
     * stopword-ratio thresholds over the same heuristics text_quality
     * scores — the filter stage that consumes those scores.
@@ -350,6 +370,7 @@ object NorthStar {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
     "quality_filter" -> (qualityFilter _),
+    "corpus_mix" -> (corpusMix _),
     "multimodal_meta" -> (multimodalMeta _))
 
   /** Shared oracle building blocks for the near-dup family — the
@@ -474,6 +495,28 @@ object NorthStar {
         |  HAVING least(src, min(dst)) <> src)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    // The composed pipeline chains the SAME SQL truths: closure losers
+    // (dedup) -> token/stopword gate (quality) -> stratified hash mix.
+    "corpus_mix" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+        |$PairsCte,
+        |$ClosureCtes,
+        |losers AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING least(src, min(dst)) <> src),
+        |gated AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |      x -> x IN (${QualityStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        |SELECT doc_id, lang, source, n_chars FROM gated
+        |WHERE n_tok >= 10 AND n_tok <= 5000 AND stop_ratio >= 0.01
+        |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |    < (CASE lang ${MixRates.toSeq.sortBy(_._1)
+                  .map { case (k, p) => s"WHEN '$k' THEN $p" }.mkString(" ")} ELSE 0 END)""".stripMargin,
     "quality_filter" ->
       s"""WITH q AS (
         |  SELECT doc_id,
