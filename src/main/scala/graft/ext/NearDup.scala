@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   *    family relies on wrapping long arithmetic.
   *
   * Banding theory: P(candidate) = 1-(1-J^r)^b for Jaccard J with b
-  * bands of r rows. Defaults (k=16, b=8, r=2) put the S-curve midpoint
-  * at (1/b)^(1/r) ≈ 0.35, giving ~1-1e-9 recall at J ≥ 0.95 and strong
-  * filtering below J ≈ 0.2. Tune b/r per corpus and threshold.
+  * bands of r rows. Geometry is DERIVED from the detection threshold
+  * and a recall target by [[bandingFor]] (e.g. threshold 0.5, recall
+  * 0.95, r=2 → b=11, k=22) unless the caller pins an explicit
+  * (numHashes, numBands); the S-curve still filters sharply below the
+  * threshold because r sets the low-J tail.
   *
   * Jaccard over hashed shingle sets equals Jaccard over the string sets
   * up to xxhash64 collisions (birthday bound ~1e-6 at billions of
@@ -221,6 +223,27 @@ object NearDup {
     */
   val DefaultShingleLen = 3
 
+  /** MinHash banding geometry derived from the DETECTION THRESHOLD and
+    * a recall target, instead of fixture-tuned constants: with b bands
+    * of r rows, P(candidate | Jaccard=J) = 1-(1-J^r)^b, so
+    * b = ceil( ln(1-recall) / ln(1-threshold^r) ) bands guarantee
+    * ≥ `recall` capture at J = threshold (and sharply more above it).
+    * r controls the filter side: higher r pushes the S-curve's low-J
+    * tail down (fewer junk candidates) at the price of more bands.
+    * r=2 and recall=0.95 at threshold 0.5 give b=11, k=22 — vs the old
+    * fixed (k=16, b=8) whose 90% capture at the threshold was a
+    * documented corpus-dependent gamble.
+    */
+  def bandingFor(threshold: Double, recall: Double = 0.95, rowsPerBand: Int = 2)
+      : (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(recall > 0 && recall < 1, s"recall in (0,1), got $recall")
+    require(rowsPerBand >= 1, "rowsPerBand must be >= 1")
+    val b = math.ceil(
+      math.log1p(-recall) / math.log1p(-math.pow(threshold, rowsPerBand))).toInt
+    (b * rowsPerBand, b)
+  }
+
   /** (doc_id, hs) hashed-shingle sets — the map-side input every LSH
     * stage consumes. Exposed so iterative consumers (clusters) can
     * persist it once instead of re-deriving it per downstream join.
@@ -242,9 +265,9 @@ object NearDup {
       textCol: String,
       threshold: Double,
       shingleLen: Int = DefaultShingleLen,
-      numHashes: Int = 16,
-      numBands: Int = 8,
+      banding: Option[(Int, Int)] = None, // (numHashes, numBands); default derives from threshold
       precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val (numHashes, numBands) = banding.getOrElse(bandingFor(threshold))
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rows = numHashes / numBands
     val sh = precomputedShingles.getOrElse(

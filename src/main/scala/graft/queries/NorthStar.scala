@@ -136,13 +136,14 @@ object NorthStar {
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
     * Jaccard (oracle-side brute force is fine at gate scale); the two
     * agree exactly whenever banding catches every pair above the
-    * threshold. That is a property of the CORPUS, not a guarantee of
-    * the default parameters: capture probability is 1-(1-J²)^8 ≈ 90%
-    * at J = 0.5 but > 1-1e-9 at J ≥ 0.95, and every fixture pair above
-    * the threshold sits at J ≥ 0.96 (nothing lies in [0.2, 0.96]), so
-    * the gate is deterministic here. A corpus with mass just above the
-    * threshold needs more hashes/bands (k=64, b=32 → 99.99% at J=0.5)
-    * and an acknowledged probabilistic recall.
+    * threshold. Geometry derives from the threshold via
+    * `NearDup.bandingFor(0.5)` → k=22, b=11: capture probability
+    * 1-(1-J²)^11 ≥ 95% at J = 0.5 by construction and > 1-1e-13 at
+    * J ≥ 0.96, where every fixture pair above the threshold sits
+    * (nothing lies in [0.2, 0.96]), so the gate is deterministic here.
+    * A corpus with mass just above the threshold keeps the derived
+    * ≥95% recall and acknowledges the probabilistic tail — or pins a
+    * higher-recall geometry explicitly.
     */
   def dedupNear(s: SparkSession, dir: String): DataFrame =
     graft.ext.NearDup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", 0.5)

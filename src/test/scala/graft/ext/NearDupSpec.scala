@@ -62,6 +62,19 @@ class NearDupSpec extends SparkTestBase {
     assert(!clusters.contains(99L))         // isolated docs aren't in the graph
   }
 
+  test("bandingFor derives geometry meeting the recall target at the threshold") {
+    def capture(j: Double, k: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(j, k / b), b)
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); rec <- Seq(0.9, 0.95, 0.99)) {
+      val (k, b) = NearDup.bandingFor(t, rec)
+      assert(k % b == 0)
+      assert(capture(t, k, b) >= rec, s"t=$t rec=$rec gave k=$k b=$b")
+      // and not wastefully large: one band fewer must miss the target
+      val r = k / b
+      assert(capture(t, (b - 1) * r, b - 1) < rec || b == 1)
+    }
+  }
+
   test("one cluster pass feeds both the cluster map and the survivors") {
     val s = spark
     import s.implicits._
