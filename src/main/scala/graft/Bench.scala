@@ -5,14 +5,16 @@ import org.apache.spark.sql.SparkSession
   * ok=false and counted in "failed" — failures are never silently timed
   * as successes.
   *
-  * Each query executes TWICE and the second (steady-state) time is
-  * reported: single-shot numbers conflate a query's cost with whichever
+  * Each query executes THREE times and the MEDIAN time is reported:
+  * single-shot numbers conflate a query's cost with whichever
   * JIT/codegen/parquet-footer warm-up it happened to absorb first
   * (r2 example: sim_topk measured 4.3 s cold vs 0.9 s warm purely from
-  * alphabetical ordering), which makes round-over-round regressions
-  * unreadable. Caches are NOT reused across the two runs — registered
-  * queries build their own plans per call — so the second run re-executes
-  * every job, just without first-touch noise.
+  * alphabetical ordering), and even a warm second run can eat a GC or
+  * machine-load spike (observed: 1.0 s vs 3.4 s for the same star
+  * join back-to-back). The median of three discards the cold first
+  * touch AND one spike. Caches are NOT reused across runs — registered
+  * queries build their own plans per call — so every run re-executes
+  * every job.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,8 +45,13 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val warm = once()
-      val (sec, ok) = if (warm._2) once() else warm // don't re-run a failure
+      val first = once()
+      val (sec, ok) =
+        if (!first._2) first // don't re-run a failure
+        else {
+          val times = Seq(first._1, once()._1, once()._1).sorted
+          (times(1), true)
+        }
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
