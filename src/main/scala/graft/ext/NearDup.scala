@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *    verify joins, keyed on doc_id, sized by candidate count;
   *  - raw text never shuffles: only doc ids and shingle-hash arrays
   *    (8 bytes per distinct shingle) move.
-  *  - requires non-ANSI sessions (GraftSession default): the hash
-  *    family relies on wrapping long arithmetic.
+  *  - ANSI-safe on the hot path: the permutation family is arithmetic
+  *    mod 2⁶⁴, computed by the codegen'd [[signatureNative]] whose Java
+  *    long ops wrap natively under any session config (spec-tested with
+  *    ANSI on); only the declarative reference [[signature]]/[[minhash]]
+  *    needs a non-ANSI session.
   *
   * Banding theory: P(candidate) = 1-(1-J^r)^b for Jaccard J with b
   * bands of r rows. Geometry is DERIVED from the detection threshold
@@ -77,11 +80,22 @@ object NearDup {
   def minhash(hs: Column, i: Int): Column =
     array_min(transform(hs, h => h * lit(mixA(i)) + lit(mixB(i))))
 
-  /** k-minhash signature (exposed for tests/consumers that want the
-    * raw signature vector).
+  /** k-minhash signature (reference implementation: k array
+    * traversals; non-ANSI only — the hash family wraps mod 2⁶⁴).
     */
   def signature(hs: Column, numHashes: Int): Column =
     array((0 until numHashes).map(minhash(hs, _)): _*)
+
+  /** One-pass codegen'd signature ([[graft.functions.MinhashSignature]]):
+    * bit-identical to [[signature]] (spec-asserted), one shingle-array
+    * traversal for all k permutations instead of k, and correct under
+    * ANSI sessions (Java long arithmetic wraps natively). The hot path.
+    */
+  def signatureNative(hs: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinhashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hs),
+        (0 until numHashes).map(mixA), (0 until numHashes).map(mixB)))
 
   /** One 32-bit bucket key per band: murmur3 of the band's minhash
     * slice + the band index (so identical slices in different bands
@@ -278,8 +292,19 @@ object NearDup {
     // the shingle+minhash pipeline — the expensive map side — runs
     // once, not once per join branch. At corpus scale this halves the
     // dominant cost of candidate generation.
-    val banded = sh.select(col("doc_id"),
-      posexplode(bandKeys(col("hs"), numBands, rows)).as(Seq("band", "bkey")))
+    //
+    // The signature materializes in its own projection first: band
+    // keys then index an attribute (computed once per row), not the
+    // signature expression itself — Catalyst does not CSE repeated
+    // getItems over an unmaterialized array expression, and k getItems
+    // over the one-pass signature would otherwise run it k times.
+    val withSig = sh.select(col("doc_id"),
+      signatureNative(col("hs"), numHashes).as("sig"))
+    val keyCols = array((0 until numBands).map(b =>
+      hash((0 until rows).map(r =>
+        col("sig").getItem(b * rows + r)) :+ lit(b): _*)): _*)
+    val banded = withSig.select(col("doc_id"),
+      posexplode(keyCols).as(Seq("band", "bkey")))
       .repartition(col("band"), col("bkey"))
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))

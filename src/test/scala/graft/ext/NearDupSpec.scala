@@ -62,6 +62,36 @@ class NearDupSpec extends SparkTestBase {
     assert(!clusters.contains(99L))         // isolated docs aren't in the graph
   }
 
+  test("one-pass codegen signature is bit-identical to the k-pass fold") {
+    val s = spark
+    import s.implicits._
+    val docs = t(s, sf0001, "documents")
+    val hs = NearDup.hashedShingles($"text", 3)
+    val both = docs.filter(size(split(trim($"text"), "\\s+")) >= 3)
+      .select($"doc_id",
+        NearDup.signature(hs, 22).as("ref"),
+        NearDup.signatureNative(hs, 22).as("native"))
+      .filter(!($"ref" <=> $"native")).count()
+    assert(both == 0, "native signature must match the declarative fold exactly")
+  }
+
+  test("native signature path works under ANSI mode (wrapping by construction)") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.ansi.enabled")
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      import s.implicits._
+      val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+        .toDF("doc_id", "text")
+      // End-to-end pairs under ANSI: the permutation family overflows
+      // mod 2^64 by design, which the declarative fold cannot survive
+      // with ANSI on — the codegen'd signature wraps natively.
+      val pairs = NearDup.nearDuplicatePairs(docs, "doc_id", "text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)))
+    } finally s.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("bandingFor derives geometry meeting the recall target at the threshold") {
     def capture(j: Double, k: Int, b: Int): Double =
       1.0 - math.pow(1.0 - math.pow(j, k / b), b)
