@@ -38,11 +38,18 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
+  private def checkArgs(left: DataFrame, payload: Seq[String]): Unit = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val clash = payload.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"payload columns collide with left columns: ${clash.mkString(", ")} — alias the right side")
+  }
+
   def asofBackward(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
-    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    checkArgs(left, payload)
     val lStruct = StructType(left.schema.fields)
     val pStruct = StructType(payload.map(right.schema(_)))
 
@@ -50,10 +57,16 @@ object AsofJoin {
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       struct(left.columns.map(col): _*).as("__row"),
       lit(null).cast(pStruct).as("__p"))
-    val rSide = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-      lit(null).cast(lStruct).as("__row"),
-      struct(payload.map(col): _*).as("__p"))
+    // A right row with null key or null time can never satisfy the
+    // `l.t >= r.t` bound (ASOF semantics) — filtered here; left with a
+    // null time sorts before every right row and keeps null payloads,
+    // which already matches.
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lStruct).as("__row"),
+        struct(payload.map(col): _*).as("__p"))
 
     // Right rows sort before left rows at equal (key, time): equal
     // timestamps match, matching ASOF's >= bound.
@@ -89,7 +102,7 @@ object AsofJoin {
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String], chunk: String): DataFrame = {
-    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    checkArgs(left, payload)
     val chunkUs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(chunk))
     require(chunkUs.months == 0,
@@ -103,10 +116,12 @@ object AsofJoin {
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       struct(left.columns.map(col): _*).as("__row"),
       lit(null).cast(pStruct).as("__p"))
-    val rSide = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-      lit(null).cast(lStruct).as("__row"),
-      struct(payload.map(col): _*).as("__p"))
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lStruct).as("__row"),
+        struct(payload.map(col): _*).as("__p"))
     val u = lSide.unionByName(rSide)
       .withColumn("__c", floor(unix_micros(col("__t")) / width))
 

@@ -110,19 +110,6 @@ object NearDup {
     array((0 until numBands).map(b =>
       hash((0 until rowsPerBand).map(r => minhash(hs, b * rowsPerBand + r)) :+ lit(b): _*)): _*)
 
-  /** Near-duplicate CLUSTERS: connected components over the near-dup
-    * pair graph, labeled by the component's minimum doc id — the form
-    * production dedup consumes (keep one survivor per cluster, not per
-    * pair; A~B and B~C must collapse to one document even when A~C was
-    * never a candidate).
-    *
-    * Distributed min-label propagation over the edge list: each round
-    * every node takes the minimum label among itself and its
-    * neighbors; rounds repeat until a fixed point. Iterations are
-    * bounded by the component diameter — near-dup clusters are tiny
-    * (pairs/triples), so convergence is 2-3 rounds; each round is one
-    * join + aggregate on the (sparse) pair list, never the corpus.
-    */
   /** Propagation rounds are bounded by component diameter; a component
     * whose diameter exceeds this is not a near-dup cluster but an
     * adversarial chain — fail loudly instead of looping (or silently
@@ -136,6 +123,19 @@ object NearDup {
     */
   private val CheckpointEvery = 5
 
+  /** Near-duplicate CLUSTERS: connected components over the near-dup
+    * pair graph, labeled by the component's minimum doc id — the form
+    * production dedup consumes (keep one survivor per cluster, not per
+    * pair; A~B and B~C must collapse to one document even when A~C was
+    * never a candidate).
+    *
+    * Distributed min-label propagation over the edge list: each round
+    * every node takes the minimum label among itself and its
+    * neighbors; rounds repeat until a fixed point. Iterations are
+    * bounded by the component diameter — near-dup clusters are tiny
+    * (pairs/triples), so convergence is 2-3 rounds; each round is one
+    * join + aggregate on the (sparse) pair list, never the corpus.
+    */
   def nearDuplicateClusters(
       docs: DataFrame,
       idCol: String,
@@ -158,8 +158,18 @@ object NearDup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    edges.count() // one job realizes the LSH pipeline into the edge cache
+    val edgeCount = edges.count() // one job realizes the LSH pipeline into the edge cache
     sh.unpersist()
+    if (edgeCount == 0) { // clean corpus: no graph, no rounds
+      edges.unpersist()
+      val s = docs.sparkSession
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            docs.schema(idCol).dataType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            docs.schema(idCol).dataType, nullable = false))))
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .persist()
@@ -168,8 +178,11 @@ object NearDup {
     // long overflow, no float fuzz) is strictly decreasing until the
     // fixed point. Observing it costs nothing extra; the previous shape
     // ran a separate filter+count job per round.
+    // coalesce: sum over an empty frame is NULL, which would make the
+    // equality test unsatisfiable and spin the loop into the guard.
     def labelSum(df: DataFrame, obs: Observation): DataFrame =
-      df.observe(obs, sum(col("cluster_id").cast("decimal(38,0)")).as("lsum"))
+      df.observe(obs, coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("lsum"))
     var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false

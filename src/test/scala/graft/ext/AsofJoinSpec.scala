@@ -67,4 +67,22 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out.count() == trades.count())
     assert(out.columns.toSeq == Seq("trade_id", "t_key", "t_ts", "price"))
   }
+
+  test("null-keyed/timed right rows never match; payload collisions are rejected") {
+    val dirty = quotes.unionByName(Seq(
+      (1L, null.asInstanceOf[Timestamp], 999.0), // null time: ASOF can never match it
+      (0L, ts("2024-01-01 00:00:00"), 777.0))    // key 0: no left rows, harmless
+      .toDF("q_key", "q_ts", "price"))
+    val clean = AsofJoin.asofBackward(
+        trades, "t_key", "t_ts", quotes, "q_key", "q_ts", Seq("price"))
+      .collect().map(_.toSeq).toSet
+    val withDirty = AsofJoin.asofBackward(
+        trades, "t_key", "t_ts", dirty, "q_key", "q_ts", Seq("price"))
+      .collect().map(_.toSeq).toSet
+    assert(withDirty == clean)
+    val collide = trades.withColumnRenamed("trade_id", "price")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(collide, "t_key", "t_ts", quotes, "q_key", "q_ts", Seq("price"))
+    }
+  }
 }

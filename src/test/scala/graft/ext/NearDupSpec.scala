@@ -105,6 +105,22 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("a corpus with no near-dups yields empty clusters and full survivors") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet"),
+      (3L, "kilo lima mike november oscar"))
+      .toDF("doc_id", "text")
+    val clusters = NearDup.nearDuplicateClusters(docs, "doc_id", "text", 0.5)
+    assert(clusters.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(clusters.count() == 0)
+    val survivors = NearDup.dedupSurvivors(docs, "doc_id", "text", 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L))
+  }
+
   test("one cluster pass feeds both the cluster map and the survivors") {
     val s = spark
     import s.implicits._

@@ -41,6 +41,19 @@ class RangeJoinSpec extends SparkTestBase {
     assert(naive.contains((8L, 103L)), "negative points bucket correctly")
   }
 
+  test("a range spanning more buckets than the budget fails loudly") {
+    val wide = Seq((1L, 0.0, 1000000.0)).toDF("rid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInRange(points, "p", wide, "lo", "hi",
+        bucketWidth = 1.0, maxBucketsPerRange = 1000).count()
+    }
+    assert(e.getMessage.contains("too many buckets") ||
+      Option(e.getCause).exists(_.getMessage.contains("too many buckets")))
+    // and inverted ranges are dropped, not exploded descending
+    val inverted = Seq((2L, 50.0, 10.0)).toDF("rid", "lo", "hi")
+    assert(RangeJoin.pointInRange(points, "p", inverted, "lo", "hi", 5.0).count() == 0)
+  }
+
   test("plan is an equi-join on the bucket id, not a nested-loop join") {
     val plan = RangeJoin.pointInRange(points, "p", ranges, "lo", "hi", 5.0)
       .queryExecution.executedPlan.toString
