@@ -167,6 +167,22 @@ object NorthStar {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** Adaptive per-stratum quality gate: keep the top 40% of documents
+    * PER LANGUAGE by score (n_chars as the deterministic proxy) —
+    * rank-based, so the cut adapts to each stratum's distribution
+    * instead of a global absolute threshold starving low-resource
+    * languages. One shuffle on the stratum + an in-partition sort;
+    * percent_rank is O(1) window state.
+    */
+  def qualityTopFrac(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc)
+    t(s, dir, "documents")
+      .withColumn("q_rank", round(percent_rank().over(w), 6))
+      .filter($"q_rank" <= 0.4)
+      .select($"doc_id", $"lang", $"n_chars", $"q_rank")
+  }
+
   /** The COMPOSED corpus pipeline — what a training-data run actually
     * ships: near-dup dedup (one cluster pass, reused via
     * `precomputedClusters`), the quality gate, then the stratified
@@ -371,6 +387,7 @@ object NorthStar {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
     "quality_filter" -> (qualityFilter _),
+    "quality_topfrac" -> (qualityTopFrac _),
     "corpus_mix" -> (corpusMix _),
     "multimodal_meta" -> (multimodalMeta _))
 
@@ -496,6 +513,13 @@ object NorthStar {
         |  HAVING least(src, min(dst)) <> src)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "quality_topfrac" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(percent_rank() OVER (
+        |      PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC), 6) AS q_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, q_rank FROM r WHERE q_rank <= 0.4""".stripMargin,
     // The composed pipeline chains the SAME SQL truths: closure losers
     // (dedup) -> token/stopword gate (quality) -> stratified hash mix.
     "corpus_mix" ->
