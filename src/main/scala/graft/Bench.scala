@@ -54,13 +54,19 @@ object Bench {
         }
       (name, sec, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Keep the line SHORT: the driver captures a bounded tail of stdout and
+    // parses the JSON line out of it — r3's line (full-precision doubles +
+    // a per-query status map) overflowed that window and parsed as null.
+    // Millisecond precision and failure-names-only keep ~70 queries well
+    // under the window.
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val st = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
-      .mkString("{", ",", "}")
+    val fq = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val failed = results.count(!_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_queries":$fq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
