@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   private val sources = Seq(
-    Relational.queries, Scalar.queries, NorthStar.queries, Pipeline.queries)
+    Relational.queries, Scalar.queries, NorthStar.queries, Pipeline.queries,
+    ScaleOps.queries)
 
   // ++ would silently keep the last duplicate — fail loudly instead.
   require(sources.map(_.keySet.size).sum == sources.flatMap(_.keySet).distinct.size, {
@@ -24,7 +25,8 @@ object Registry {
     sources.reduce(_ ++ _)
 
   val oracle: Map[String, String] =
-    Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle ++ Pipeline.oracle
+    Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle ++ Pipeline.oracle ++
+      ScaleOps.oracle
 
   require(oracle.keySet.subsetOf(queries.keySet),
     s"oracle entries without a query: ${oracle.keySet -- queries.keySet}")
