@@ -27,8 +27,48 @@ object ScaleOps {
         round(col("purchase_value"), 2).as("purchase_value"))
   }
 
+  /** Bucketed tables are landed ONCE per (session, sf dir): the
+    * operator under measurement is the co-located JOIN — re-bucketing
+    * identical fixtures every run would only re-time the one-off layout
+    * write (same rationale as Scalar's scratch landings).
+    */
+  private def landBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    if (!s.catalog.tableExists(ot))
+      graft.sink.BucketedLayout.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        ot, s"/tmp/graft_bkt/$tag/orders", 16, "o_orderkey")
+    if (!s.catalog.tableExists(lt))
+      graft.sink.BucketedLayout.writeBucketed(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        lt, s"/tmp/graft_bkt/$tag/lineitem", 16, "l_orderkey")
+    (ot, lt)
+  }
+
+  /** Fact-fact revenue join off the bucketed layout: both scans emit
+    * HashPartitioning(key, 16), so the join inserts NO exchange
+    * (`BucketedLayoutSpec` asserts zero shuffles under the join) — only
+    * the 3-group aggregate shuffles. Revenue goes through DECIMAL(18,4)
+    * so the sum is order-independent and engine-exact: the raw double
+    * product is a ≤4-decimal quantity (2-decimal price × 2-decimal
+    * discount), recovered exactly by the cast, summed in integer
+    * decimal arithmetic in both Spark and DuckDB.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = landBucketed(s, dir)
+    s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "interval_join" -> (intervalJoin _))
+    "interval_join" -> (intervalJoin _),
+    "bucketed_join" -> (bucketedJoin _))
 
   val oracle: Map[String, String] = Map(
     "interval_join" ->
@@ -36,5 +76,11 @@ object ScaleOps {
         | round(p.value, 2) AS purchase_value
         |FROM events v JOIN events p ON v.user_id = p.user_id
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
-        |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin)
+        |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)
 }
