@@ -381,4 +381,68 @@ object SimSearch {
        |p AS (SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS sim
        |      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
        |SELECT id_a, id_b, sim FROM p WHERE sim >= $threshold""".stripMargin
+
+  /** Symmetric int8 quantization: per-vector scale = max|v|/127, code_i
+    * = floor(v_i/scale + 0.5) stored as TINYINT — 4× smaller than
+    * float32 at rest, in shuffles, and in broadcast variables, which is
+    * the memory knob that decides whether a 10⁹-vector corpus index
+    * fits a cluster. `floor(x + 0.5)` instead of `round(x)` because
+    * engines disagree on tie policy but agree bit-for-bit on floor;
+    * codes are exact small integers afterwards, so every downstream
+    * sum is order-independent and engine-exact. Assumes non-zero
+    * vectors (a zero vector has no cosine direction to preserve).
+    */
+  def quantizeQ8(v: Column): Column = {
+    val d = transform(v, x => x.cast("double"))
+    val s = array_max(transform(d, x => abs(x))) / lit(127.0)
+    struct(
+      s.as("scale"),
+      transform(d, x => floor(x / s + lit(0.5)).cast("byte")).as("q"))
+  }
+
+  /** Quantized brute-force cosine top-1 — [[bruteTopK]]'s contract on
+    * int8 codes. The per-vector scale cancels out of the cosine, so
+    * scoring is pure integer arithmetic widened to double: dot and
+    * norms are exact integers (|code| ≤ 127, dim 64 → |dot| ≤ ~10⁶,
+    * far inside double's exact-integer range), making the scores
+    * bit-reproducible by the oracle regardless of summation order.
+    * sqrt(qn*cn) as ONE sqrt (not sqrt·sqrt): both engines compute the
+    * identical IEEE operation sequence.
+    */
+  def q8TopK(emb: DataFrame, queryBound: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val z = emb
+      .select(col("vec_id"),
+        quantizeQ8(col("embedding")).getField("q").cast("array<double>").as("q"))
+      .select(col("vec_id"), col("q"), ndot(col("q"), col("q")).as("nrm"))
+    val q = z.filter(col("vec_id") < queryBound)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
+    val c = z.select(col("vec_id").as("cid"), col("q").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(ndot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
+  /** DuckDB oracle for [[q8TopK]]: replicates the quantization and the
+    * integer-exact scoring term for term.
+    */
+  def q8OracleSql(queryBound: Int): String =
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127 AS s FROM d),
+       |z AS (SELECT vec_id,
+       |        list_transform(v, x -> floor(x / s + 0.5)) AS q FROM sc),
+       |n AS (SELECT vec_id, q, list_dot_product(q, q) AS nrm FROM z),
+       |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |        round(list_dot_product(a.q, b.q) / sqrt(a.nrm * b.nrm), 6) AS sim
+       |      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |      WHERE a.vec_id < $queryBound),
+       |r AS (SELECT qid, cid, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM p)
+       |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin
 }

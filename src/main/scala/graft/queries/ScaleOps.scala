@@ -66,9 +66,17 @@ object ScaleOps {
           .cast("decimal(18,4)")).cast("double").as("revenue"))
   }
 
+  /** Cosine top-1 on int8-quantized vectors (4× smaller index; the
+    * oracle replicates quantization + integer-exact scoring, and
+    * `SimSearchSpec` measures top-1 agreement with the float path).
+    */
+  def simTopKQ8(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.q8TopK(t(s, dir, "embeddings"), 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "interval_join" -> (intervalJoin _),
-    "bucketed_join" -> (bucketedJoin _))
+    "bucketed_join" -> (bucketedJoin _),
+    "sim_topk_q8" -> (simTopKQ8 _))
 
   val oracle: Map[String, String] = Map(
     "interval_join" ->
@@ -82,5 +90,6 @@ object ScaleOps {
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
         |      AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "sim_topk_q8" -> graft.ext.SimSearch.q8OracleSql(100))
 }

@@ -62,6 +62,21 @@ class SimSearchSpec extends SparkTestBase {
     assert(agree >= 90, s"recall $agree/100 below bound")
   }
 
+  test("q8TopK is deterministic and mostly agrees with the float path") {
+    val emb = t(spark, sf0001, "embeddings")
+    val a = SimSearch.q8TopK(emb, 100).collect().map(_.toSeq)
+    val b = SimSearch.q8TopK(emb, 100).collect().map(_.toSeq)
+    assert(a.toSet == b.toSet && a.length == 100)
+    val brute = SimSearch.bruteTopK(emb, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q8 = a.map(s => s.head.asInstanceOf[Long] -> s(1).asInstanceOf[Long]).toMap
+    val agree = brute.count { case (q, c) => q8.get(q).contains(c) }
+    // Near-uniform vectors are the adversarial case for quantization
+    // too (tight score margins); int8 keeps ~7 significant bits, which
+    // empirically preserves the argmax for the large majority.
+    assert(agree >= 80, s"q8 top-1 agreement $agree/100 below bound")
+  }
+
   test("forCorpus derives scale-safe index geometry, clamped") {
     import SimSearch.{IvfParams, LshParams}
     // Occupancy target ~64/bucket: 2^r tracks corpusSize/64.
