@@ -73,10 +73,33 @@ object ScaleOps {
   def simTopKQ8(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.q8TopK(t(s, dir, "embeddings"), 100)
 
+  /** CDC merge over customer: a deterministic change feed (two stacked
+    * updates — latest wins, deletes — including a delete that outranks
+    * an update on %77 keys, and keyspace-shifted inserts) applied via
+    * the broadcast-anti-join merge. `CdcMergeSpec` asserts the
+    * base-never-shuffles plan shape.
+    */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    def upd(add: Double, seq: Int): DataFrame = cust
+      .filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + add)
+      .withColumn("op", lit("U")).withColumn("seq", lit(seq))
+    val del = cust.filter(col("c_custkey") % 11 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(3))
+    val ins = cust.filter(col("c_custkey") % 13 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      .withColumn("op", lit("I")).withColumn("seq", lit(1))
+    val changes = upd(50.0, 1).unionByName(upd(100.0, 2))
+      .unionByName(del).unionByName(ins)
+    graft.transform.CdcMerge.applyChanges(cust, changes, "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "interval_join" -> (intervalJoin _),
     "bucketed_join" -> (bucketedJoin _),
-    "sim_topk_q8" -> (simTopKQ8 _))
+    "sim_topk_q8" -> (simTopKQ8 _),
+    "cdc_merge" -> (cdcMerge _))
 
   val oracle: Map[String, String] = Map(
     "interval_join" ->
@@ -91,5 +114,30 @@ object ScaleOps {
         |      AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
-    "sim_topk_q8" -> graft.ext.SimSearch.q8OracleSql(100))
+    "sim_topk_q8" -> graft.ext.SimSearch.q8OracleSql(100),
+    "cdc_merge" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50 AS c_acctbal,
+        |         c_mktsegment, 'U' AS op, 1 AS seq
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100,
+        |         c_mktsegment, 'U', 2
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D', 3
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment, 'I', 1
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM latest WHERE op <> 'D'""".stripMargin)
 }
