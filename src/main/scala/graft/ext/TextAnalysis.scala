@@ -294,4 +294,87 @@ object TextAnalysis {
        |       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $RollP)),
        |   (acc, h) -> (acc * $RollB + h) % $RollP) AS rolling_fp
        |FROM $table""".stripMargin
+
+  // ---- repetition filter (Gopher-style) ----
+
+  /** Per-document repetition scores — the Gopher/C4 repetition family:
+    * duplicate-bigram fraction (map-only, from the shared shingle
+    * stream) and top-word fraction (most frequent word / total words),
+    * plus the gate flag. The word count is a real distributed
+    * aggregate — explode → partial-agg — so shuffled volume is the
+    * per-doc VOCABULARY (distinct words), not the token stream; per-doc
+    * state never materializes a wordcount map in one task's heap, which
+    * is what makes this shape safe for billion-token documents where a
+    * per-row higher-order fold would go quadratic or OOM.
+    *
+    * Ratios divide exact integer counts, so both engines produce
+    * bit-identical doubles; the flag compares the unrounded values.
+    */
+  def repetitionScores(docs: DataFrame, idCol: String, textCol: String,
+      topWordMax: Double, dupBigramMax: Double): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val bg = NearDup.shingles(col(textCol), 2)
+    val bigrams = docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol),
+        (lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
+          .as("dup_bigram_frac"))
+    val topWord = docs
+      .select(col(idCol), explode(toks).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_word_frac"))
+    bigrams.join(topWord, idCol)
+      .select(col(idCol),
+        round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+        round(col("top_word_frac"), 6).as("top_word_frac"),
+        (col("top_word_frac") > topWordMax || col("dup_bigram_frac") > dupBigramMax)
+          .as("repetitive"))
+  }
+
+  def repetitionOracleSql(table: String, idCol: String, textCol: String,
+      topWordMax: Double, dupBigramMax: Double): String =
+    s"""WITH tok AS (
+       |  SELECT $idCol, string_split_regex(trim($textCol), '\\s+') AS ws FROM $table),
+       |bg AS (
+       |  SELECT $idCol,
+       |    1.0 - len(list_distinct([ws[i] || ' ' || ws[i+1]
+       |      FOR i IN range(1, len(ws))])) * 1.0 / (len(ws) - 1) AS dup_bigram_frac
+       |  FROM tok WHERE len(ws) >= 2),
+       |wrd AS (SELECT $idCol, unnest(ws) AS w FROM tok),
+       |wc AS (SELECT $idCol, w, count(*) AS c FROM wrd GROUP BY 1, 2),
+       |tw AS (SELECT $idCol, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+       |       FROM wc GROUP BY 1)
+       |SELECT bg.$idCol,
+       |  round(dup_bigram_frac, 6) AS dup_bigram_frac,
+       |  round(top_word_frac, 6) AS top_word_frac,
+       |  (top_word_frac > $topWordMax OR dup_bigram_frac > $dupBigramMax) AS repetitive
+       |FROM bg JOIN tw ON bg.$idCol = tw.$idCol""".stripMargin
+
+  // ---- PII redaction ----
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Redact emails and (toy) phone numbers from a text column and count
+    * what was removed — the PII-scrub pass every published training
+    * corpus runs. Map-only: two RE2-class regex passes per row inside
+    * whole-stage codegen; the regex set is a config surface, these two
+    * are the deterministic fixture pair.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("redacted"),
+      (regexp_count(col(textCol), lit(EmailRe)) +
+        regexp_count(col(textCol), lit(PhoneRe))).cast("long").as("n_pii"))
+
+  /** DuckDB twin of [[redactPii]] over an expression `textExpr`. */
+  def redactOracleSql(table: String, idCol: String, textExpr: String): String =
+    s"""SELECT $idCol,
+       | regexp_replace(regexp_replace($textExpr,
+       |   '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g') AS redacted,
+       | CAST(len(regexp_extract_all($textExpr, '$EmailRe'))
+       |   + len(regexp_extract_all($textExpr, '$PhoneRe')) AS BIGINT) AS n_pii
+       |FROM $table""".stripMargin
 }

@@ -95,11 +95,33 @@ object ScaleOps {
     graft.transform.CdcMerge.applyChanges(cust, changes, "c_custkey")
   }
 
+  /** Gopher-style repetition gate over documents (thresholds chosen to
+    * split the fixture: top-word fractions run 0.05-0.25, duplicate-
+    * bigram fractions 0-0.14).
+    */
+  def repRatio(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.repetitionScores(
+      t(s, dir, "documents"), "doc_id", "text", 0.12, 0.05)
+
+  /** PII scrub over documents carrying deterministic synthetic contact
+    * strings (the fixture corpus has no organic PII to find).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 80),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    graft.ext.TextAnalysis.redactPii(withPii, "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "interval_join" -> (intervalJoin _),
     "bucketed_join" -> (bucketedJoin _),
     "sim_topk_q8" -> (simTopKQ8 _),
-    "cdc_merge" -> (cdcMerge _))
+    "cdc_merge" -> (cdcMerge _),
+    "rep_ratio" -> (repRatio _),
+    "pii_redact" -> (piiRedact _))
 
   val oracle: Map[String, String] = Map(
     "interval_join" ->
@@ -139,5 +161,10 @@ object ScaleOps {
         |FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM latest WHERE op <> 'D'""".stripMargin)
+        |FROM latest WHERE op <> 'D'""".stripMargin,
+    "rep_ratio" -> graft.ext.TextAnalysis.repetitionOracleSql(
+      "documents", "doc_id", "text", 0.12, 0.05),
+    "pii_redact" -> graft.ext.TextAnalysis.redactOracleSql("documents", "doc_id",
+      "substr(text, 1, 80) || ' contact user' || doc_id || '@example.com or 555-' " +
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"))
 }
