@@ -409,15 +409,30 @@ object SimSearch {
     * sqrt(qn*cn) as ONE sqrt (not sqrt·sqrt): both engines compute the
     * identical IEEE operation sequence.
     */
-  def q8TopK(emb: DataFrame, queryBound: Int): DataFrame = {
-    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
-    val z = emb
-      .select(col("vec_id"),
-        quantizeQ8(col("embedding")).getField("q").cast("array<double>").as("q"))
-      .select(col("vec_id"), col("q"), ndot(col("q"), col("q")).as("nrm"))
+  def q8TopK(emb: DataFrame, queryBound: Int): DataFrame =
+    q8TopKFromCodes(quantizeCorpus(emb), queryBound)
+
+  /** The q8 index build: (vec_id, scale, q) with tinyint codes — this
+    * is what gets persisted once and queried many times; the scale
+    * column rides along for dot-product (non-cosine) reconstruction.
+    */
+  def quantizeCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantizeQ8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale").as("scale"), col("z.q").as("q"))
+
+  /** Top-1 over a prebuilt q8 code table ([[quantizeCorpus]] output,
+    * typically landed to parquet): per-query cost is one streamed pass
+    * over codes that are 4× smaller than the float corpus — the
+    * quantization itself is paid at index-build time, not per query.
+    */
+  def q8TopKFromCodes(codes: DataFrame, queryBound: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(codes.sparkSession)
+    val z = codes
+      .select(col("vec_id"), col("q").cast("array<double>").as("qd"))
+      .select(col("vec_id"), col("qd"), ndot(col("qd"), col("qd")).as("nrm"))
     val q = z.filter(col("vec_id") < queryBound)
-      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
-    val c = z.select(col("vec_id").as("cid"), col("q").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id").as("qid"), col("qd").as("qv"), col("nrm").as("qn"))
+    val c = z.select(col("vec_id").as("cid"), col("qd").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
