@@ -48,4 +48,37 @@ object StreamSink {
         if (!batch.isEmpty) { WarehousePublisher.publish(spark, batch, cfg); () }
       }
       .start()
+
+  /** Streaming CDC materialization: apply each micro-batch of a change
+    * feed to the CURRENT published version via
+    * [[graft.transform.CdcMerge]] and republish through the atomic
+    * view-pointer swap — a continuously-upserted table whose readers
+    * only ever see a complete version. Per batch the base side is one
+    * broadcast anti-join pass (never a base shuffle); sequence numbers
+    * resolve ordering WITHIN a batch, batch order resolves it across
+    * batches (CDC log offsets are monotone, so the two agree for a
+    * well-formed feed). The table must already be published once (the
+    * initial snapshot) before the stream starts.
+    */
+  def mergeEachBatch(
+      spark: SparkSession,
+      changes: DataFrame,
+      cfg: WarehouseConfig,
+      key: String,
+      checkpointDir: String,
+      opCol: String = "op",
+      seqCol: String = "seq"): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val base = spark.table(cfg.qualified)
+          val merged = graft.transform.CdcMerge
+            .applyChanges(base, batch, key, opCol, seqCol)
+          WarehousePublisher.publish(spark, merged, cfg)
+          ()
+        }
+      }
+      .start()
 }
