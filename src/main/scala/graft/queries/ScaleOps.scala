@@ -7,8 +7,9 @@ import graft.Tables.t
 
 /** Round-4 scale-path battery: operators whose point is the 100 TB
   * execution shape — event-time interval joins (the stream-stream
-  * attribution primitive), storage-bucketed co-located joins, and
-  * quantized similarity search. Each entry is oracle-checked like every
+  * attribution primitive), storage-bucketed co-located joins, quantized
+  * similarity search over a landed int8 index, keyed CDC merge, and the
+  * repetition/PII corpus gates. Each entry is oracle-checked like every
   * other registered query.
   */
 object ScaleOps {
