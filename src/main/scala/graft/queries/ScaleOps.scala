@@ -114,6 +114,83 @@ object ScaleOps {
     graft.ext.TextAnalysis.repetitionScores(
       t(s, dir, "documents"), "doc_id", "text", 0.12, 0.05)
 
+  /** Salted skew join: lineitem ⨝ part with the fact side scattered
+    * across 8 salt buckets and the dimension replicated per bucket —
+    * the explicit pre-shuffle remedy for a hot key that AQE's runtime
+    * split cannot reach (broadcast-ineligible dim, skew known up
+    * front). Result is identical to the plain join (`SkewJoinSpec`);
+    * the quantity sum routes through DECIMAL(18,4) so both engines add
+    * exact integers regardless of grouping order.
+    */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+    val p = t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.ext.SkewJoin.saltedJoin(li, p, "l_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
+  /** Two-phase salted aggregation on a 3-value group key — the
+    * explicit escape hatch when one group is too hot for a single
+    * reducer even after partial aggregation. The pre-cast decimal
+    * column keeps the two-level sum order-independent and
+    * engine-exact.
+    */
+  def skewAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SkewJoin.saltedSumCount(
+        t(s, dir, "lineitem")
+          .withColumn("qty_dec", col("l_quantity").cast("decimal(18,4)")),
+        "l_returnflag", "qty_dec", salts = 8)
+      .select(col("l_returnflag"),
+        col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+
+  /** Two-dimensional selective scan off the Z-ordered layout. The
+    * lineitem projection is landed ONCE per (session, sf dir) as
+    * Morton-clustered sorted files (`ZOrder.writeZOrdered`); the query
+    * under measurement is the pruned scan — `ZOrderSpec` proves files
+    * are skipped on BOTH predicate dimensions, which a linear sort
+    * gives only for its leading column. The oracle filters the raw
+    * table: layout must never change results.
+    */
+  private val landedZ = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_zorder/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (landedZ.add(path))
+      graft.ext.ZOrder.writeZOrdered(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity")),
+        path, "l_partkey", "l_suppkey", bits = 21, numFiles = 16)
+    s.read.parquet(path)
+      .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(1, 40))
+  }
+
+  /** Schema-evolution read (SURVEY §1 "mergeSchema"): two parquet
+    * landings of the same table written under DIFFERENT schema versions
+    * (v2 adds a column) are read back as one frame via mergeSchema —
+    * old files surface the added column as NULL. The oracle states the
+    * same union over the raw table, so the merged read is checked
+    * value-exact, not just shape-compatible.
+    */
+  def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_evolve/$tag/orders"
+    if (landedEvolve.add(path)) {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$path/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/v2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+  private val landedEvolve = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** PII scrub over documents carrying deterministic synthetic contact
     * strings (the fixture corpus has no organic PII to find).
     */
@@ -132,7 +209,11 @@ object ScaleOps {
     "sim_topk_q8" -> (simTopKQ8 _),
     "cdc_merge" -> (cdcMerge _),
     "rep_ratio" -> (repRatio _),
-    "pii_redact" -> (piiRedact _))
+    "pii_redact" -> (piiRedact _),
+    "skew_join" -> (skewJoin _),
+    "skew_agg" -> (skewAgg _),
+    "zorder_scan" -> (zorderScan _),
+    "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
     "interval_join" ->
@@ -177,5 +258,25 @@ object ScaleOps {
       "documents", "doc_id", "text", 0.12, 0.05),
     "pii_redact" -> graft.ext.TextAnalysis.redactOracleSql("documents", "doc_id",
       "substr(text, 1, 80) || ' contact user' || doc_id || '@example.com or 555-' " +
-        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"))
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"),
+    "skew_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "skew_agg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 1 AND 40""".stripMargin,
+    "schema_merge" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
 }
