@@ -283,6 +283,39 @@ object NearDup {
       .select(col(idCol).as("doc_id"), hashedShingles(col(textCol), shingleLen).as("hs"))
   }
 
+  /** Eval-set decontamination: (corpus doc, eval doc) pairs sharing at
+    * least `minShared` distinct word n-grams — the standard check that
+    * training data does not contain benchmark text. Shingle hashing is
+    * map-side on both inputs; the (small) eval side is broadcast, so
+    * the corpus NEVER shuffles — the only exchange carries the matched
+    * (doc, eval, shingle) hits into the overlap count, a volume
+    * bounded by actual contamination, not corpus size. `frac` is the
+    * shared fraction of the EVAL document's shingles (the side whose
+    * leakage matters).
+    *
+    * Hashed-shingle equality stands in for string equality exactly as
+    * in the Jaccard path above (xxhash64, collision-free at any
+    * realistic shingle cardinality; the oracle intersects the string
+    * sets directly).
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = DefaultShingleLen,
+      minShared: Int = 1): DataFrame = {
+    val c = shingleSets(corpus, idCol, textCol, shingleLen)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val e = shingleSets(evalSet, idCol, textCol, shingleLen)
+      .select(col("doc_id").as("eval_id"), size(col("hs")).as("n_eval"),
+        explode(col("hs")).as("h"))
+    // Both hs arrays are distinct, so each (doc, eval, h) hit is unique
+    // and count(*) IS the distinct-shared-shingle count.
+    c.join(broadcast(e), Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id"), col("n_eval"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_eval"), 6).as("frac"))
+  }
+
   /** Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
     * candidates generated by MinHash banding only.
     */

@@ -148,6 +148,19 @@ object NorthStar {
   def dedupNear(s: SparkSession, dir: String): DataFrame =
     graft.ext.NearDup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
 
+  /** Eval-set decontamination: documents sharing ≥ 3 distinct
+    * 3-shingles with a held-out pseudo-benchmark (doc_id % 97 = 0).
+    * Corpus never shuffles — eval shingles broadcast, only the matched
+    * hits exchange ([[graft.ext.NearDup.contamination]]).
+    */
+  def decontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    graft.ext.NearDup.contamination(
+      docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+      "doc_id", "text", shingleLen = 3, minShared = 3)
+  }
+
   /** Connected near-dup components labeled by min doc id — the
     * keep-one-survivor-per-cluster form; oracle via recursive
     * transitive closure over the same exact-Jaccard pair graph.
@@ -384,6 +397,7 @@ object NorthStar {
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
+    "decontam" -> (decontam _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
     "quality_filter" -> (qualityFilter _),
@@ -498,6 +512,18 @@ object NorthStar {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "decontam" ->
+      s"""WITH $ShingleCtes,
+        |ev AS (SELECT doc_id AS eval_id, s AS es FROM sh WHERE doc_id % 97 = 0),
+        |cp AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, e.eval_id,
+        |    CAST(len(list_intersect(c.s, e.es)) AS BIGINT) AS n_shared,
+        |    len(e.es) AS n_eval
+        |  FROM cp c CROSS JOIN ev e)
+        |SELECT doc_id, eval_id, n_shared,
+        |  round(n_shared::DOUBLE / n_eval, 6) AS frac
+        |FROM hits WHERE n_shared >= 3""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $ShingleCtes,
         |$PairsCte,

@@ -141,6 +141,30 @@ class NearDupSpec extends SparkTestBase {
     clusters.unpersist()
   }
 
+  test("contamination counts distinct shared shingles against the eval side") {
+    val s = spark
+    import s.implicits._
+    // eval doc "a b c d e" has 3 distinct 3-shingles: [a b c][b c d][c d e]
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e"),          // shares all 3
+      (2L, "x y a b c d z"),      // shares [a b c][b c d]
+      (3L, "c d e q r"),          // shares [c d e] only
+      (4L, "p q r s t"),          // shares none
+      (5L, "a b")                 // under shingle length — excluded
+    ).toDF("doc_id", "text")
+    val hits = NearDup.contamination(corpus, eval, "doc_id", "text", 3, minShared = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(hits.keySet == Set(1L, 2L, 3L))
+    assert(hits(1L) == ((3L, 1.0)))
+    assert(hits(2L) == ((2L, math.round(2.0 / 3 * 1e6) / 1e6)))
+    assert(hits(3L) == ((1L, math.round(1.0 / 3 * 1e6) / 1e6)))
+    // minShared gates low-overlap pairs out
+    val gated = NearDup.contamination(corpus, eval, "doc_id", "text", 3, minShared = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(gated == Set(1L, 2L))
+  }
+
   test("banding prunes: candidate pairs well below all-pairs count") {
     val s = spark
     import s.implicits._
