@@ -100,6 +100,13 @@ object WarehousePublisher {
     // atomic view swap.
     val legacyExists = spark.catalog.tableExists(target) &&
       spark.catalog.getTable(target).tableType != "VIEW"
+    // The version the live pointer reads right now. Usually the newest,
+    // but after a rollback it's older — retention must never drop the
+    // version readers were just being served from.
+    val pointerBefore: Option[Long] =
+      if (!legacyExists && spark.catalog.tableExists(target))
+        scala.util.Try(currentVersion(spark, target)).toOption
+      else None
     val nextSlot = existing.map(_._2).maxOption.getOrElse(0L) + 1L
     val legacySlot = if (legacyExists) Some(nextSlot) else None
     val version = if (legacyExists) nextSlot + 1L else nextSlot
@@ -111,8 +118,13 @@ object WarehousePublisher {
       legacySlot.foreach(s => spark.sql(s"ALTER TABLE $target RENAME TO ${target}_v$s"))
       // Commit point: one atomic pointer swap.
       spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $phys")
-      // Retention: latest two versions stay readable.
-      existing.filter(_._2 < version - 1).foreach { case (name, _) =>
+      // Retention: latest two versions stay readable — and whatever
+      // version the pointer served immediately before this swap (equal
+      // to the newest except after a rollback), for the same
+      // finish-your-scan reason.
+      existing.filter { case (_, v) =>
+        v < version - 1 && !pointerBefore.contains(v)
+      }.foreach { case (name, _) =>
         spark.sql(s"DROP TABLE IF EXISTS $name")
       }
       val analyzed = maintain(spark, cfg, target, phys)
@@ -146,6 +158,50 @@ object WarehousePublisher {
       spark.sql(s"ANALYZE TABLE $current COMPUTE STATISTICS")
       true
     } else false
+  }
+
+  /** Retained physical versions of `target`, newest first. The lag-one
+    * retention window means this is normally (current, previous).
+    */
+  def listVersions(spark: SparkSession, target: String): Seq[Long] =
+    versionsOf(spark, target).map(_._2).sorted.reverse
+
+  /** Time-travel read: a specific retained physical version. The
+    * previous publish stays queryable until the next one lands
+    * (retention keeps two versions) — the same bounded time travel a
+    * table format gives inside its vacuum horizon.
+    */
+  def readVersion(spark: SparkSession, target: String, version: Long): DataFrame =
+    spark.table(s"${target}_v$version")
+
+  /** The version the published view currently points at, parsed from
+    * the view definition — the pointer IS the commit state, so there is
+    * no side channel to fall out of sync with.
+    */
+  def currentVersion(spark: SparkSession, target: String): Long = {
+    val text = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(target))
+      .viewText.getOrElse(
+        throw new IllegalStateException(s"$target is not a published view"))
+    """(?i)_v(\d+)\s*$""".r.findFirstMatchIn(text.trim)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"$target view does not point at a version: $text"))
+  }
+
+  /** Roll the published pointer back to the newest retained version
+    * below the current one — the same single atomic view swap as
+    * publish, so readers see old-or-new, never neither. The rolled-back
+    * version is NOT dropped; the next publish takes a fresh slot above
+    * it (history moves forward even through a rollback).
+    */
+  def rollback(spark: SparkSession, target: String): Long = {
+    val cur = currentVersion(spark, target)
+    val prev = versionsOf(spark, target).map(_._2).filter(_ < cur).maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"no retained version below v$cur to roll $target back to"))
+    spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM ${target}_v$prev")
+    prev
   }
 
   /** K8 UNLOAD (README.md:57,148): export a published table/view to

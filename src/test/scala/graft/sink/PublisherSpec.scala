@@ -116,6 +116,51 @@ class PublisherSpec extends SparkTestBase {
     assert(spark.table("pubspec_compat").columns.toSeq == Seq("k", "v"))
   }
 
+  test("time travel: the previous version stays queryable after a publish") {
+    val cfg = WarehouseConfig(schema = "pubspec", table = "tt", analyze = false)
+    WarehousePublisher.publish(spark, Seq((1, "old")).toDF("k", "v"), cfg)
+    WarehousePublisher.publish(spark, Seq((1, "new"), (2, "new")).toDF("k", "v"), cfg)
+    assert(WarehousePublisher.currentVersion(spark, "pubspec_tt") == 2L)
+    assert(WarehousePublisher.listVersions(spark, "pubspec_tt") == Seq(2L, 1L))
+    assert(WarehousePublisher.readVersion(spark, "pubspec_tt", 1L)
+      .collect().map(_.getString(1)).toSeq == Seq("old"))
+    assert(spark.table("pubspec_tt").count() == 2)
+  }
+
+  test("rollback atomically repoints to the previous version; history moves forward") {
+    val cfg = WarehouseConfig(schema = "pubspec", table = "rb", analyze = false)
+    WarehousePublisher.publish(spark, Seq((1, "v1")).toDF("k", "v"), cfg)
+    WarehousePublisher.publish(spark, Seq((1, "v2")).toDF("k", "v"), cfg)
+
+    assert(WarehousePublisher.rollback(spark, "pubspec_rb") == 1L)
+    assert(WarehousePublisher.currentVersion(spark, "pubspec_rb") == 1L)
+    assert(spark.table("pubspec_rb").collect().map(_.getString(1)).toSeq == Seq("v1"))
+    // The rolled-back version is retained, not dropped.
+    assert(WarehousePublisher.readVersion(spark, "pubspec_rb", 2L)
+      .collect().map(_.getString(1)).toSeq == Seq("v2"))
+
+    // The next publish takes a fresh slot and must NOT drop v1 (the
+    // version readers were served from right up to the swap).
+    WarehousePublisher.publish(spark, Seq((1, "v3")).toDF("k", "v"), cfg)
+    assert(WarehousePublisher.currentVersion(spark, "pubspec_rb") == 3L)
+    assert(spark.table("pubspec_rb").collect().map(_.getString(1)).toSeq == Seq("v3"))
+    assert(WarehousePublisher.listVersions(spark, "pubspec_rb").contains(1L))
+
+    // A further publish (pointer now at the newest) resumes normal
+    // lag-one retention.
+    WarehousePublisher.publish(spark, Seq((1, "v4")).toDF("k", "v"), cfg)
+    assert(WarehousePublisher.listVersions(spark, "pubspec_rb") == Seq(4L, 3L))
+  }
+
+  test("rollback with no retained predecessor fails loudly") {
+    val cfg = WarehouseConfig(schema = "pubspec", table = "rb1", analyze = false)
+    WarehousePublisher.publish(spark, Seq((1, "only")).toDF("k", "v"), cfg)
+    val e = intercept[IllegalStateException] {
+      WarehousePublisher.rollback(spark, "pubspec_rb1")
+    }
+    assert(e.getMessage.contains("no retained version"))
+  }
+
   test("exportTable (UNLOAD) round-trips a published table") {
     val cfg = WarehouseConfig(schema = "pubspec", table = "exp", analyze = false)
     WarehousePublisher.publish(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), cfg)
