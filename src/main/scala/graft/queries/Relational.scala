@@ -237,6 +237,20 @@ object Relational {
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
   }
 
+  /** Sketch-based quantiles (Greenwald-Khanna): the sort-free path a
+    * 100 TB percentile dashboard takes — mergeable per-partition
+    * sketches instead of a global sort. No cross-engine oracle (sketch
+    * internals differ); `ApproxSpec` asserts the 1/accuracy rank
+    * guarantee against exact ranks.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile_approx(o_totalprice, array(0.1, 0.5, 0.9), 100)")
+        .as("approx_q"))
+  }
+
   /** ROLLUP hierarchy totals (priority → priority×status → grand). */
   def aggRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -287,7 +301,8 @@ object Relational {
     "event_sessions" -> (eventSessions _),
     "event_sessions_state" -> (eventSessionsState _),
     "agg_percentiles" -> (aggPercentiles _),
-    "approx_distinct" -> (approxDistinct _))
+    "approx_distinct" -> (approxDistinct _),
+    "approx_percentiles" -> (approxPercentiles _))
 
   /** Gaps-and-islands rewrite of 30-min-gap sessionization; shared by
     * the session_window query and its custom-state twin.
