@@ -153,6 +153,13 @@ object WarehousePublisher {
       compacted.write.mode(SaveMode.Overwrite).saveAsTable(nextPhys)
       spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $nextPhys")
       current = nextPhys
+    } else if (cfg.vacuumStrategy == "delete") {
+      // VACUUM DELETE ONLY analog: reclaim space now — drop every
+      // retained version except the one just published, trading the
+      // time-travel window for storage. No rewrite, no re-point.
+      versionsOf(spark, target)
+        .filter(!_._1.equalsIgnoreCase(phys))
+        .foreach { case (name, _) => spark.sql(s"DROP TABLE IF EXISTS $name") }
     }
     if (cfg.analyze) {
       spark.sql(s"ANALYZE TABLE $current COMPUTE STATISTICS")

@@ -52,6 +52,18 @@ class SimSearchSpec extends SparkTestBase {
     assert(a == b && a.map(_.head).size == 100)
   }
 
+  test("ivfTopK top-1 agrees with brute force on >= 80% of queries") {
+    val emb = t(spark, sf0001, "embeddings")
+    val brute = SimSearch.bruteTopK(emb, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = SimSearch.ivfTopK(emb, 100, SimSearch.IvfParams.fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = brute.count { case (q, c) => ivf.get(q).contains(c) }
+    // probe-2 over near-uniform vectors (the adversarial case for cell
+    // assignment: many neighbors sit just across a centroid boundary).
+    assert(agree >= 80, s"ivf top-1 agreement $agree/100 below bound")
+  }
+
   test("lshTopK top-1 agrees with brute force on >= 90% of queries") {
     val emb = t(spark, sf0001, "embeddings")
     val brute = SimSearch.bruteTopK(emb, 100).collect()

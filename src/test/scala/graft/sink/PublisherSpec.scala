@@ -161,6 +161,19 @@ class PublisherSpec extends SparkTestBase {
     assert(e.getMessage.contains("no retained version"))
   }
 
+  test("vacuum_strategy delete reclaims all versions but the current one") {
+    val cfg = WarehouseConfig(schema = "pubspec", table = "vd", analyze = false)
+    WarehousePublisher.publish(spark, Seq((1, "a")).toDF("k", "v"), cfg)
+    WarehousePublisher.publish(spark, Seq((2, "b")).toDF("k", "v"), cfg)
+    // Normal publishes keep the lag-one window...
+    assert(WarehousePublisher.listVersions(spark, "pubspec_vd") == Seq(2L, 1L))
+    // ...a delete-strategy publish trades it for space.
+    WarehousePublisher.publish(spark, Seq((3, "c")).toDF("k", "v"),
+      cfg.copy(vacuumStrategy = "delete"))
+    assert(WarehousePublisher.listVersions(spark, "pubspec_vd") == Seq(3L))
+    assert(spark.table("pubspec_vd").collect().map(_.getString(1)).toSeq == Seq("c"))
+  }
+
   test("exportTable (UNLOAD) round-trips a published table") {
     val cfg = WarehouseConfig(schema = "pubspec", table = "exp", analyze = false)
     WarehousePublisher.publish(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), cfg)
