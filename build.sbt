@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked JVM's stdout straight through, WITHOUT sbt's
+// "[info] " logger prefix: the bench driver greps a bounded stdout
+// tail for Bench's one JSON line, and the prefix broke its parser
+// for two rounds running (BENCH_r03/r04 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

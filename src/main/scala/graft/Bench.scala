@@ -29,7 +29,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the bench JSON out of a
+    // bounded stdout tail; stray WARN lines competing for that window
+    // cost us a parseable BENCH line in r3/r4.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (codegen, parquet footer caches, shuffle infra)
     // so the alphabetically-first query doesn't absorb startup cost.
     spark.read.parquet(s"$sfDir/region.parquet").join(
@@ -66,7 +69,15 @@ object Bench {
       .mkString("[", ",", "]")
     val failed = results.count(!_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_queries":$fq,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_queries":$fq,"sf":"$sfDir"}"""
+    // File copy first (debuggable even if the stdout tail is lost),
+    // then the line itself as the forked JVM's final stdout output —
+    // build.sbt's StdoutOutput strategy keeps it free of sbt's
+    // "[info] " prefix.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -13,6 +13,13 @@ object Tables {
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Filesystem-safe tag for an sf dir, used to key scratch landings.
+    * Prefixed so it can never start with '_' or '.' — Hadoop path
+    * filters treat such names as hidden and silently skip them on any
+    * glob or parent-directory listing.
+    */
+  def pathTag(dir: String): String = "sf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     // reader rejects; read nanos as long and truncate to micros (same

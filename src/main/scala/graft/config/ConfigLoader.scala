@@ -127,6 +127,8 @@ object ConfigLoader {
         landingPath = str(st, "landing_path"),
         brokers = str(st, "brokers"),
         topic = str(st, "topic"),
+        streamName = str(st, "stream_name"),
+        region = str(st, "region"),
         watermarkColumn = str(st, "watermark_column", "ts"),
         watermarkDelay = str(st, "watermark_delay", "10 minutes"),
         windowDuration = optStr(st, "window_duration"),

@@ -136,6 +136,8 @@ final case class StreamConfig(
     landingPath: String = "",
     brokers: String = "",
     topic: String = "",
+    streamName: String = "", // kinesis transport (README.md:11)
+    region: String = "",
     watermarkColumn: String = "ts",
     watermarkDelay: String = "10 minutes",
     windowDuration: Option[String] = None,

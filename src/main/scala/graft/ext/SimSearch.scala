@@ -95,8 +95,17 @@ object SimSearch {
       IvfParams(k, math.max(2, k / 16))
     }
 
-    /** Fixture-scale geometry (~10³ vectors): 16 cells, 2 probes. */
-    val fixture: IvfParams = IvfParams(numCentroids = 16, probes = 2)
+    /** Fixture-scale geometry (~10³ vectors): 16 cells, 10 probes.
+      * The fixture's vectors are near-uniform (top-1 cosine ≈
+      * 0.28-0.49), the adversarial case for cell assignment — many
+      * true neighbors sit just across a centroid boundary, so top-1
+      * agreement climbs slowly with probe count (IvfSweep on
+      * sf0.001: probes 2/4/6/8/10/12 → 41/62/75/80/90/93 of 100).
+      * 10 probes clears the 80% recall floor with margin; real
+      * deployments go through [[forCorpus]], where clustered data
+      * needs a far smaller probe fraction.
+      */
+    val fixture: IvfParams = IvfParams(numCentroids = 16, probes = 10)
   }
 
   /** Reference dot product as a sequential double fold — deterministic

@@ -33,6 +33,21 @@ object ZOrder {
     }
   }
 
+  /** Smallest `bits` such that both columns' observed maxima fit in
+    * [0, 2^bits) — one aggregate over the frame, paid once at layout
+    * time. Passing raw ids with a guessed width silently drops high
+    * bits in [[zValue]] (keys 2^bits apart collide on the z key),
+    * which degrades pruning without affecting correctness; deriving
+    * the width removes the guess.
+    */
+  def deriveBits(df: DataFrame, xCol: String, yCol: String): Int = {
+    val row = df.agg(max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head()
+    val m = math.max(if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1))
+    require(m >= 0, s"z-order dimensions must be non-negative, max=$m")
+    math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m)))
+  }
+
   /** Write `df` z-ordered on two bucketized dimension columns:
     * range-partition by the z key into `numFiles` sorted files. The z
     * key is dropped from the stored schema — it's a layout artifact,

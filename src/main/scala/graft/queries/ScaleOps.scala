@@ -34,7 +34,7 @@ object ScaleOps {
     * write (same rationale as Scalar's scratch landings).
     */
   private def landBucketed(s: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.Tables.pathTag(dir)
     val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     if (!s.catalog.tableExists(ot))
       graft.sink.BucketedLayout.writeBucketed(
@@ -77,7 +77,7 @@ object ScaleOps {
     */
   private val landedQ8 = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def simTopKQ8(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_q8/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val path = s"/tmp/graft_q8/${graft.Tables.pathTag(dir)}"
     if (landedQ8.add(path))
       graft.ext.SimSearch.quantizeCorpus(t(s, dir, "embeddings"))
         .write.mode("overwrite").parquet(path)
@@ -156,13 +156,18 @@ object ScaleOps {
     */
   private val landedZ = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def zorderScan(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_zorder/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (landedZ.add(path))
-      graft.ext.ZOrder.writeZOrdered(
-        t(s, dir, "lineitem").select(
-          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("l_quantity")),
-        path, "l_partkey", "l_suppkey", bits = 21, numFiles = 16)
+    val path = s"/tmp/graft_zorder/${graft.Tables.pathTag(dir)}"
+    if (landedZ.add(path)) {
+      val proj = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      // Derive the z-key width from the observed key range (zValue's
+      // contract: values must fit [0, 2^bits) or high bits silently
+      // drop and distant keys collide on the z key).
+      graft.ext.ZOrder.writeZOrdered(proj, path, "l_partkey", "l_suppkey",
+        bits = graft.ext.ZOrder.deriveBits(proj, "l_partkey", "l_suppkey"),
+        numFiles = 16)
+    }
     s.read.parquet(path)
       .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(1, 40))
   }
@@ -175,7 +180,7 @@ object ScaleOps {
     * value-exact, not just shape-compatible.
     */
   def schemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.Tables.pathTag(dir)
     val path = s"/tmp/graft_evolve/$tag/orders"
     if (landedEvolve.add(path)) {
       val o = t(s, dir, "orders")

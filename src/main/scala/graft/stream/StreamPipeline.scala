@@ -34,6 +34,9 @@ object StreamPipeline {
       case "kafka" =>
         val schema = graft.sources.SourceReader.read(spark, "json", st.landingPath).schema
         StreamSource.readKafka(spark, st.brokers, st.topic, schema)
+      case "kinesis" =>
+        val schema = graft.sources.SourceReader.read(spark, "json", st.landingPath).schema
+        StreamSource.readKinesis(spark, st.streamName, st.region, schema)
       case fmt =>
         val schema = graft.sources.SourceReader.read(spark, fmt, st.landingPath).schema
         StreamSource.readFiles(spark, fmt, st.landingPath, schema, st.maxFilesPerTrigger)

@@ -42,12 +42,22 @@ object CdcMerge {
   /** Apply a change feed to a base snapshot. `changes` carries the base
     * payload columns plus `opCol` ('D' = delete, anything else =
     * upsert) and `seqCol`; the result has exactly the base schema.
+    *
+    * `broadcastFeed = false` is the escape hatch for a pathological
+    * feed that outgrows driver/executor broadcast memory (a backfill
+    * replaying months of changes): the anti-join falls back to
+    * Catalyst's own strategy choice — a shuffled join of base on the
+    * key, never a driver OOM. Semantics are identical either way
+    * (`CdcMergeSpec` asserts result identity with the hint disabled).
     */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
-      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+      opCol: String = "op", seqCol: String = "seq",
+      broadcastFeed: Boolean = true): DataFrame = {
     val payload = base.columns.toSeq
     val latest = latestChanges(changes, key, seqCol)
-    val untouched = base.join(broadcast(latest.select(key)), Seq(key), "left_anti")
+    val touched = latest.select(key)
+    val untouched = base.join(
+      if (broadcastFeed) broadcast(touched) else touched, Seq(key), "left_anti")
     val upserts = latest.filter(col(opCol) =!= "D").select(payload.map(col): _*)
     untouched.select(payload.map(col): _*).unionByName(upserts)
   }

@@ -59,8 +59,11 @@ class SimSearchSpec extends SparkTestBase {
     val ivf = SimSearch.ivfTopK(emb, 100, SimSearch.IvfParams.fixture).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agree = brute.count { case (q, c) => ivf.get(q).contains(c) }
-    // probe-2 over near-uniform vectors (the adversarial case for cell
-    // assignment: many neighbors sit just across a centroid boundary).
+    // Near-uniform vectors are the adversarial case for cell
+    // assignment (many neighbors sit just across a centroid
+    // boundary); the fixture's probe count was tuned by IvfSweep —
+    // probes=10 of 16 cells measures 90/100 here, so the 80% floor
+    // holds with margin. See IvfParams.fixture for the sweep table.
     assert(agree >= 80, s"ivf top-1 agreement $agree/100 below bound")
   }
 

@@ -17,7 +17,9 @@ class ApproxSpec extends SparkTestBase {
     import s.implicits._
     val qs = Seq(0.1, 0.5, 0.9)
     val approx = Relational.approxPercentiles(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     val base = t(spark, sf0001, "orders")
       .select($"o_orderpriority", $"o_totalprice").cache()
     approx.foreach { case (prio, vals) =>

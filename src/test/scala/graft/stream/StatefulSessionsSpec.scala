@@ -109,6 +109,46 @@ class StatefulSessionsSpec extends SparkTestBase {
     assert(out.map(_.getDouble(4)).sum == 1500000.0)
   }
 
+  test("a closed session flushes at ITS quiet-period end, not the newest session's") {
+    // Two open sessions for one key: A at 10:00, B at 12:00. Once the
+    // watermark passes A's quiet period (10:30) — but NOT B's (12:30)
+    // — the timeout must flush A alone. Arming the timeout at the
+    // NEWEST session's quiet end (the pre-fix shape) would hold A
+    // hostage until 12:30+.
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[Ev](org.apache.spark.sql.Encoders.product[Ev], s.sqlContext)
+    val q = StatefulSessions.sessionsStream(ms.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("state_latency")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(1, 1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(2, 1, ts("2024-01-01 12:00:00"), "click", 2.0))
+      q.processAllAvailable()
+      // Push the watermark to 10:45 (10:55 - 10m): past A's quiet end,
+      // well short of B's. The extra batch lets the event-time timeout
+      // fire on the advanced watermark.
+      ms.addData(Ev(90, 99, ts("2024-01-01 10:55:00"), "tick", 0.0))
+      q.processAllAvailable()
+      ms.addData(Ev(91, 99, ts("2024-01-01 10:56:00"), "tick", 0.0))
+      q.processAllAvailable()
+      val afterA = s.table("state_latency").filter($"user_id" === 1)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(3)))
+      assert(afterA.toSeq == Seq((ts("2024-01-01 10:00:00"), 1L)),
+        s"session A must flush at its own quiet-period end, got: ${afterA.toSeq}")
+      // Now pass B's quiet end too.
+      ms.addData(Ev(92, 99, ts("2024-01-01 13:00:00"), "tick", 0.0))
+      q.processAllAvailable()
+      ms.addData(Ev(93, 99, ts("2024-01-01 13:01:00"), "tick", 0.0))
+      q.processAllAvailable()
+      val all = s.table("state_latency").filter($"user_id" === 1)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(3))).toSet
+      assert(all == Set(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("late event behind the watermark is dropped, not sessionized") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,34 @@ class CdcMergeSpec extends SparkTestBase {
     assert(!got2.contains(3L))
   }
 
+  test("broadcastFeed=false gives identical results via a non-broadcast anti-join") {
+    val changes = chg(
+      (1L, "a", 11.0, "U", 1), (1L, "a", 12.0, "U", 2),
+      (2L, "b", 20.0, "D", 1),
+      (9L, "i", 90.0, "I", 1))
+    val hinted = CdcMerge.applyChanges(base, changes, "k")
+      .collect().map(_.toSeq).toSet
+    val unhinted = CdcMerge.applyChanges(base, changes, "k",
+        broadcastFeed = false)
+      .collect().map(_.toSeq).toSet
+    assert(hinted == unhinted)
+    // And the escape hatch really dropped the hint: with AQE off and
+    // auto-broadcast disabled, no broadcast anti-join appears.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = CdcMerge.applyChanges(base, changes, "k", broadcastFeed = false)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"expected no broadcast join with the hint disabled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("base side survives via a broadcast anti-join — no base shuffle") {
     // Static plan (AQE off) so the join strategy is directly
     // inspectable; the production path keeps AQE on.
