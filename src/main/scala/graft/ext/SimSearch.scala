@@ -250,20 +250,33 @@ object SimSearch {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
       sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
-    val cents = broadcast(vecs.filter(col("vec_id") < p.numCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn")))
+    val cents = vecs.filter(col("vec_id") < p.numCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n").as("cn"))
+    ivfWithCentroids(vecs, queryBound, p.probes, cents)
+  }
+
+  /** IVF assignment/probe/re-rank against an EXPLICIT centroid set
+    * (`cent_id`, `cv`, `cn`) — the shared core behind [[ivfTopK]]
+    * (first-K centroids, oracle-replicable) and [[ivfTopKTrained]]
+    * (k-means centroids, better cells). Centroids broadcast; the
+    * corpus never shuffles for assignment (window over K ranked rows
+    * per vector after a broadcast cross join).
+    */
+  private def ivfWithCentroids(vecs: DataFrame, queryBound: Int, probes: Int,
+      cents: DataFrame): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(vecs.sparkSession)
     // Rounding the assignment sim makes the ranking robust to
     // cross-engine float-summation differences in the oracle.
     val csim = round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
-    val ranked = vecs.crossJoin(cents)
+    val ranked = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"), csim.as("csim"))
       .withColumn("crn", row_number().over(w))
     val cells = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
-    val probed = ranked.filter(col("vec_id") < queryBound && col("crn") <= p.probes)
+    val probed = ranked.filter(col("vec_id") < queryBound && col("crn") <= probes)
       .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
-    // Duplicates from probing 2 cells collapse in the re-rank (rn = 1).
+    // Duplicates from probing multiple cells collapse in the re-rank (rn = 1).
     val cand = broadcast(probed).join(cells, "cell")
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid")
@@ -272,6 +285,88 @@ object SimSearch {
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))), "qid")
       .join(vecs.select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")), "cid")
     rerank(pairs, ndot)
+  }
+
+  /** Deterministic spherical k-means centroids for the IVF index
+    * (Lloyd's iterations): hash-spread init (the K smallest
+    * `xxhash64(vec_id)` vectors), cosine assignment with the same
+    * rounded-sim/centroid-id tiebreak as the index itself, elementwise
+    * mean update. Where it matters: on CLUSTERED embeddings (the real
+    * case) first-K-vectors centroids ([[ivfTopK]]) inherit the data's
+    * insertion order — if early ids share a cluster, every cell is a
+    * noise-slice of that cluster and probing finds nothing — while
+    * trained centroids recover the true cells (`SimSearchSpec` builds
+    * such a corpus and pins the gap). On structureless near-uniform
+    * data (the adversarial fixture) NO centroid choice helps: measured
+    * trained ≈ first-K at every probe count (`IvfSweep`), which is the
+    * information-theoretic reality, not a training defect.
+    *
+    * Scale shape: centroids BROADCAST each round; assignment is a
+    * map-side-combined `max(struct(sim, -cent_id))` per vector — the
+    * exchange carries one row per vector, not per (vector, centroid);
+    * the mean update shuffles N×dim skinny (cell, pos, x) rows of the
+    * TRAINING SAMPLE only (`sampleEvery` hash-samples the corpus —
+    * k-means needs a bounded sample, not 100 TB); sums ride
+    * decimal(28,10) so the result is bit-deterministic under any
+    * partial-aggregation order. Lineage is cut per round
+    * (localCheckpoint on K rows).
+    */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5,
+      sampleEvery: Int = 1): DataFrame = {
+    require(k >= 1 && iters >= 0 && sampleEvery >= 1,
+      s"bad k-means config: k=$k iters=$iters sampleEvery=$sampleEvery")
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val all = emb.select(col("vec_id"), col("embedding").as("v"))
+    val sample = (if (sampleEvery == 1) all
+      else all.filter(pmod(xxhash64(col("vec_id")), lit(sampleEvery.toLong)) === 0L))
+      .cache()
+    val initW = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cents = sample
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select((row_number().over(initW) - 1).cast("long").as("cent_id"),
+        col("v").cast("array<double>").as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val c = broadcast(cents.select(col("cent_id"), col("cv"),
+        sqrt(ndot(col("cv"), col("cv"))).as("cn")))
+      val csim = round(
+        ndot(col("v"), col("cv")) / (sqrt(ndot(col("v"), col("v"))) * col("cn")), 6)
+      val assigned = sample.crossJoin(c)
+        .select(col("vec_id"), col("v"),
+          struct(csim.as("s"), (-col("cent_id")).as("nc")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+        .select((-col("m.nc")).as("cell"), col("v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("decimal(28,10)")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("sx") / col("cnt")).cast("double").as("m")))),
+          e => e.getField("m")).as("cv2"))
+      // A cell that lost every point keeps its previous centroid.
+      cents = cents.join(means, cents("cent_id") === means("cell"), "left")
+        .select(col("cent_id"), coalesce(col("cv2"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    sample.unpersist()
+    cents.select(col("cent_id"), col("cv"), sqrt(ndot(col("cv"), col("cv"))).as("cn"))
+  }
+
+  /** IVF top-1 with k-means-trained centroids. No cross-engine oracle
+    * (the trained centroids are data/iteration-dependent);
+    * `SimSearchSpec` bounds top-1 agreement vs brute force at HALF the
+    * fixture probe count the first-K index needs, and determinism.
+    */
+  def ivfTopKTrained(emb: DataFrame, queryBound: Int, p: IvfParams,
+      iters: Int = 5, sampleEvery: Int = 1): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+    ivfWithCentroids(vecs, queryBound, p.probes,
+      trainCentroids(emb, p.numCentroids, iters, sampleEvery))
   }
 
   /** DuckDB oracle for [[ivfTopK]]. */

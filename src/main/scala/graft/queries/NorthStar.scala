@@ -379,6 +379,26 @@ object NorthStar {
         round(sum(col("l_extendedprice")), 2).as("total_price"))
   }
 
+  /** Corpus-level vocabulary heavy hitters: top-50 tokens by frequency
+    * with a total-order tiebreak — the vocabulary/stopword audit step
+    * of a training-data pipeline. Scale shape: the exploded token
+    * stream feeds Spark's two-phase hash aggregate (map-side partial
+    * counts mean the exchange carries one row per (partition, distinct
+    * token), not one per token occurrence), and the top-k is a
+    * TakeOrderedAndProject — per-partition heaps, never a global sort
+    * of the vocabulary.
+    */
+  def tokenTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(qToks).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc)
+      .limit(50)
+  }
+
   private def payloadDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -426,6 +446,7 @@ object NorthStar {
     "dedup_survivors" -> (dedupSurvivors _),
     "quality_filter" -> (qualityFilter _),
     "quality_topfrac" -> (qualityTopFrac _),
+    "token_topk" -> (tokenTopK _),
     "corpus_mix" -> (corpusMix _),
     "multimodal_meta" -> (multimodalMeta _))
 
@@ -489,6 +510,14 @@ object NorthStar {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "token_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 50""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, n_chars,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -16,14 +16,18 @@ object IvfSweep {
     val emb = graft.Tables.t(spark, sfDir, "embeddings")
     val brute = graft.ext.SimSearch.bruteTopK(emb, 100).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    for (probes <- Seq(2, 3, 4, 6, 8, 10, 12).filter(_ <= centroids)) {
+    for (probes <- Seq(1, 2, 3, 4, 6, 8, 10, 12).filter(_ <= centroids)) {
       val p = graft.ext.SimSearch.IvfParams(centroids, probes)
-      val t0 = System.nanoTime()
-      val ivf = graft.ext.SimSearch.ivfTopK(emb, 100, p).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val ms = (System.nanoTime() - t0) / 1e6
-      val agree = brute.count { case (q, c) => ivf.get(q).contains(c) }
-      println(f"SWEEP centroids=$centroids probes=$probes agree=$agree/100 time=$ms%.0fms")
+      for (trained <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val q = if (trained) graft.ext.SimSearch.ivfTopKTrained(emb, 100, p)
+                else graft.ext.SimSearch.ivfTopK(emb, 100, p)
+        val ivf = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ms = (System.nanoTime() - t0) / 1e6
+        val agree = brute.count { case (qq, c) => ivf.get(qq).contains(c) }
+        val tag = if (trained) "trained" else "firstK "
+        println(f"SWEEP $tag centroids=$centroids probes=$probes agree=$agree/100 time=$ms%.0fms")
+      }
     }
     spark.stop()
   }

@@ -67,6 +67,44 @@ class SimSearchSpec extends SparkTestBase {
     assert(agree >= 80, s"ivf top-1 agreement $agree/100 below bound")
   }
 
+  test("trained IVF centroids recover cluster structure that first-K centroids miss") {
+    import org.apache.spark.sql.functions._
+    // Deterministic clustered corpus: 8 orthogonal cluster centers
+    // (one-hot dims), vectors = center + hash-derived noise. Cluster
+    // id = vec_id div 125, so the FIRST 8 vectors — the first-K
+    // centroids — all sit in cluster 0: that quantizer's cells are
+    // noise-slices of one cluster. k-means recovers the real centers.
+    val dim = 16
+    val df = spark.range(1000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (when(j === (col("id") / 125).cast("int"), 1.0).otherwise(0.0) +
+          (pmod(xxhash64(col("id") * dim + j.cast("long")), lit(1000L))
+            .cast("double") / 1000.0 - 0.5) * 0.2)
+          .cast("float")).as("embedding"))
+    val brute = SimSearch.bruteTopK(df, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def agree(res: Map[Long, Long]): Int =
+      brute.count { case (q, c) => res.get(q).contains(c) }
+    val p = SimSearch.IvfParams(8, 1)
+    val firstK = agree(SimSearch.ivfTopK(df, 100, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val trained = agree(SimSearch.ivfTopKTrained(df, 100, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    info(s"probe-1 top-1 agreement: firstK=$firstK/100 trained=$trained/100")
+    assert(trained >= 85, s"trained centroids must recover the clusters: $trained/100")
+    assert(trained >= firstK + 20,
+      s"training must beat insertion-order centroids: trained=$trained firstK=$firstK")
+  }
+
+  test("ivfTopKTrained is deterministic across runs") {
+    val emb = t(spark, sf0001, "embeddings")
+    val p = SimSearch.IvfParams(16, 4)
+    val a = SimSearch.ivfTopKTrained(emb, 50, p, iters = 2).collect().map(_.toSeq).toSet
+    val b = SimSearch.ivfTopKTrained(emb, 50, p, iters = 2).collect().map(_.toSeq).toSet
+    assert(a == b && a.map(_.head).size == 50)
+  }
+
   test("lshTopK top-1 agrees with brute force on >= 90% of queries") {
     val emb = t(spark, sf0001, "embeddings")
     val brute = SimSearch.bruteTopK(emb, 100).collect()
