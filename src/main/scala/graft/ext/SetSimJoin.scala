@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-complete set-similarity join via prefix filtering (the
+  * PPJoin/AllPairs family) — the "n-gram Jaccard" dedup path that is
+  * DETERMINISTICALLY complete, complementing the probabilistic
+  * MinHash-LSH path in [[NearDup]]: LSH trades a recall tail for
+  * constant work per document; prefix filtering returns EVERY pair with
+  * Jaccard ≥ θ, with work that adapts to how similar the corpus
+  * actually is.
+  *
+  * Pipeline: word n-gram shingle sets (hashed once, as in [[NearDup]])
+  * → global rare-first token ordering (corpus document frequency) →
+  * per-document prefix of the (|s| − ⌈θ·|s|⌉ + 1) rarest shingles →
+  * inverted-index self-join on prefix shingles + length filter → exact
+  * Jaccard verification of candidates.
+  *
+  * Completeness (why no pair above θ is ever missed): order every set
+  * by one shared total order. If J(a,b) ≥ θ then the overlap
+  * o = |a∩b| satisfies o ≥ θ·|a∪b| ≥ θ·max(|a|,|b|), and o is an
+  * integer, so o ≥ ⌈θ·max(|a|,|b|)⌉ =: α. A set's last α−1 elements
+  * cannot contain all o ≥ α common elements, so some common element
+  * lies within the first |a|−α+1 of a AND the first |b|−α+1 of b;
+  * both are ≤ the kept prefix lengths (α ≥ ⌈θ·|a|⌉ and ≥ ⌈θ·|b|⌉), so
+  * the kept prefixes share an element and the pair becomes a
+  * candidate. ANY shared total order satisfies this — the
+  * document-frequency (rare-first) order is purely the performance
+  * lever: the prefix holds each document's rarest shingles, so
+  * inverted-index buckets stay small where the vocabulary is heavy.
+  *
+  * Scale design (100 TB):
+  *  - shingle hashing is map-only and happens once; raw text never
+  *    shuffles (ids + 8-byte shingle hashes only);
+  *  - the document-frequency table is a two-phase hash aggregate: the
+  *    exchange carries one row per (map partition, distinct shingle),
+  *    bounded by vocabulary, not the token stream;
+  *  - attaching frequencies is the one corpus-wide exchange (shuffle
+  *    on shingle hash), the same volume class as one LSH banding pass;
+  *  - only the PREFIX (≈ (1−θ)·|s| + 1 shingles/doc) enters the
+  *    inverted-index self-join, keyed on the shingle hash; an explicit
+  *    repartition on the key lets AQE reuse one exchange for both
+  *    sides of the self-join;
+  *  - the length filter (min ≥ θ·max, a consequence of J ≥ θ) prunes
+  *    cross-size candidates before the verify join;
+  *  - candidate verification shuffles candidate ids only, a volume set
+  *    by true similarity structure, not corpus size².
+  */
+object SetSimJoin {
+
+  /** All document pairs (id_a < id_b) with exact Jaccard ≥ `threshold`
+    * over distinct word-`shingleLen`-gram sets. Exact and complete —
+    * equality with brute-force all-pairs is spec-asserted, not
+    * probabilistic.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleLen: Int = NearDup.DefaultShingleLen): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    val sh = NearDup.shingleSets(docs, idCol, textCol, shingleLen)
+
+    // Corpus document frequency per shingle hash — the shared total
+    // order is (df ASC, hash ASC); both components are data-determined,
+    // so the order (hence the candidate set, hence — after the lossless
+    // filter — the result) is deterministic.
+    val exploded = sh.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val freq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+    // Reassemble each document's shingles sorted rare-first. collect_list
+    // order is nondeterministic, but sort_array imposes the total order:
+    // (df, h) structs compare field-by-field and h is distinct per doc.
+    val ordered = exploded.join(freq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+
+    // Prefix: the first |s| - ceil(θ|s|) + 1 shingles in rare-first
+    // order. ceil() yields LONG; sz is INT — keep the arithmetic in one
+    // type so slice() sees an integral length.
+    val plen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+    val prefix = ordered
+      .select(col("doc_id"), col("sz"),
+        explode(transform(slice(col("ord"), lit(1), plen), e => e.getField("h")))
+          .as("h"))
+      .repartition(col("h")) // one exchange feeds both self-join sides (AQE reuse)
+
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // J ≥ θ ⇒ |a∩b|/|a∪b| ≥ θ with |a∩b| ≤ min, |a∪b| ≥ max
+          // ⇒ min ≥ θ·max — prune size-incompatible pairs pre-verify.
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+      size(array_union(col("hs_a"), col("hs_b"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+}

@@ -351,6 +351,64 @@ object TextAnalysis {
        |  (top_word_frac > $topWordMax OR dup_bigram_frac > $dupBigramMax) AS repetitive
        |FROM bg JOIN tw ON bg.$idCol = tw.$idCol""".stripMargin
 
+  // ---- span-level dedup (C4-style) ----
+
+  /** Corpus-level duplicated-span statistics — the measurement behind
+    * C4's "remove any three-sentence span occurring more than once"
+    * pass, re-expressed for this corpus (no sentence boundaries) as
+    * consecutive non-overlapping `spanLen`-token blocks. A span
+    * INSTANCE is duplicated iff its span text occurs ≥ 2 times across
+    * the whole corpus (including twice within one document).
+    *
+    * Scale shape: spans are hashed to 64 bits map-side (one xxhash64
+    * per span — raw span text never shuffles, same trade as
+    * [[NearDup]]); the global span-frequency table is a two-phase hash
+    * aggregate whose exchange is bounded by distinct spans per map
+    * partition; the join back to span instances shuffles the hashed
+    * span stream (token stream / spanLen) once — the irreducible cost
+    * of a corpus-global dedup decision — and the final per-doc rollup
+    * is map-side-combinable again.
+    */
+  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val spanHashes = transform(
+      sequence(lit(0), (size(toks) / spanLen).cast("int") - 1),
+      i => xxhash64(concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen)))))
+    val inst = docs
+      .filter(size(toks) >= spanLen)
+      .select(col(idCol), explode(spanHashes).as("h"))
+    val counts = inst.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    inst.join(counts, "h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
+  }
+
+  /** DuckDB twin of [[spanDedupStats]] — intersects span STRINGS
+    * directly (the Spark side's xxhash64 stands in for string equality
+    * exactly as in the Jaccard family).
+    */
+  def spanDedupOracleSql(table: String, idCol: String, textCol: String,
+      spanLen: Int): String =
+    s"""WITH tok AS (
+       |  SELECT $idCol, string_split_regex(trim($textCol), '\\s+') AS ws FROM $table),
+       |spans AS (
+       |  SELECT $idCol,
+       |    unnest([array_to_string(ws[(i*$spanLen)+1 : (i*$spanLen)+$spanLen], ' ')
+       |            FOR i IN range(0, len(ws)//$spanLen)]) AS span
+       |  FROM tok WHERE len(ws) >= $spanLen),
+       |cnt AS (SELECT span, count(*) AS c FROM spans GROUP BY span)
+       |SELECT $idCol, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+       |FROM spans JOIN cnt USING (span)
+       |GROUP BY $idCol""".stripMargin
+
   // ---- PII redaction ----
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

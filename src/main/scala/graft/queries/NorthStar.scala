@@ -162,6 +162,15 @@ object NorthStar {
   def dedupNear(s: SparkSession, dir: String): DataFrame =
     graft.ext.NearDup.nearDuplicatePairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
 
+  /** Exact-complete n-gram Jaccard pairs at θ = 0.6 via prefix
+    * filtering ([[graft.ext.SetSimJoin]]) — unlike `dedup_near`'s
+    * MinHash-LSH path, completeness here is a theorem, not a recall
+    * target: the oracle is brute-force all-pairs Jaccard and agreement
+    * is deterministic for ANY corpus.
+    */
+  def jaccardPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SetSimJoin.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
+
   /** Eval-set decontamination: documents sharing ≥ 3 distinct
     * 3-shingles with a held-out pseudo-benchmark (doc_id % 97 = 0).
     * Corpus never shuffles — eval shingles broadcast, only the matched
@@ -250,6 +259,39 @@ object NorthStar {
       .filter($"n_tokens" >= 10 && $"n_tokens" <= 5000 &&
         $"n_stop" / $"n_tokens" >= 0.01 && $"__barrier" >= 0)
       .select($"doc_id", $"n_tokens")
+  }
+
+  /** C4-style duplicated-span statistics (8-token blocks) —
+    * [[graft.ext.TextAnalysis.spanDedupStats]].
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.spanDedupStats(t(s, dir, "documents"), "doc_id", "text", 8)
+
+  /** Token-budget training shards (2048 tokens, two-level prefix sum —
+    * [[graft.ext.SeqPack]]); bucket width 64 exercises the multi-bucket
+    * path at fixture scale.
+    */
+  def tokenShardsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.SeqPack.tokenShards(
+      t(s, dir, "documents").select($"doc_id",
+        size(split(trim($"text"), "\\s+")).as("n_tokens")),
+      "doc_id", "n_tokens", budget = 2048, bucketWidth = 64)
+  }
+
+  /** Per-source corpus profile — the audit a pipeline runs before
+    * choosing mixture weights: volume, token mass, length, language
+    * spread per source. One two-phase hash aggregate.
+    */
+  def sourceProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim($"text"), "\\s+")).cast("long")).as("n_tokens"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        countDistinct($"lang").as("n_langs"))
   }
 
   /** Multimodal plumbing: opaque binary payload column + typed metadata
@@ -441,6 +483,10 @@ object NorthStar {
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
+    "jaccard_pairs" -> (jaccardPairsQ _),
+    "span_dedup" -> (spanDedup _),
+    "token_shards" -> (tokenShardsQ _),
+    "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -478,6 +524,26 @@ object NorthStar {
 
   val oracle: Map[String, String] = Map(
     "lang_id" -> graft.ext.TextAnalysis.langIdOracleSql("documents", "text", "doc_id"),
+    "span_dedup" ->
+      graft.ext.TextAnalysis.spanDedupOracleSql("documents", "doc_id", "text", 8),
+    // The oracle is the single global window — the semantics the
+    // two-level prefix sum must reproduce exactly.
+    "token_shards" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |    / 2048.0) AS BIGINT) AS shard_id
+        |FROM q""".stripMargin,
+    "source_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
     "tok_bpe" -> graft.ext.TextAnalysis.bpeOracleSql("documents", "text", "doc_id"),
     "simhash" -> graft.ext.TextAnalysis.simhashOracleSql("documents", "text", "doc_id"),
     "simhash_pairs" -> graft.ext.TextAnalysis.simhashPairsOracleSql("documents", "text", "doc_id"),
@@ -565,6 +631,16 @@ object NorthStar {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    // Brute-force all-pairs truth: prefix filtering is lossless, so
+    // equality holds deterministically (no banding-recall caveat).
+    "jaccard_pairs" ->
+      s"""WITH $ShingleCtes
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.6""".stripMargin,
     "decontam" ->
       s"""WITH $ShingleCtes,
         |ev AS (SELECT doc_id AS eval_id, s AS es FROM sh WHERE doc_id % 97 = 0),

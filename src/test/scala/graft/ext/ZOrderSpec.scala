@@ -61,8 +61,12 @@ class ZOrderSpec extends SparkTestBase {
     assert(ySlabZ <= Files16 / 2, s"z-order should skip most files for a y-slab, hit $ySlabZ")
 
     // And x-predicates still prune on the z layout (worse than the
-    // x-sorted ideal, but bounded — that's the trade).
+    // x-sorted ideal, but bounded — that's the trade). The bound has a
+    // +2 allowance over the geometric ~Files16/2: repartitionByRange
+    // draws its split points from a sampled sketch whose seed varies
+    // with session RDD ids, so a split can land a file boundary inside
+    // the slab's z-range and add a straddling file or two.
     val xSlabZ = hits(fileBounds(zDir, "x"), 256, 319)
-    assert(xSlabZ <= Files16 / 2, s"z-order should also prune x-slabs, hit $xSlabZ")
+    assert(xSlabZ <= Files16 / 2 + 2, s"z-order should also prune x-slabs, hit $xSlabZ")
   }
 }
