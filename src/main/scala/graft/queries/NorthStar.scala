@@ -441,6 +441,37 @@ object NorthStar {
       .limit(50)
   }
 
+  /** Heavy hitters (tokens covering ≥ 1% of the corpus) via the
+    * two-pass sketch-then-verify pattern: a Misra-Gries sketch
+    * ([[graft.functions.MisraGriesAgg]], k=299) finds candidates with
+    * bounded state — the exchange carries ≤ k counters per partition,
+    * never the vocabulary — then an exact recount restricted to the
+    * broadcast candidate set verifies. Deterministic despite the
+    * sketch's merge-order-dependent borderline survivors: the MG
+    * guarantee (error ≤ N/(k+1) = N/300) means every token with
+    * true count ≥ N/100 is ALWAYS a candidate, and the exact
+    * ≥-threshold filter discards merge-order noise below it. At 100 TB
+    * this is the only viable shape when the vocabulary itself is too
+    * big to aggregate exactly — the full groupBy runs only over the
+    * candidate-filtered stream.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokStream = t(s, dir, "documents")
+      .select(explode(qToks).as("token"))
+      .filter(length($"token") > 0)
+    val sk = tokStream.agg(
+      graft.functions.MisraGriesAgg.misraGries($"token", 299).as("sketch"),
+      count(lit(1)).as("n_total"))
+    val cands = sk.select($"n_total", explode($"sketch").as("c"))
+      .select($"c.item".as("token"), $"n_total")
+    tokStream.join(broadcast(cands), "token")
+      .groupBy($"token", $"n_total")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= ceil($"n_total" / 100.0))
+      .select($"token", $"n")
+  }
+
   private def payloadDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -493,6 +524,7 @@ object NorthStar {
     "quality_filter" -> (qualityFilter _),
     "quality_topfrac" -> (qualityTopFrac _),
     "token_topk" -> (tokenTopK _),
+    "heavy_hitters" -> (heavyHitters _),
     "corpus_mix" -> (corpusMix _),
     "multimodal_meta" -> (multimodalMeta _))
 
@@ -576,6 +608,20 @@ object NorthStar {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    // Exact truth for the sketch-then-verify pipeline: tokens at ≥ 1%
+    // of the stream. The MG guarantee (error ≤ N/300 < N/100) makes
+    // the sketch's candidate set provably complete at this threshold,
+    // so the verified result equals the exact query deterministically.
+    "heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT token FROM tk WHERE len(token) > 0),
+        |tot AS (SELECT count(*) AS n_total FROM t2)
+        |SELECT token, count(*) AS n
+        |FROM t2, tot
+        |GROUP BY token, n_total
+        |HAVING count(*) >= ceil(n_total / 100.0)""".stripMargin,
     "token_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
