@@ -316,6 +316,65 @@ object NearDup {
         round(col("n_shared").cast("double") / col("n_eval"), 6).as("frac"))
   }
 
+  /** The LANDABLE near-dup index of a corpus: one (doc_id, bkey) row
+    * per band bucket — the band id is folded into the 32-bit key by
+    * [[bandKeys]], so `bkey` alone is the join key. Land this bucketed
+    * on `bkey` ([[graft.sink.BucketedLayout]]) and every future
+    * increment probes it WITHOUT the 100 TB base ever shuffling again
+    * (the bucket layout satisfies the join's distribution off the
+    * scan). Pair with the corpus shingle sets landed bucketed on
+    * `doc_id` for the shuffle-free verify join.
+    */
+  def bandIndex(shingles: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rows = numHashes / numBands
+    val withSig = shingles.select(col("doc_id"),
+      signatureNative(col("hs"), numHashes).as("sig"))
+    val keyCols = array((0 until numBands).map(b =>
+      hash((0 until rows).map(r =>
+        col("sig").getItem(b * rows + r)) :+ lit(b): _*)): _*)
+    withSig.select(col("doc_id"), explode(keyCols).as("bkey"))
+  }
+
+  /** Incremental near-dup: (new doc, base doc) pairs with exact
+    * Jaccard ≥ threshold, the increment probed against a PRECOMPUTED
+    * base index — the shape a continuously-ingesting pipeline runs
+    * (dedup today's crawl against the corpus without re-banding the
+    * corpus). `baseKeys` is [[bandIndex]] output (doc_id, bkey);
+    * `baseShingles` is [[shingleSets]] output; both are typically
+    * landed bucketed tables, in which case the base side of BOTH joins
+    * (candidate probe on bkey, verify on doc_id) comes off the scan
+    * pre-partitioned and only increment-sized data ever shuffles.
+    *
+    * The increment must use the SAME banding geometry and shingle
+    * length the index was built with — recall guarantees compose from
+    * the S-curve exactly as in [[nearDuplicatePairs]].
+    */
+  def incrementalPairs(
+      increment: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      baseKeys: DataFrame,
+      baseShingles: DataFrame,
+      shingleLen: Int = DefaultShingleLen,
+      banding: Option[(Int, Int)] = None): DataFrame = {
+    val (numHashes, numBands) = banding.getOrElse(bandingFor(threshold))
+    val incSh = shingleSets(increment, idCol, textCol, shingleLen)
+    val cand = bandIndex(incSh, numHashes, numBands)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(baseKeys.withColumnRenamed("doc_id", "base_id"), "bkey")
+      .select(col("new_id"), col("base_id")).distinct()
+    val jac = size(array_intersect(col("hs_new"), col("hs_base"))).cast("double") /
+      size(array_union(col("hs_new"), col("hs_base"))).cast("double")
+    cand
+      .join(incSh.select(col("doc_id").as("new_id"), col("hs").as("hs_new")), "new_id")
+      .join(baseShingles.select(col("doc_id").as("base_id"), col("hs").as("hs_base")),
+        "base_id")
+      .filter(jac >= threshold)
+      .select(col("new_id"), col("base_id"), round(jac, 6).as("jaccard"))
+  }
+
   /** Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold,
     * candidates generated by MinHash banding only.
     */

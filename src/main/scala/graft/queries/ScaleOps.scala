@@ -196,6 +196,36 @@ object ScaleOps {
   }
   private val landedEvolve = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Incremental near-dup off a LANDED index: the base corpus
+    * (doc_id % 10 ≠ 7) lands once as two bucketed tables — band keys
+    * bucketed on `bkey`, shingle sets bucketed on `doc_id` — and the
+    * increment (doc_id % 10 = 7) probes them. Base-side rows of both
+    * the candidate and verify joins come off the scan pre-partitioned;
+    * only increment-sized data shuffles (`IncrementalDedupSpec`
+    * asserts the no-base-exchange plan shape). Geometry is the derived
+    * bandingFor(0.5) = (22, 11) — same recall argument as
+    * `dedup_near`.
+    */
+  private val landedNdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val tag = graft.Tables.pathTag(dir)
+    val (kt, st) = (s"graft_ndx_keys_$tag", s"graft_ndx_sh_$tag")
+    val docs = t(s, dir, "documents")
+    if (landedNdx.add(tag) && !s.catalog.tableExists(kt)) {
+      val (numHashes, numBands) = graft.ext.NearDup.bandingFor(0.5)
+      val baseSh = graft.ext.NearDup.shingleSets(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", 3)
+      graft.sink.BucketedLayout.writeBucketed(
+        graft.ext.NearDup.bandIndex(baseSh, numHashes, numBands),
+        kt, s"/tmp/graft_ndx/$tag/keys", 16, "bkey")
+      graft.sink.BucketedLayout.writeBucketed(
+        baseSh, st, s"/tmp/graft_ndx/$tag/sh", 16, "doc_id")
+    }
+    graft.ext.NearDup.incrementalPairs(
+      docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 0.5,
+      s.table(kt), s.table(st))
+  }
+
   /** PII scrub over documents carrying deterministic synthetic contact
     * strings (the fixture corpus has no organic PII to find).
     */
@@ -218,6 +248,7 @@ object ScaleOps {
     "skew_join" -> (skewJoin _),
     "skew_agg" -> (skewAgg _),
     "zorder_scan" -> (zorderScan _),
+    "dedup_incremental" -> (dedupIncremental _),
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -274,6 +305,24 @@ object ScaleOps {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Exact cross-split Jaccard truth; banding recall is deterministic
+    // on this corpus for the same reason as dedup_near (pair mass sits
+    // far above the threshold).
+    "dedup_incremental" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM tok WHERE len(ws) >= 3)
+        |SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+        |  round(len(list_intersect(n.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(n.s, b.s))), 6) AS jaccard
+        |FROM sh n JOIN sh b
+        |  ON n.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |WHERE len(list_intersect(n.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(n.s, b.s))) >= 0.5""".stripMargin,
     "zorder_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
