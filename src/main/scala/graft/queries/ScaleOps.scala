@@ -226,6 +226,17 @@ object ScaleOps {
       s.table(kt), s.table(st))
   }
 
+  /** Stream-static enrichment rollup (batch twin of the shared
+    * operator — `StreamEnrichSpec` proves a MemoryStream run of the
+    * same function emits the same rows): events enriched with the
+    * customer segment via a broadcast dimension join, rolled up per
+    * (segment, event type).
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame =
+    graft.stream.StreamEnrich.segmentRollup(
+      t(s, dir, "events"), t(s, dir, "customer"),
+      "user_id", "c_custkey", "c_mktsegment")
+
   /** PII scrub over documents carrying deterministic synthetic contact
     * strings (the fixture corpus has no organic PII to find).
     */
@@ -249,6 +260,7 @@ object ScaleOps {
     "skew_agg" -> (skewAgg _),
     "zorder_scan" -> (zorderScan _),
     "dedup_incremental" -> (dedupIncremental _),
+    "stream_enrich" -> (streamEnrich _),
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -305,6 +317,11 @@ object ScaleOps {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin,
     // Exact cross-split Jaccard truth; banding recall is deterministic
     // on this corpus for the same reason as dedup_near (pair mass sits
     // far above the threshold).
