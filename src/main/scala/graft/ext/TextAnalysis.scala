@@ -409,6 +409,69 @@ object TextAnalysis {
        |FROM spans JOIN cnt USING (span)
        |GROUP BY $idCol""".stripMargin
 
+  // ---- TF-IDF ----
+
+  /** Top-`k` characteristic terms per document by TF-IDF. The IDF is
+    * the smoothed RATIO (N+1)/(df+1) rather than its logarithm: the
+    * ranking is identical for any single-document ordering (log is
+    * monotone) and the score stays a ratio of exact integers, so both
+    * engines compute bit-identical doubles — a cross-engine `ln`
+    * differs in the last ulp between libm implementations, which a
+    * hash-compared oracle cannot tolerate.
+    *
+    * Scale shape: term frequencies are a two-phase hash aggregate over
+    * the exploded token stream; document frequencies aggregate the
+    * (term, doc) pairs already grouped — both exchanges are bounded by
+    * per-partition distinct terms, not token occurrences. The df
+    * attach is a vocabulary-keyed join (AQE broadcasts it when small)
+    * and the final top-k is one window over each document's DISTINCT
+    * terms.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = docs.count() // corpus size: one cheap count-star job, scalar into the plan
+    val tf = docs
+      .select(col(idCol), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score",
+        col("tf").cast("double") * lit((n + 1).toDouble) / (col("df") + 1).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** DuckDB twin of [[tfidfTopTerms]]. */
+  def tfidfOracleSql(table: String, idCol: String, textCol: String, k: Int): String =
+    s"""WITH tk AS (
+       |  SELECT $idCol, unnest(string_split_regex(trim($textCol), '\\s+')) AS term
+       |  FROM $table),
+       |tf AS (
+       |  SELECT $idCol, term, count(*) AS tf FROM tk
+       |  WHERE len(term) > 0 GROUP BY $idCol, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n FROM $table),
+       |scored AS (
+       |  SELECT tf.$idCol, tf.term, tf.tf,
+       |    tf.tf::DOUBLE * (n.n + 1)::DOUBLE / (df.df + 1)::DOUBLE AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT $idCol, term, tf, score,
+       |    row_number() OVER (PARTITION BY $idCol
+       |      ORDER BY score DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT $idCol, CAST(rank AS INT) AS rank, term, tf,
+       |  round(score, 6) AS score
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   // ---- PII redaction ----
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

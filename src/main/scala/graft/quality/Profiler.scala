@@ -1,0 +1,45 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiler — the ANALYZE-style data-profiling step a
+  * pipeline runs on every landed table (null rates, cardinality,
+  * ranges) before publishing quality metrics. Complements the
+  * row-level checks in [[QualityChecks]] (which gate) by MEASURING.
+  *
+  * The profile is ONE aggregate job regardless of column count: the
+  * plan is built from the schema (4 aggregate expressions per column),
+  * partial-aggregated map-side, and the single wide result row is
+  * unpivoted to long format with a `stack` — no per-column scan, no
+  * driver-side loop over data. Distinct counts are exact
+  * (count(DISTINCT) over the same exchange); swap in approx sketches
+  * ([[graft.queries.Relational]] HLL / GK) when cardinality itself is
+  * the bottleneck.
+  *
+  * min/max surface as strings (numeric values via a canonical
+  * round-trip cast) so one schema serves every column type.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // stack(n, label1, v1a, v1b, ..., labeln, ...) unpivots the single
+    // wide row into one row per column.
+    val stackArgs = cols.map { c =>
+      s"'$c', __n_$c, __nulls_$c, __dist_$c, __min_$c, __max_$c"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
+}

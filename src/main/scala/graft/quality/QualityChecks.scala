@@ -81,6 +81,23 @@ object QualityChecks {
     }
   }
 
+  /** Referential-integrity check: child rows whose foreign key has no
+    * parent — the orphan detection a pipeline runs between a fact load
+    * and its dimension. One left-anti join keyed on the FK: the parent
+    * side ships only its distinct key column (broadcast when the
+    * dimension is small, keyed shuffle otherwise — never parent
+    * payloads), and only the violation count returns to the driver.
+    * NULL foreign keys are not orphans (that's `not_null`'s contract).
+    */
+  def referentialViolations(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String): DataFrame = {
+    child
+      .filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .crossJoin(child.agg(count(lit(1)).as("n_rows")))
+  }
+
   /** F6: threshold monitors — compare a named metric against its
     * configured threshold (sample_source.yaml:98-107).
     */

@@ -294,6 +294,12 @@ object NorthStar {
         countDistinct($"lang").as("n_langs"))
   }
 
+  /** Top-3 characteristic terms per document by (ratio-smoothed)
+    * TF-IDF — [[graft.ext.TextAnalysis.tfidfTopTerms]].
+    */
+  def tfidfQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash). The payload here derives from text
     * (no image libs in container — SURVEY scope note); the schema and
@@ -525,6 +531,7 @@ object NorthStar {
     "quality_topfrac" -> (qualityTopFrac _),
     "token_topk" -> (tokenTopK _),
     "heavy_hitters" -> (heavyHitters _),
+    "tfidf_terms" -> (tfidfQ _),
     "corpus_mix" -> (corpusMix _),
     "multimodal_meta" -> (multimodalMeta _))
 
@@ -558,6 +565,8 @@ object NorthStar {
     "lang_id" -> graft.ext.TextAnalysis.langIdOracleSql("documents", "text", "doc_id"),
     "span_dedup" ->
       graft.ext.TextAnalysis.spanDedupOracleSql("documents", "doc_id", "text", 8),
+    "tfidf_terms" ->
+      graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the
     // two-level prefix sum must reproduce exactly.
     "token_shards" ->

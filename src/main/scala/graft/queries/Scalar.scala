@@ -176,6 +176,14 @@ object Scalar {
       count(lit(1)).as("n_rows"))
   }
 
+  /** F-family extension: referential-integrity check — lineitem rows
+    * whose l_orderkey has no parent order
+    * ([[graft.quality.QualityChecks.referentialViolations]]).
+    */
+  def qcRef(s: SparkSession, dir: String): DataFrame =
+    graft.quality.QualityChecks.referentialViolations(
+      t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_scan" -> (jsonScan _),
     "csv_scan" -> (csvScan _),
@@ -191,7 +199,8 @@ object Scalar {
     "required_filter" -> (requiredFilter _),
     "qc_not_null" -> (qcNotNull _),
     "qc_unique" -> (qcUnique _),
-    "qc_regex" -> (qcRegex _))
+    "qc_regex" -> (qcRegex _),
+    "qc_ref" -> (qcRef _))
 
   val oracle: Map[String, String] = Map(
     "json_scan" -> "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
@@ -248,5 +257,11 @@ object Scalar {
     "qc_regex" ->
       """SELECT count(CASE WHEN NOT regexp_matches(c_name, '^[A-Za-z]+#[0-9]+$') THEN 1 END) AS violations,
         | count(*) AS n_rows
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+    "qc_ref" ->
+      """SELECT (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL
+        |          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                                 WHERE o_orderkey IS NOT NULL)) AS n_orphans,
+        |       (SELECT count(*) FROM lineitem) AS n_rows""".stripMargin)
 }

@@ -237,6 +237,16 @@ object ScaleOps {
       t(s, dir, "events"), t(s, dir, "customer"),
       "user_id", "c_custkey", "c_mktsegment")
 
+  /** One-pass column profile of lineitem (ANALYZE-style quality
+    * metrics): 4 aggregates per column in ONE job, unpivoted to long
+    * format ([[graft.quality.Profiler]]). Columns restricted to
+    * int/string: min/max surface through a string cast, and
+    * double/timestamp formatting differs between engines.
+    */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.profile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+
   /** PII scrub over documents carrying deterministic synthetic contact
     * strings (the fixture corpus has no organic PII to find).
     */
@@ -261,6 +271,7 @@ object ScaleOps {
     "zorder_scan" -> (zorderScan _),
     "dedup_incremental" -> (dedupIncremental _),
     "stream_enrich" -> (streamEnrich _),
+    "profile_table" -> (profileLineitem _),
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +328,15 @@ object ScaleOps {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "profile_table" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
