@@ -127,6 +127,40 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
   }
 
+  /** Distribution window functions (ntile / cume_dist / nth_value)
+    * over a UNIQUE total order per partition — ties broken by the key,
+    * so every row-position-dependent function is deterministic and
+    * engine-exact.
+    */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        nth_value($"o_orderkey", 2).over(wFrame).as("second_key"))
+  }
+
+  /** GROUPING SETS — the explicit multi-level aggregate (rollup and
+    * cube are its fixed shapes; this is the arbitrary-combination
+    * form): (flag, status), (flag), (status), (). One pass, one
+    * shuffle — Spark expands the sets map-side and aggregates all
+    * levels in the same exchange.
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+          Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   /** Window running sum over event time per user. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -293,6 +327,8 @@ object Relational {
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "window_topn" -> (windowTopN _),
+    "window_funcs" -> (windowFuncs _),
+    "agg_gsets" -> (aggGroupingSets _),
     "window_running" -> (windowRunning _),
     "window_lag" -> (windowLag _),
     "sort_limit" -> (sortLimit _),
@@ -417,6 +453,22 @@ object Relational {
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "window_funcs" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_totalprice DESC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())""".stripMargin,
     "window_running" ->
       """SELECT event_id, user_id,
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

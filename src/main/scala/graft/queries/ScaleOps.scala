@@ -247,6 +247,17 @@ object ScaleOps {
     graft.quality.Profiler.profile(t(s, dir, "lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
 
+  /** Blocked fuzzy entity matching over customer names: block on the
+    * 16-char prefix (stable part — "Customer#" + first 7 of 9 digits),
+    * verify levenshtein ≤ 1 within blocks ([[graft.ext.FuzzyJoin]]).
+    * The oracle replicates the blocking, so the gate is deterministic;
+    * cross-block typos are out of contract by design.
+    */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    graft.ext.FuzzyJoin.blockedPairs(
+      t(s, dir, "customer"), "c_custkey", "c_name",
+      substring(col("c_name"), 1, 16), maxDist = 1)
+
   /** PII scrub over documents carrying deterministic synthetic contact
     * strings (the fixture corpus has no organic PII to find).
     */
@@ -272,6 +283,7 @@ object ScaleOps {
     "dedup_incremental" -> (dedupIncremental _),
     "stream_enrich" -> (streamEnrich _),
     "profile_table" -> (profileLineitem _),
+    "fuzzy_match" -> (fuzzyMatch _),
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -328,6 +340,14 @@ object ScaleOps {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "fuzzy_match" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | a.c_name AS name_a, b.c_name AS name_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "profile_table" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
       .map(c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
