@@ -27,7 +27,9 @@ class FuzzyJoinSpec extends SparkTestBase {
         substring(col("name"), 1, 4), maxDist = 1)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // (2,3) is NOT a pair: "Corporatio"→"Corporatian" needs two edits
+    // (o→a substitution + n insertion).
+    assert(got == Set((1L, 2L), (1L, 3L)))
   }
 
   test("maxDist=0 degenerates to exact-name pairs") {
