@@ -81,4 +81,44 @@ object StreamSink {
         }
       }
       .start()
+
+  /** Streaming incremental dedup: each micro-batch of documents probes
+    * the LANDED near-dup index ([[graft.ext.NearDup.incrementalPairs]])
+    * and only novel documents (no base match at `threshold`) land at
+    * `outDir`; matched docs are dropped as duplicates. The composition
+    * a continuously-ingesting corpus pipeline runs: the 100 TB base
+    * index is read per batch off its bucketed layout — never rebuilt,
+    * never shuffled — and each batch pays work proportional to its own
+    * size.
+    *
+    * The match decision is per-batch-vs-base only (batch-internal dups
+    * pass; they are the NEXT compaction's exact-dedup job) — keeping
+    * the micro-batch path idempotent and order-insensitive.
+    */
+  def dedupEachBatch(
+      spark: SparkSession,
+      docs: DataFrame,
+      baseKeysTable: String,
+      baseShinglesTable: String,
+      threshold: Double,
+      outDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dupIds = graft.ext.NearDup.incrementalPairs(
+              batch, idCol, textCol, threshold,
+              spark.table(baseKeysTable), spark.table(baseShinglesTable))
+            .select(org.apache.spark.sql.functions.col("new_id").as(idCol))
+            .distinct()
+          batch.join(dupIds, Seq(idCol), "left_anti")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+      }
+      .start()
 }
