@@ -247,6 +247,29 @@ object ScaleOps {
     graft.quality.Profiler.profile(t(s, dir, "lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
 
+  /** Partition-pruned scan off a Hive-layout landing (K1 read side):
+    * orders land once partitioned by order year; the year-filtered
+    * read touches only matching directories —
+    * `PruneFileSourcePartitions` turns the predicate into partition
+    * pruning, the property that keeps a 100 TB time-partitioned table
+    * scannable (`PartitionPruneSpec` asserts selected < total
+    * partitions and the pushed partition filter).
+    */
+  private val landedPart = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def partitionScan(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_part/${graft.Tables.pathTag(dir)}/orders"
+    if (landedPart.add(path)) {
+      graft.sink.PartitionedWriter.write(
+        t(s, dir, "orders")
+          .withColumn("order_year", year(col("o_orderdate"))),
+        path, partitionBy = Seq("order_year"))
+    }
+    s.read.parquet(path)
+      .filter(col("order_year") === 1995)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("order_year").cast("long").as("order_year"))
+  }
+
   /** Blocked fuzzy entity matching over customer names: block on the
     * 16-char prefix (stable part — "Customer#" + first 7 of 9 digits),
     * verify levenshtein ≤ 1 within blocks ([[graft.ext.FuzzyJoin]]).
@@ -284,6 +307,7 @@ object ScaleOps {
     "stream_enrich" -> (streamEnrich _),
     "profile_table" -> (profileLineitem _),
     "fuzzy_match" -> (fuzzyMatch _),
+    "partition_scan" -> (partitionScan _),
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -340,6 +364,12 @@ object ScaleOps {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The layout must never change results: the oracle filters the raw
+    // table by the same derived year.
+    "partition_scan" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CAST(year(o_orderdate) AS BIGINT) AS order_year
+        |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
     "fuzzy_match" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         | a.c_name AS name_a, b.c_name AS name_b,
