@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
+  /** Per-group z-score outlier gate over an INTEGER-scaled value
+    * column (e.g. cents for a 2-decimal price): group moments are
+    * exact-integer sums — counts and Σx as longs, Σx² through
+    * decimal(38,0) — so mean/variance are the same IEEE doubles in
+    * every engine and under every partial-agg order, and the flagged
+    * set is deterministic. (Float moments would make the gate depend
+    * on summation order — the cross-engine killer.) Affine scaling
+    * cancels in z, so integer-space z equals value-space z.
+    *
+    * Plan: one two-phase aggregate for the per-group moments (tiny:
+    * one row per group, broadcast back), one map-side z computation —
+    * the corpus never shuffles.
+    */
+  def zScoreOutliers(df: DataFrame, groupCol: String, intCol: String,
+      threshold: Double): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(intCol)).as("__s"),
+      sum((col(intCol) * col(intCol)).cast("decimal(38,0)")).as("__sq"))
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val ex2 = col("__sq").cast("double") / col("__n").cast("double")
+    val sigma = sqrt(ex2 - mu * mu)
+    df.join(broadcast(stats), groupCol)
+      .withColumn("__z", (col(intCol).cast("double") - mu) / sigma)
+      .filter(sigma > 0 && abs(col("__z")) > threshold)
+      .withColumn("z", round(col("__z"), 4))
+      .drop("__n", "__s", "__sq", "__z")
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>

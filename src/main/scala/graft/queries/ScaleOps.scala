@@ -270,6 +270,23 @@ object ScaleOps {
         col("order_year").cast("long").as("order_year"))
   }
 
+  /** Per-group numeric outlier gate: lineitem prices vs their return-
+    * flag group's z-score, moments exact in integer cents
+    * ([[graft.quality.Profiler.zScoreOutliers]]). Threshold 1.5σ —
+    * the fixture's uniform prices cap |z| at √3, so a 3σ gate would be
+    * vacuously empty; the operator's contract is the deterministic
+    * flagging, not the threshold.
+    */
+  def numericOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.zScoreOutliers(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_cents")),
+        "l_returnflag", "price_cents", threshold = 1.5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("z"))
+
   /** Blocked fuzzy entity matching over customer names: block on the
     * 16-char prefix (stable part — "Customer#" + first 7 of 9 digits),
     * verify levenshtein ≤ 1 within blocks ([[graft.ext.FuzzyJoin]]).
@@ -308,6 +325,7 @@ object ScaleOps {
     "profile_table" -> (profileLineitem _),
     "fuzzy_match" -> (fuzzyMatch _),
     "partition_scan" -> (partitionScan _),
+    "numeric_outliers" -> (numericOutliers _),
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -364,6 +382,24 @@ object ScaleOps {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "numeric_outliers" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(cents) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE) AS sq
+        |  FROM c GROUP BY l_returnflag),
+        |z AS (
+        |  SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag, c.l_extendedprice,
+        |    (c.cents - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS zraw,
+        |    sqrt(sq / n - (s / n) * (s / n)) AS sigma
+        |  FROM c JOIN st USING (l_returnflag))
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |  round(zraw, 4) AS z
+        |FROM z WHERE sigma > 0 AND abs(zraw) > 1.5""".stripMargin,
     // The layout must never change results: the oracle filters the raw
     // table by the same derived year.
     "partition_scan" ->
