@@ -498,4 +498,138 @@ object TextAnalysis {
        | CAST(len(regexp_extract_all($textExpr, '$EmailRe'))
        |   + len(regexp_extract_all($textExpr, '$PhoneRe')) AS BIGINT) AS n_pii
        |FROM $table""".stripMargin
+
+  // ---- temperature-flattened corpus mixing ----
+
+  /** Temperature-flattened resampling (T = 2): per-`keyCol` keep rates
+    * chosen so the sampled mass per key is proportional to the SQUARE
+    * ROOT of the key's raw mass — the standard flattening move for a
+    * skewed source/language mixture when only downsampling is allowed
+    * (no upsampling by filtering). A document survives iff
+    *
+    *   bucket(id)² · n_key  <  100² · n_min
+    *
+    * with bucket the md5-derived [[deterministicSample]] bucket in
+    * [0,100), n_key its key's document count and n_min the smallest
+    * key's. The rarest key keeps everything; a key with r× its mass
+    * keeps ≈ 100/√r percent, so kept mass ∝ √n_key throughout. The
+    * boundary comparison is pure 64-bit integer arithmetic — no float
+    * `pow`/`sqrt` whose last-ulp rounding could flip a keep decision
+    * between engines — so the result is engine-exact and composes with
+    * the other bucket samples (a kept doc is a [[deterministicSample]]
+    * doc of its key's effective rate).
+    *
+    * Scale: per-key counts are one map-side-combined aggregate over the
+    * mixture key (cardinality = #languages/#sources — tiny); n_min is
+    * an aggregate of THAT K-row table; the rate table broadcasts and
+    * the gate is map-only. The corpus itself never shuffles.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val counts = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val bucket = pmod(tokenHash(col(idCol).cast("string")), lit(100L))
+    docs.join(broadcast(counts.crossJoin(nmin)), Seq(keyCol))
+      .filter(bucket * bucket * col("__n") < lit(10000L) * col("__nmin"))
+      .select(docs.columns.map(col): _*)
+  }
+
+  /** DuckDB twin of [[temperatureMix]]; `cols` pins the output schema. */
+  def temperatureOracleSql(
+      table: String, idCol: String, keyCol: String, cols: Seq[String]): String = {
+    val bkt = s"(('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))::BIGINT % 100)"
+    s"""WITH c AS (SELECT $keyCol AS k, count(*) AS n FROM $table GROUP BY 1)
+       |SELECT ${cols.map("d." + _).mkString(", ")}
+       |FROM $table d JOIN c ON d.$keyCol = c.k
+       |WHERE $bkt * $bkt * c.n < 10000 * (SELECT min(n) FROM c)""".stripMargin
+  }
+
+  /** Exact-SIZE-k uniform sample: the k rows with the smallest
+    * md5-derived id hash, ties broken by id. The bucket samples fix a
+    * RATE; this fixes a COUNT — the eval-set / human-spot-check
+    * primitive ("exactly 1000 docs, reproducibly"). Because the hash
+    * order is a global property of the ids, the sample is stable under
+    * repartitioning and ingestion order, and bottom-k(k₁) ⊆
+    * bottom-k(k₂) for k₁ ≤ k₂ — samples nest.
+    *
+    * Scale: plans as TakeOrderedAndProject — every partition keeps a
+    * k-row heap and the driver merges #partitions·k rows; the corpus is
+    * never globally sorted and never shuffled.
+    */
+  def bottomKSample(docs: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    docs.withColumn("__h", tokenHash(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .select(docs.columns.map(col): _*)
+  }
+
+  /** DuckDB twin of [[bottomKSample]]. */
+  def bottomKOracleSql(
+      table: String, idCol: String, k: Int, cols: Seq[String]): String =
+    s"""SELECT ${cols.mkString(", ")} FROM $table
+       |ORDER BY ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15))::BIGINT,
+       |  $idCol LIMIT $k""".stripMargin
+
+  // ---- context-window chunking ----
+
+  /** Context-window chunking: each document's whitespace token stream
+    * is cut into windows of `chunkTokens` tokens whose starts advance
+    * by `chunkTokens - overlap` — the LLM training-sequence / RAG
+    * passage primitive. Windows are emitted while their start lies
+    * inside the stream's first `n - overlap` tokens (so a final
+    * fragment shorter than the overlap folds into its predecessor
+    * rather than duplicating it); a document of ≤ `chunkTokens` tokens
+    * yields exactly one window. Each row carries the window's md5, so
+    * cross-document chunk dedup is exact dedup on `chunk_hash`
+    * downstream ([[graft.queries.NorthStar.dedupExact]] shape).
+    *
+    * Scale: strictly map-side — tokenize, explode an integer sequence,
+    * slice per window. No exchange anywhere; output mass is
+    * ~n_tokens/stride fixed-width rows per doc, never the text.
+    */
+  def docChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nch = when(size(toks) <= chunkTokens, lit(1)).otherwise(
+      floor((size(toks) - lit(chunkTokens) + lit(stride - 1)).cast("double") /
+        lit(stride)).cast("int") + 1)
+    val start = col("chunk_id") * stride
+    val clen = least(lit(chunkTokens), col("__n") - start)
+    docs
+      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"), nch.as("__nch"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__nch") - 1)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        start.cast("long").as("chunk_start"),
+        clen.cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__toks"), start + 1, clen)).cast("binary"))
+          .as("chunk_hash"))
+  }
+
+  /** DuckDB twin of [[docChunks]]. */
+  def chunksOracleSql(table: String, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH tk AS (SELECT $idCol,
+       |    regexp_split_to_array(trim($textCol), '\\s+') AS toks FROM $table),
+       |n AS (SELECT $idCol, toks, len(toks) AS n FROM tk),
+       |g AS (SELECT $idCol, toks, n,
+       |    CASE WHEN n <= $chunkTokens THEN 1
+       |      ELSE CAST(floor((n - $chunkTokens + ${stride - 1}) * 1.0 / $stride)
+       |        AS BIGINT) + 1 END AS nch FROM n),
+       |e AS (SELECT $idCol, toks, n, unnest(range(nch)) AS chunk_id FROM g)
+       |SELECT $idCol, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $stride AS BIGINT) AS chunk_start,
+       |  CAST(least($chunkTokens, n - chunk_id * $stride) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(toks, chunk_id * $stride + 1,
+       |    chunk_id * $stride + least($chunkTokens, n - chunk_id * $stride)), ' '))
+       |    AS chunk_hash
+       |FROM e""".stripMargin
+  }
 }

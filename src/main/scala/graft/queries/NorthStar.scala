@@ -343,6 +343,21 @@ object NorthStar {
   def docSample(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.deterministicSample(t(s, dir, "documents"), "doc_id", 20)
 
+  /** Columns of the documents table, pinned for full-row oracles. */
+  private val DocCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Temperature-flattened language mix (kept mass ∝ √n_lang). */
+  def temperatureMixQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.temperatureMix(t(s, dir, "documents"), "doc_id", "lang")
+
+  /** Exact-64-doc reproducible sample (bottom-k of the id hash). */
+  def bottomKSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.bottomKSample(t(s, dir, "documents"), "doc_id", 64)
+
+  /** 32-token context windows with 8-token overlap over documents. */
+  def docChunksQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.docChunks(t(s, dir, "documents"), "doc_id", "text", 32, 8)
+
   /** Embedding-cosine near-dup pairs (LSH candidates, cosine ≥ 0.4). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4,
@@ -533,6 +548,9 @@ object NorthStar {
     "heavy_hitters" -> (heavyHitters _),
     "tfidf_terms" -> (tfidfQ _),
     "corpus_mix" -> (corpusMix _),
+    "temperature_mix" -> (temperatureMixQ _),
+    "bottomk_sample" -> (bottomKSampleQ _),
+    "doc_chunks" -> (docChunksQ _),
     "multimodal_meta" -> (multimodalMeta _))
 
   /** Shared oracle building blocks for the near-dup family — the
@@ -563,6 +581,12 @@ object NorthStar {
 
   val oracle: Map[String, String] = Map(
     "lang_id" -> graft.ext.TextAnalysis.langIdOracleSql("documents", "text", "doc_id"),
+    "temperature_mix" ->
+      graft.ext.TextAnalysis.temperatureOracleSql("documents", "doc_id", "lang", DocCols),
+    "bottomk_sample" ->
+      graft.ext.TextAnalysis.bottomKOracleSql("documents", "doc_id", 64, DocCols),
+    "doc_chunks" ->
+      graft.ext.TextAnalysis.chunksOracleSql("documents", "doc_id", "text", 32, 8),
     "span_dedup" ->
       graft.ext.TextAnalysis.spanDedupOracleSql("documents", "doc_id", "text", 8),
     "tfidf_terms" ->

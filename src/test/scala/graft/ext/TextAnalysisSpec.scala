@@ -108,6 +108,82 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(mixed.nonEmpty)
   }
 
+  test("temperatureMix keeps the rarest key whole and flattens by the integer rule") {
+    // Skewed mixture: 400 a / 100 b / 25 c.
+    val docs = ((1L to 400L).map(_ -> "a") ++ (401L to 500L).map(_ -> "b") ++
+      (501L to 525L).map(_ -> "c")).toDF("doc_id", "lang")
+    val kept = TextAnalysis.temperatureMix(docs, "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // Independent recompute: hash buckets from the engine, the keep rule
+    // in plain Scala integer arithmetic.
+    val buckets = docs
+      .select($"doc_id", $"lang",
+        pmod(TextAnalysis.tokenHash($"doc_id".cast("string")), lit(100L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = Map("a" -> 400L, "b" -> 100L, "c" -> 25L)
+    val expected = buckets.collect {
+      case (id, k, b) if b * b * n(k) < 10000L * 25L => id -> k
+    }
+    assert(kept.toSet == expected.toSet)
+    // The rarest key survives in full; kept mass flattens toward sqrt:
+    // ~100·sqrt(25·n_k) docs per key vs the raw 400/100/25.
+    val byKey = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byKey("c") == 25)
+    assert(byKey("b") > 35 && byKey("b") < 65, s"b kept ${byKey("b")}, want ~50")
+    assert(byKey("a") > 80 && byKey("a") < 120, s"a kept ${byKey("a")}, want ~100")
+  }
+
+  test("bottomKSample: exact size, nesting, repartition stability, heap plan") {
+    val docs = t(spark, sf0001, "documents")
+    val s10 = TextAnalysis.bottomKSample(docs, "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val s30 = TextAnalysis.bottomKSample(docs, "doc_id", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(s10.size == 10 && s30.size == 30)
+    assert(s10.subsetOf(s30), "bottom-k samples must nest")
+    val reshuffled = TextAnalysis.bottomKSample(docs.repartition(7), "doc_id", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(reshuffled == s30, "sample must not depend on physical layout")
+    val plan = TextAnalysis.bottomKSample(docs, "doc_id", 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a per-partition heap top-k, got:\n$plan")
+  }
+
+  test("docChunks tiles the token stream: stride starts, full coverage, exact hashes") {
+    // Token counts straddling every regime: < chunk, == chunk, one past,
+    // mid, exactly chunk+stride, and a long tail.
+    val sizes = Seq(1, 31, 32, 33, 40, 56, 57, 80, 110)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.docChunks(docs, "doc_id", "text", 32, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((n, i) <- sizes.zipWithIndex) {
+      val chunks = rows(i.toLong).sortBy(_._2)
+      val expectedN = if (n <= 32) 1 else (n - 32 + 23) / 24 + 1
+      assert(chunks.length == expectedN, s"doc of $n tokens: ${chunks.length} chunks")
+      for ((_, cid, start, len, hash) <- chunks) {
+        assert(start == cid * 24)
+        assert(len == math.min(32, n - start), s"doc $n chunk $cid length")
+        val text = (start + 1 to start + len).map(j => s"t$j").mkString(" ")
+        val ref = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(hash == ref, s"doc $n chunk $cid hash mismatch")
+      }
+      // Coverage: last chunk ends at n, consecutive chunks overlap by 8.
+      assert(chunks.last._3 + chunks.last._4 == n)
+      for (w <- chunks.sliding(2) if w.length == 2)
+        assert(w(1)._3 == w(0)._3 + 24)
+    }
+    // Map-only contract: no exchange anywhere in the plan.
+    val plan = TextAnalysis.docChunks(docs, "doc_id", "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("multimodal decode: mapPartitions stub extracts typed features") {
     val docs = Seq(
       (1L, "Hello world payload"),
