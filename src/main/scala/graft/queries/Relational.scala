@@ -243,6 +243,80 @@ object Relational {
   def eventSessionsState(s: SparkSession, dir: String): DataFrame =
     graft.stream.StatefulSessions.sessionsBatch(t(s, dir, "events"), "30 minutes")
 
+  /** Ordered conversion funnel signup → view → click → purchase: a
+    * user reaches stage k at the EARLIEST event of stage k's type at or
+    * after their stage-(k-1) time (time-based ≥ semantics — row order
+    * within an identical timestamp does not matter, so the result is a
+    * pure function of the event times). Emits one row per stage with
+    * the surviving-user count.
+    *
+    * Scale (the whole point of this formulation): ONE exchange of the
+    * events table. Events hash-partition by user once; the three
+    * chained "earliest qualifying time so far" columns are consecutive
+    * RANGE-window aggregates over the SAME (user, ts) sort, so Catalyst
+    * stacks them in a single Window sort without re-shuffling; the
+    * per-user flag rollup then rides the same partitioning (groupBy
+    * user after a user-partitioned window needs no new exchange), and
+    * only 150-odd flag rows reach the final 4-row rollup. The naive
+    * chained-join formulation (the DuckDB oracle, kept deliberately
+    * different) shuffles events once per stage.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val upToNow = Window.partitionBy($"user_id").orderBy($"ts")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("t1", min(when($"event_type" === "signup", $"ts")).over(upToNow))
+      .withColumn("t2", min(when($"event_type" === "view" && $"t1".isNotNull, $"ts"))
+        .over(upToNow))
+      .withColumn("t3", min(when($"event_type" === "click" && $"t2".isNotNull, $"ts"))
+        .over(upToNow))
+      .withColumn("t4", min(when($"event_type" === "purchase" && $"t3".isNotNull, $"ts"))
+        .over(upToNow))
+      .groupBy($"user_id")
+      .agg(
+        max($"t1".isNotNull).as("s1"), max($"t2".isNotNull).as("s2"),
+        max($"t3".isNotNull).as("s3"), max($"t4".isNotNull).as("s4"))
+    flags.agg(
+      sum(when($"s1", 1L).otherwise(0L)).as("n1"),
+      sum(when($"s2", 1L).otherwise(0L)).as("n2"),
+      sum(when($"s3", 1L).otherwise(0L)).as("n3"),
+      sum(when($"s4", 1L).otherwise(0L)).as("n4"))
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("signup").as("event_type"), $"n1".as("n_users")),
+        struct(lit(2).as("stage"), lit("view").as("event_type"), $"n2".as("n_users")),
+        struct(lit(3).as("stage"), lit("click").as("event_type"), $"n3".as("n_users")),
+        struct(lit(4).as("stage"), lit("purchase").as("event_type"), $"n4".as("n_users"))))
+        .as("f"))
+      .select($"f.stage", $"f.event_type", $"f.n_users")
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; each (cohort, week-offset) cell counts the
+    * distinct cohort members active that week. Both week boundaries are
+    * Monday-truncated, so the day difference is exactly divisible by 7
+    * and the offset is integer-exact in any engine.
+    *
+    * Scale: the first-event time is a full-partition window min over
+    * the single user-keyed exchange (no join back, no second shuffle of
+    * events); the distinct-user rollup then exchanges only distinct
+    * (cohort, offset, user) triples — bounded by users × active weeks,
+    * not by event volume — with map-side partial dedup.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    t(s, dir, "events")
+      .select($"user_id", $"ts")
+      .withColumn("cohort_week", to_date(date_trunc("week", min($"ts").over(byUser))))
+      .select($"user_id", $"cohort_week",
+        floor(datediff(to_date(date_trunc("week", $"ts")), $"cohort_week") / 7)
+          .as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
   /** Exact percentile aggregates (ordered-set aggregation; DuckDB
     * quantile_cont uses the same linear interpolation).
     */
@@ -339,6 +413,8 @@ object Relational {
     "event_window_sliding" -> (eventWindowSliding _),
     "event_sessions" -> (eventSessions _),
     "event_sessions_state" -> (eventSessionsState _),
+    "event_funnel" -> (eventFunnel _),
+    "cohort_retention" -> (cohortRetention _),
     "agg_percentiles" -> (aggPercentiles _),
     "approx_distinct" -> (approxDistinct _),
     "approx_percentiles" -> (approxPercentiles _))
@@ -511,6 +587,35 @@ object Relational {
     "event_sessions" -> sessionsOracleSql,
     // Same sessions, computed by the custom-state fold — one SQL truth.
     "event_sessions_state" -> sessionsOracleSql,
+    // Deliberately the NAIVE chained-join formulation (one join per
+    // stage) — an independent derivation of the single-shuffle window
+    // funnel. The e CTE truncates the nanosecond timestamps to micros
+    // exactly as graft.Tables does, so the >= comparisons agree.
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+        |SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_week,
+        |  date_diff('day', f.cohort_week,
+        |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "agg_percentiles" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
