@@ -546,6 +546,160 @@ object SimSearch {
       .select(col("qid"), col("cid"), col("sim"))
   }
 
+  // ---- product quantization (ADC) ----
+
+  /** PQ geometry: [[PqM]] subspaces, one [[PqK]]-entry codebook per
+    * subspace. Codewords are the unit-quantized subvectors of the first
+    * K vectors by id — deterministic and oracle-replayable, the same
+    * parameter-locking trade as [[ivfTopK]]'s first-K centroids (and as
+    * there, a deployment would train the codebook; the query-time plan
+    * is identical either way).
+    */
+  val PqM = 16
+  val PqK = 256
+
+  /** Unit-scale int8 quantization: v/‖v‖ has components in [-1, 1], so
+    * ONE global scale (127) serves the whole corpus and the resulting
+    * integer vectors are directly comparable across vectors — unlike
+    * [[quantizeQ8]]'s per-vector scale, which cancels only inside a
+    * full-vector cosine and would poison cross-vector L2 comparisons.
+    * The fold inside the norm is sequential in array order, so the
+    * oracle's list_dot_product reproduces it bit-for-bit; every
+    * operation after the floor is exact integer arithmetic.
+    */
+  def quantizeUnit(v: Column): Column = {
+    val d = transform(v, x => x.cast("double"))
+    val nrm = sqrt(dot(d, d))
+    transform(d, x => floor(x * lit(127.0) / nrm + lit(0.5)).cast("double"))
+  }
+
+  /** (vec_id, m, us): the M unit-quantized subvectors of each vector. */
+  private def pqSubs(emb: DataFrame, dim: Int): DataFrame = {
+    require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
+    val sub = dim / PqM
+    emb.select(col("vec_id"), quantizeUnit(col("embedding")).as("u"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("u"), m * sub + 1, lit(sub)))))
+      .toDF("vec_id", "m", "us")
+  }
+
+  /** Per-subspace codebook: (m, cw, cs) — K·M rows, always broadcast. */
+  private def pqCodebook(emb: DataFrame, dim: Int): DataFrame =
+    pqSubs(emb.filter(col("vec_id") < PqK), dim)
+      .select(col("m"), col("vec_id").as("cw"), col("us").as("cs"))
+
+  /** PQ encoding: each vector compresses to M single-byte codes — the
+    * nearest codeword (integer L2, ties to the smallest id) per
+    * subspace. 64 floats (256 B) become 8 bytes: a 32× smaller scan.
+    *
+    * Scale: the codebook (K·M rows) broadcasts; the argmin is a
+    * map-side-combinable min(struct(l2, cw)) — each partition reduces
+    * its N_p·M·K joined candidates to N_p·M partials before the
+    * exchange, so the shuffle carries one skinny row per (vector,
+    * subspace), never the candidate cross product.
+    */
+  def pqEncode(emb: DataFrame, dim: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    pqSubs(emb, dim).join(broadcast(pqCodebook(emb, dim)), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cw"),
+        (ndot(col("us"), col("us")) - lit(2.0) * ndot(col("us"), col("cs")) +
+          ndot(col("cs"), col("cs"))).as("l2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("l2"), col("cw"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.cw").as("code"))
+  }
+
+  /** Two-stage PQ search over a prebuilt code table ([[pqEncode]]
+    * output, typically landed): an ADC pass scores every vector as
+    * score(q, v) = Σ_m LUT(q, m, code(v, m)) with LUT(q, m, j) =
+    * ⟨q_m, c_{m,j}⟩ — exact integers, deterministic ranking — keeps the
+    * top-`shortlist` per query, and an exact float-cosine re-rank (the
+    * same [[rerank]] the LSH/IVF paths use) picks the winner. This is
+    * the standard IVF-PQ deployment shape: the quantizer narrows
+    * N → R cheaply; exactness at the top comes from R true distances.
+    *
+    * Scale: queries are bounded by contract (the [[bruteTopK]] family
+    * contract), so the Q·M·K lookup table broadcasts; the ADC scan
+    * reads M bytes per vector — 16× less than the float corpus — and
+    * its aggregates are map-side combinable: (q, v) partial sums
+    * collapse the M-way join locally, so the exchanges carry skinny
+    * (q, v, score) rows, never codes or floats. The re-rank fetches
+    * R·Q true vectors via a broadcast semi-join against the corpus —
+    * the floats are scanned but never shuffled.
+    */
+  def pqTopKFromCodes(codes: DataFrame, emb: DataFrame, queryBound: Int,
+      dim: Int, shortlist: Int = 20): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val lut = pqSubs(emb.filter(col("vec_id") < queryBound), dim)
+      .join(pqCodebook(emb, dim), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cw"),
+        ndot(col("us"), col("cs")).cast("long").as("dp"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)
+    val cand = codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("cw"))
+      .groupBy(col("qid"), codes("vec_id").as("cid"))
+      .agg(sum(col("dp")).as("score"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "cid")
+    val pairs = cand
+      .join(broadcast(emb.filter(col("vec_id") < queryBound)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(ndot(col("embedding"), col("embedding"))).as("qn"))), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("cn")), "cid")
+    rerank(pairs, ndot)
+  }
+
+  /** One-stop PQ top-1 (encode + ADC + re-rank) for specs and small
+    * corpora.
+    */
+  def pqTopK(emb: DataFrame, queryBound: Int, dim: Int,
+      shortlist: Int = 20): DataFrame =
+    pqTopKFromCodes(pqEncode(emb, dim), emb, queryBound, dim, shortlist)
+
+  /** DuckDB oracle for [[pqTopK]]: replays unit quantization, codebook
+    * construction, nearest-codeword encoding, integer ADC scoring, the
+    * shortlist cut, and the exact-cosine re-rank.
+    */
+  def pqOracleSql(queryBound: Int, dim: Int, shortlist: Int = 20): String = {
+    val sub = dim / PqM
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (SELECT vec_id, list_transform(v,
+       |        x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) AS u
+       |      FROM d),
+       |s AS (SELECT vec_id, m,
+       |        list_slice(u, m * $sub + 1, m * $sub + $sub) AS us
+       |      FROM u CROSS JOIN range($PqM) r(m)),
+       |cb AS (SELECT m, vec_id AS cw, us AS cs FROM s WHERE vec_id < $PqK),
+       |asn AS (SELECT s.vec_id, s.m, cb.cw,
+       |         list_dot_product(s.us, s.us) - 2 * list_dot_product(s.us, cb.cs)
+       |           + list_dot_product(cb.cs, cb.cs) AS l2
+       |        FROM s JOIN cb USING (m)),
+       |code AS (SELECT vec_id, m, cw FROM (
+       |        SELECT vec_id, m, cw,
+       |          row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, cw) AS rn
+       |        FROM asn) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS qid, q.m, cb.cw,
+       |          CAST(list_dot_product(q.us, cb.cs) AS BIGINT) AS dp
+       |        FROM s q JOIN cb USING (m) WHERE q.vec_id < $queryBound),
+       |sc AS (SELECT lut.qid, code.vec_id AS cid, CAST(sum(lut.dp) AS BIGINT) AS score
+       |       FROM code JOIN lut ON code.m = lut.m AND code.cw = lut.cw
+       |       WHERE lut.qid <> code.vec_id GROUP BY 1, 2),
+       |cand AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM sc) WHERE rn <= $shortlist),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+       |      FROM cand JOIN d qv ON qv.vec_id = qid JOIN d cv ON cv.vec_id = cid)
+       |SELECT qid, cid, sim FROM (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM p) WHERE rn = 1""".stripMargin
+  }
+
   /** DuckDB oracle for [[q8TopK]]: replicates the quantization and the
     * integer-exact scoring term for term.
     */

@@ -84,6 +84,24 @@ object ScaleOps {
     graft.ext.SimSearch.q8TopKFromCodes(s.read.parquet(path), 100)
   }
 
+  /** Product-quantization ADC top-1: the corpus compresses ONCE to
+    * M = 8 single-byte codes per vector (32× smaller than the floats)
+    * and is landed; queries touch only the landed code table plus a
+    * broadcast lookup table — the float corpus is never rescanned.
+    * Codebook is parameter-locked to the first-256 subvectors so the
+    * DuckDB oracle replays encoding and scoring integer-exactly;
+    * `SimSearchSpec` measures top-1 agreement with brute force.
+    */
+  private val landedPq = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def simTopKPq(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_pq/${graft.Tables.pathTag(dir)}"
+    if (landedPq.add(path))
+      graft.ext.SimSearch.pqEncode(t(s, dir, "embeddings"), 64)
+        .write.mode("overwrite").parquet(path)
+    graft.ext.SimSearch.pqTopKFromCodes(
+      s.read.parquet(path), t(s, dir, "embeddings"), 100, 64)
+  }
+
   /** CDC merge over customer: a deterministic change feed (two stacked
     * updates — latest wins, deletes — including a delete that outranks
     * an update on %77 keys, and keyspace-shifted inserts) applied via
@@ -314,6 +332,7 @@ object ScaleOps {
     "interval_join" -> (intervalJoin _),
     "bucketed_join" -> (bucketedJoin _),
     "sim_topk_q8" -> (simTopKQ8 _),
+    "sim_topk_pq" -> (simTopKPq _),
     "cdc_merge" -> (cdcMerge _),
     "rep_ratio" -> (repRatio _),
     "pii_redact" -> (piiRedact _),
@@ -342,6 +361,7 @@ object ScaleOps {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
     "sim_topk_q8" -> graft.ext.SimSearch.q8OracleSql(100),
+    "sim_topk_pq" -> graft.ext.SimSearch.pqOracleSql(100, 64),
     "cdc_merge" ->
       """WITH chg AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50 AS c_acctbal,

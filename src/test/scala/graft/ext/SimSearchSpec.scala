@@ -130,6 +130,41 @@ class SimSearchSpec extends SparkTestBase {
     assert(agree >= 80, s"q8 top-1 agreement $agree/100 below bound")
   }
 
+  test("pqEncode emits one bounded code per (vector, subspace)") {
+    import org.apache.spark.sql.functions.col
+    val emb = t(spark, sf0001, "embeddings")
+    val n = emb.count()
+    val codes = SimSearch.pqEncode(emb, 64).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getAs[Number](2).intValue))
+    assert(codes.length == n * SimSearch.PqM)
+    assert(codes.map(c => (c._1, c._2)).distinct.length == codes.length)
+    assert(codes.forall(c => c._3 >= 0 && c._3 < SimSearch.PqK))
+    // Codebook members encode to themselves: their nearest codeword at
+    // distance 0 is their own subvector (ties to the smallest id can
+    // only deviate if two codewords are identical — then the code still
+    // scores identically, and the fixture has no duplicate subvectors).
+    val self = codes.filter(_._1 < SimSearch.PqK)
+    assert(self.forall(c => c._3 == c._1),
+      s"codebook self-encoding violated: ${self.filterNot(c => c._3 == c._1).take(5).toSeq}")
+  }
+
+  test("pqTopK top-1 agrees with brute force on >= 95% of queries") {
+    val emb = t(spark, sf0001, "embeddings")
+    val brute = SimSearch.bruteTopK(emb, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = SimSearch.pqTopK(emb, 100, 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pq.size == 100)
+    val agree = brute.count { case (q, c) => pq.get(q).contains(c) }
+    info(s"pq top-1 agreement: $agree/100")
+    // Raw ADC top-1 measures 65/100 on the adversarial near-uniform
+    // fixture (measured at M=16, K=256; 59/100 at M=8) — like IVF,
+    // pure quantizer ranking cannot do much better on structureless
+    // vectors. The 20-deep shortlist + exact re-rank measures 100/100:
+    // the true neighbor only needs to SURVIVE the cut, not win it.
+    assert(agree >= 95, s"pq top-1 agreement $agree/100 below bound")
+  }
+
   test("forCorpus derives scale-safe index geometry, clamped") {
     import SimSearch.{IvfParams, LshParams}
     // Occupancy target ~64/bucket: 2^r tracks corpusSize/64.
