@@ -584,17 +584,26 @@ object SimSearch {
       .toDF("vec_id", "m", "us")
   }
 
-  /** Per-subspace codebook: (m, cw, cs) — K·M rows, always broadcast. */
-  private def pqCodebook(emb: DataFrame, dim: Int): DataFrame =
+  /** Per-subspace codebook: (m, cw, cs, cs2) — K·M rows, always
+    * broadcast. The codeword self-dot cs2 is materialized here, before
+    * the broadcast, so the encode join pays ONE dot per candidate pair:
+    * argmin_j ‖u − c_j‖² = argmin_j (cs2_j − 2⟨u, c_j⟩) — the u² term
+    * is constant within a (vector, subspace) group and cannot move the
+    * argmin or its ties (exact integers, identical shifts).
+    */
+  private def pqCodebook(emb: DataFrame, dim: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     pqSubs(emb.filter(col("vec_id") < PqK), dim)
-      .select(col("m"), col("vec_id").as("cw"), col("us").as("cs"))
+      .select(col("m"), col("vec_id").as("cw"), col("us").as("cs"),
+        ndot(col("us"), col("us")).as("cs2"))
+  }
 
   /** PQ encoding: each vector compresses to M single-byte codes — the
     * nearest codeword (integer L2, ties to the smallest id) per
     * subspace. 64 floats (256 B) become 8 bytes: a 32× smaller scan.
     *
     * Scale: the codebook (K·M rows) broadcasts; the argmin is a
-    * map-side-combinable min(struct(l2, cw)) — each partition reduces
+    * map-side-combinable min(struct(d2, cw)) — each partition reduces
     * its N_p·M·K joined candidates to N_p·M partials before the
     * exchange, so the shuffle carries one skinny row per (vector,
     * subspace), never the candidate cross product.
@@ -603,10 +612,9 @@ object SimSearch {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     pqSubs(emb, dim).join(broadcast(pqCodebook(emb, dim)), Seq("m"))
       .select(col("vec_id"), col("m"), col("cw"),
-        (ndot(col("us"), col("us")) - lit(2.0) * ndot(col("us"), col("cs")) +
-          ndot(col("cs"), col("cs"))).as("l2"))
+        (col("cs2") - lit(2.0) * ndot(col("us"), col("cs"))).as("d2"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("l2"), col("cw"))).as("a"))
+      .agg(min(struct(col("d2"), col("cw"))).as("a"))
       .select(col("vec_id"), col("m"), col("a.cw").as("code"))
   }
 
