@@ -71,4 +71,39 @@ object Profiler {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /** Fixed-width histogram of a numeric column: bin = floor(x / width),
+    * with the bin's [lo, hi) bounds materialized. The bin assignment is
+    * one IEEE division + floor — the identical operation sequence in
+    * any engine, so bins are deterministic even for boundary values —
+    * and empty bins are naturally absent (sparse output).
+    *
+    * Plan: a map-only projection into Spark's two-phase hash aggregate;
+    * the exchange carries one row per (partition, occupied bin), so at
+    * 100 TB the shuffle is bounded by bin count × partitions, never by
+    * row count.
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") / width).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"), (col("bin") * width).as("lo"),
+        ((col("bin") + 1) * width).as("hi"), col("n_rows"))
+  }
+
+  /** DuckDB twin of [[histogram]]. The width rides an explicit
+    * ::DOUBLE — DuckDB parses a bare `5000.0` literal as DECIMAL, which
+    * would silently retype lo/hi (and their arithmetic) away from the
+    * Spark side's doubles.
+    */
+  def histogramOracleSql(table: String, valueCol: String, width: Double): String = {
+    val w = s"CAST($width AS DOUBLE)"
+    s"""SELECT CAST(floor($valueCol / $w) AS BIGINT) AS bin,
+       |  CAST(floor($valueCol / $w) AS BIGINT) * $w AS lo,
+       |  (CAST(floor($valueCol / $w) AS BIGINT) + 1) * $w AS hi,
+       |  count(*) AS n_rows
+       |FROM $table WHERE $valueCol IS NOT NULL GROUP BY 1""".stripMargin
+  }
 }

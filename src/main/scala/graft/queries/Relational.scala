@@ -317,6 +317,29 @@ object Relational {
       .agg(countDistinct($"user_id").as("n_users"))
   }
 
+  /** Unpivot (wide→long melt) of lineitem's four measures, summarized
+    * per metric. The reshape is Spark's native `unpivot` (an Expand
+    * node: map-only row multiplication, no exchange); the summary is
+    * one two-phase aggregate whose float sum runs through
+    * decimal(18,4) so the result is identical under any partial-agg
+    * order. Oracle spells the melt as a UNION ALL — an independent
+    * formulation of the same reshape.
+    */
+  def unpivotStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array($"l_orderkey"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .groupBy($"metric")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(min($"value"), 4).as("v_min"),
+        round(max($"value"), 4).as("v_max"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("v_sum"))
+  }
+
   /** Exact percentile aggregates (ordered-set aggregation; DuckDB
     * quantile_cont uses the same linear interpolation).
     */
@@ -415,6 +438,7 @@ object Relational {
     "event_sessions_state" -> (eventSessionsState _),
     "event_funnel" -> (eventFunnel _),
     "cohort_retention" -> (cohortRetention _),
+    "unpivot_stats" -> (unpivotStats _),
     "agg_percentiles" -> (aggPercentiles _),
     "approx_distinct" -> (approxDistinct _),
     "approx_percentiles" -> (approxPercentiles _))
@@ -606,6 +630,16 @@ object Relational {
         |UNION ALL SELECT 2, 'view', count(*) FROM s2
         |UNION ALL SELECT 3, 'click', count(*) FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+    "unpivot_stats" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n_rows,
+        |  round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |FROM u GROUP BY 1""".stripMargin,
     "cohort_retention" ->
       """WITH f AS (SELECT user_id,
         |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week

@@ -265,6 +265,12 @@ object ScaleOps {
     graft.quality.Profiler.profile(t(s, dir, "lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
 
+  /** Fixed-width price histogram (5000-wide bins) — the distribution
+    * half of the profiling pass; sparse bins, two-phase aggregate.
+    */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.histogram(t(s, dir, "lineitem"), "l_extendedprice", 5000.0)
+
   /** Partition-pruned scan off a Hive-layout landing (K1 read side):
     * orders land once partitioned by order year; the year-filtered
     * read touches only matching directories —
@@ -342,6 +348,7 @@ object ScaleOps {
     "dedup_incremental" -> (dedupIncremental _),
     "stream_enrich" -> (streamEnrich _),
     "profile_table" -> (profileLineitem _),
+    "price_histogram" -> (priceHistogram _),
     "fuzzy_match" -> (fuzzyMatch _),
     "partition_scan" -> (partitionScan _),
     "numeric_outliers" -> (numericOutliers _),
@@ -443,6 +450,8 @@ object ScaleOps {
            | CAST(max($c) AS VARCHAR) AS max_value
            |FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n"),
+    "price_histogram" ->
+      graft.quality.Profiler.histogramOracleSql("lineitem", "l_extendedprice", 5000.0),
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

@@ -39,4 +39,19 @@ class ProfilerSpec extends SparkTestBase {
     assert(r.getLong(0) == 1L) // only fk=5 is an orphan
     assert(r.getLong(1) == 4L) // all child rows counted
   }
+
+  test("histogram: sparse fixed-width bins, boundary values, nulls excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq(Some(0.0), Some(4999.99), Some(5000.0), Some(12000.0), None)
+      .toDF("v")
+    val bins = Profiler.histogram(df, "v", 5000.0).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // 5000.0 lands in bin 1 (floor of an exact boundary), null drops,
+    // and the empty bin between 1 and 2 is absent (sparse).
+    assert(bins == Map(
+      0L -> (0.0, 5000.0, 2L),
+      1L -> (5000.0, 10000.0, 1L),
+      2L -> (10000.0, 15000.0, 1L)))
+  }
 }
