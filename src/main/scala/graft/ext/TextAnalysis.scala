@@ -499,6 +499,57 @@ object TextAnalysis {
        |   + len(regexp_extract_all($textExpr, '$PhoneRe')) AS BIGINT) AS n_pii
        |FROM $table""".stripMargin
 
+  // ---- bigram corpus-fit scoring ----
+
+  /** Corpus-fit score from a bigram "language model" — the cheap
+    * KenLM-style quality signal of a pretraining pipeline: documents
+    * whose token transitions are common corpus-wide score high; word
+    * salad and boilerplate-with-rare-joins score low. Per document:
+    * the number of bigrams, their total corpus frequency mass, and
+    * fit = mass / n_bigrams (average corpus frequency of the doc's
+    * transitions).
+    *
+    * Exactness: both aggregates are INTEGER sums (counts), so the one
+    * division at the end is the only float op — deterministic in any
+    * engine, no summation-order sensitivity. Bigrams travel as
+    * xxhash64 keys; the oracle joins the strings themselves (hash
+    * equality stands in for string equality, the [[spanDedupStats]] /
+    * Jaccard-family convention).
+    *
+    * Scale: one exploded bigram-hash stream feeds BOTH the frequency
+    * aggregate and the per-doc join, hash-partitioned on the same key
+    * (AQE reuses the exchange); the count table and the join carry
+    * fixed-width (hash, count) pairs, never text. Map-side partial
+    * aggs on both groupBys.
+    */
+  def bigramFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val bgs = transform(sequence(lit(0), size(toks) - 2),
+      i => xxhash64(concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2))))
+    val inst = docs.filter(size(toks) >= 2)
+      .select(col(idCol), explode(bgs).as("h"))
+    val counts = inst.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    inst.join(counts, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("n")).as("bigram_mass"))
+      .select(col(idCol), col("n_bigrams"), col("bigram_mass"),
+        round(col("bigram_mass").cast("double") / col("n_bigrams"), 6).as("fit"))
+  }
+
+  /** DuckDB twin of [[bigramFit]] — joins bigram STRINGS directly. */
+  def bigramFitOracleSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH tok AS (SELECT $idCol,
+       |    string_split_regex(trim($textCol), '\\s+') AS ws FROM $table),
+       |bg AS (SELECT $idCol,
+       |    unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS b
+       |  FROM tok WHERE len(ws) >= 2),
+       |c AS (SELECT b, count(*) AS n FROM bg GROUP BY 1)
+       |SELECT $idCol, count(*) AS n_bigrams,
+       |  CAST(sum(n) AS BIGINT) AS bigram_mass,
+       |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS fit
+       |FROM bg JOIN c USING (b) GROUP BY 1""".stripMargin
+
   // ---- temperature-flattened corpus mixing ----
 
   /** Temperature-flattened resampling (T = 2): per-`keyCol` keep rates

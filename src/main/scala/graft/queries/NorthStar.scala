@@ -358,6 +358,24 @@ object NorthStar {
   def docChunksQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.docChunks(t(s, dir, "documents"), "doc_id", "text", 32, 8)
 
+  /** Bigram-LM corpus-fit score per document. */
+  def bigramFitQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.bigramFit(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Canonical text normalization (codegen'd NFC + casefold +
+    * whitespace collapse) with the post-normalization content hash —
+    * the normalize-before-fingerprint dedup stage. The oracle composes
+    * DuckDB's nfc_normalize/lower/regexp_replace; on the ASCII fixture
+    * both engines' lowercase agree exactly (locale-sensitive non-ASCII
+    * casing is pinned by NormalizeTextSpec instead).
+    */
+  def textNormQ(s: SparkSession, dir: String): DataFrame = {
+    val norm = graft.functions.NormalizeText.fn(s)
+    t(s, dir, "documents").select(col("doc_id"),
+      norm(col("text")).as("norm_text"),
+      md5(norm(col("text")).cast("binary")).as("norm_hash"))
+  }
+
   /** Embedding-cosine near-dup pairs (LSH candidates, cosine ≥ 0.4). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4,
@@ -551,6 +569,8 @@ object NorthStar {
     "temperature_mix" -> (temperatureMixQ _),
     "bottomk_sample" -> (bottomKSampleQ _),
     "doc_chunks" -> (docChunksQ _),
+    "bigram_fit" -> (bigramFitQ _),
+    "text_norm" -> (textNormQ _),
     "multimodal_meta" -> (multimodalMeta _))
 
   /** Shared oracle building blocks for the near-dup family — the
@@ -587,6 +607,17 @@ object NorthStar {
       graft.ext.TextAnalysis.bottomKOracleSql("documents", "doc_id", 64, DocCols),
     "doc_chunks" ->
       graft.ext.TextAnalysis.chunksOracleSql("documents", "doc_id", "text", 32, 8),
+    "bigram_fit" ->
+      graft.ext.TextAnalysis.bigramFitOracleSql("documents", "doc_id", "text"),
+    // The whitespace class mirrors NormalizeText.normalize exactly:
+    // Java \s (incl. \x0b) plus NBSP/figure/narrow spaces.
+    "text_norm" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\t\n\x{000b}\f\r \x{00a0}\x{2007}\x{202f}]+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\t\n\x{000b}\f\r \x{00a0}\x{2007}\x{202f}]+', ' ', 'g'))) AS norm_hash
+        |FROM documents""".stripMargin,
     "span_dedup" ->
       graft.ext.TextAnalysis.spanDedupOracleSql("documents", "doc_id", "text", 8),
     "tfidf_terms" ->
