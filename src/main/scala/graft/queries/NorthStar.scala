@@ -261,6 +261,44 @@ object NorthStar {
       .select($"doc_id", $"n_tokens")
   }
 
+  /** End-to-end training-data manifest — the library's corpus operators
+    * composed the way a pretraining pipeline actually runs them:
+    * quality gate → exact-dedup survivors → temperature-flattened
+    * language mix → 32/8 context-window chunking → 2048-token shard
+    * assignment. One registered query, one oracle, every stage exact —
+    * the composition is the product: each stage's output is the next
+    * stage's input with no materialization between.
+    *
+    * Scale: the gate is map-only (codegen'd regex + barrier column);
+    * dedup shuffles fixed-width digests; the mix is a broadcast gate;
+    * chunking is map-only; sharding is the two-level prefix sum (no
+    * global sort). The only corpus-sized exchanges are the dedup
+    * digest shuffle and the shard-key window's bucket partitioning.
+    */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gated = t(s, dir, "documents")
+      .withColumn("__ntok", qTok.cast("long"))
+      .withColumn("__nstop", qStopFast.cast("double"))
+      .withColumn("__barrier", monotonically_increasing_id())
+      .filter($"__ntok" >= 10 && $"__ntok" <= 5000 &&
+        $"__nstop" / $"__ntok" >= 0.01 && $"__barrier" >= 0)
+      .select($"doc_id", $"text", $"lang")
+    val hashed = gated.withColumn("__h", md5($"text".cast("binary")))
+    val keep = hashed.groupBy($"__h").agg(min($"doc_id").as("doc_id"))
+    val survivors = hashed.join(keep, Seq("__h", "doc_id")).drop("__h")
+    val mixed = graft.ext.TextAnalysis.temperatureMix(survivors, "doc_id", "lang")
+    val chunks = graft.ext.TextAnalysis.docChunks(mixed, "doc_id", "text", 32, 8)
+    // Composite (doc, chunk) order key: chunk_id < 2^20 by construction
+    // (a doc would need ~25M tokens at stride 24 to overflow it).
+    val keyed = chunks.withColumn("__key", $"doc_id" * (1L << 20) + $"chunk_id")
+    val shards = graft.ext.SeqPack.tokenShards(
+      keyed.select($"__key", $"n_chunk_tokens"), "__key", "n_chunk_tokens",
+      2048L, 64L << 20)
+    keyed.join(shards.select($"__key", $"shard_id"), "__key")
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_hash", $"shard_id")
+  }
+
   /** C4-style duplicated-span statistics (8-token blocks) —
     * [[graft.ext.TextAnalysis.spanDedupStats]].
     */
@@ -571,6 +609,7 @@ object NorthStar {
     "doc_chunks" -> (docChunksQ _),
     "bigram_fit" -> (bigramFitQ _),
     "text_norm" -> (textNormQ _),
+    "training_manifest" -> (trainingManifest _),
     "multimodal_meta" -> (multimodalMeta _))
 
   /** Shared oracle building blocks for the near-dup family — the
@@ -822,5 +861,45 @@ object NorthStar {
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | md5(text) AS content_hash,
         | source AS modality_source
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // The full pipeline composition, each stage spelled out: gate →
+    // dedup → sqrt-mass mix → chunk → global-window shard truth (the
+    // single-window formulation the two-level prefix sum must equal).
+    "training_manifest" ->
+      s"""WITH toks AS (SELECT doc_id, lang, text,
+        |    string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id, lang, text, ws,
+        |    CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(ws,
+        |      x -> x IN (${QualityStopwords.map(w => s"'$w'").mkString(",")})))
+        |      AS DOUBLE) / len(ws) AS stop_ratio
+        |  FROM toks),
+        |g AS (SELECT doc_id, lang, text, ws FROM q
+        |  WHERE n_tok >= 10 AND n_tok <= 5000 AND stop_ratio >= 0.01),
+        |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+        |sv AS (SELECT g.* FROM g JOIN k USING (doc_id)),
+        |c AS (SELECT lang AS kl, count(*) AS n FROM sv GROUP BY 1),
+        |m AS (SELECT sv.* FROM sv JOIN c ON sv.lang = c.kl
+        |  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+        |      * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+        |      * c.n < 10000 * (SELECT min(n) FROM c)),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM m),
+        |gg AS (SELECT doc_id, ws, n,
+        |    CASE WHEN n <= 32 THEN 1
+        |      ELSE CAST(floor((n - 32 + 23) * 1.0 / 24) AS BIGINT) + 1 END AS nch
+        |  FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(range(nch)) AS chunk_id FROM gg),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+        |    md5(array_to_string(list_slice(ws, chunk_id * 24 + 1,
+        |      chunk_id * 24 + least(32, n - chunk_id * 24)), ' ')) AS chunk_hash,
+        |    doc_id * 1048576 + chunk_id AS key
+        |  FROM e),
+        |sh AS (SELECT key,
+        |    CAST(floor((sum(n_chunk_tokens) OVER (ORDER BY key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_chunk_tokens) / 2048.0) AS BIGINT) AS shard_id
+        |  FROM ch)
+        |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_hash, shard_id
+        |FROM ch JOIN sh USING (key)""".stripMargin)
 }
