@@ -372,12 +372,17 @@ object TextAnalysis {
   def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int): DataFrame = {
     require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    // Same barrier as [[bigramFit]]: the lambda must reference the
+    // token array as an ATTRIBUTE — slice over the raw split expression
+    // re-runs the tokenizer once per span.
     val toks = split(trim(col(textCol)), "\\s+")
     val spanHashes = transform(
-      sequence(lit(0), (size(toks) / spanLen).cast("int") - 1),
-      i => xxhash64(concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen)))))
+      sequence(lit(0), (size(col("__toks")) / spanLen).cast("int") - 1),
+      i => xxhash64(concat_ws(" ",
+        slice(col("__toks"), i * spanLen + 1, lit(spanLen)))))
     val inst = docs
-      .filter(size(toks) >= spanLen)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= spanLen)
       .select(col(idCol), explode(spanHashes).as("h"))
     val counts = inst.groupBy(col("h")).agg(count(lit(1)).as("c"))
     inst.join(counts, "h")
@@ -523,11 +528,18 @@ object TextAnalysis {
     * aggs on both groupBys.
     */
   def bigramFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Materialize the token array in its own Project before the lambda
+    // references it: element_at over an expression (not an attribute)
+    // re-evaluates it PER ELEMENT — the split would run O(n²) times per
+    // document (measured 12 s at sf0.1; 1.6 s with the barrier). Multi-
+    // reference keeps CollapseProject from inlining it back.
     val toks = split(trim(col(textCol)), "\\s+")
-    val bgs = transform(sequence(lit(0), size(toks) - 2),
+    val bgs = transform(sequence(lit(0), size(col("__toks")) - 2),
       i => xxhash64(concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2))))
-    val inst = docs.filter(size(toks) >= 2)
+        element_at(col("__toks"), i + 1), element_at(col("__toks"), i + 2))))
+    val inst = docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
       .select(col(idCol), explode(bgs).as("h"))
     val counts = inst.groupBy(col("h")).agg(count(lit(1)).as("n"))
     inst.join(counts, "h")
