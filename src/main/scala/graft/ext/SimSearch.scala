@@ -567,9 +567,14 @@ object SimSearch {
     * oracle's list_dot_product reproduces it bit-for-bit; every
     * operation after the floor is exact integer arithmetic.
     */
-  def quantizeUnit(v: Column): Column = {
+  def quantizeUnit(v: Column, ndot: (Column, Column) => Column): Column = {
     val d = transform(v, x => x.cast("double"))
-    val nrm = sqrt(dot(d, d))
+    // The norm sits INSIDE the per-element lambda (Catalyst re-evaluates
+    // outer expressions per element), so it must be the codegen'd dot —
+    // a tight primitive loop, bit-identical to the fold by spec — not
+    // the interpreted HOF fold, which would cost O(dim²) interpreted
+    // work per vector at encode time.
+    val nrm = sqrt(ndot(d, d))
     transform(d, x => floor(x * lit(127.0) / nrm + lit(0.5)).cast("double"))
   }
 
@@ -577,7 +582,8 @@ object SimSearch {
   private def pqSubs(emb: DataFrame, dim: Int): DataFrame = {
     require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
     val sub = dim / PqM
-    emb.select(col("vec_id"), quantizeUnit(col("embedding")).as("u"))
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    emb.select(col("vec_id"), quantizeUnit(col("embedding"), ndot).as("u"))
       .select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(PqM - 1)),
           m => slice(col("u"), m * sub + 1, lit(sub)))))
