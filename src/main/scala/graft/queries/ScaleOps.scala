@@ -28,6 +28,20 @@ object ScaleOps {
         round(col("purchase_value"), 2).as("purchase_value"))
   }
 
+  /** Left-outer attribution: views that did NOT convert surface with
+    * NULL purchase columns ([[graft.stream.IntervalJoin.attributionLeft]];
+    * `IntervalJoinSpec` proves the streaming emission of the negatives).
+    */
+  def intervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    graft.stream.IntervalJoin.attributionLeft(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"),
+        "30 minutes")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
   /** Bucketed tables are landed ONCE per (session, sf dir): the
     * operator under measurement is the co-located JOIN — re-bucketing
     * identical fixtures every run would only re-time the one-off layout
@@ -336,6 +350,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "interval_join" -> (intervalJoin _),
+    "interval_join_left" -> (intervalJoinLeft _),
     "bucketed_join" -> (bucketedJoin _),
     "sim_topk_q8" -> (simTopKQ8 _),
     "sim_topk_pq" -> (simTopKPq _),
@@ -360,6 +375,13 @@ object ScaleOps {
         | round(p.value, 2) AS purchase_value
         |FROM events v JOIN events p ON v.user_id = p.user_id
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "interval_join_left" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        | round(p.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
         |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,

@@ -36,7 +36,28 @@ object IntervalJoin {
     * (`user_id, event_id, ts, value`); both may be filtered views of
     * the same source (self-join is fine, batch or stream).
     */
-  def attribution(views: DataFrame, purchases: DataFrame, horizon: String): DataFrame = {
+  def attribution(views: DataFrame, purchases: DataFrame, horizon: String): DataFrame =
+    joined(views, purchases, horizon, "inner")
+
+  /** LEFT OUTER attribution: every view appears exactly once per
+    * matching purchase, or once with NULL purchase columns if nothing
+    * converts inside the horizon — the "which views did NOT convert"
+    * query, which an inner join structurally cannot answer.
+    *
+    * In streaming this is Spark's left-outer stream-stream join: the
+    * null-extended row for an unmatched view is emitted only once the
+    * WATERMARK has passed `view_ts + horizon` (before that, a matching
+    * purchase could still arrive), so unmatched results trail the
+    * stream by delay + horizon — the price of a correct negative. Same
+    * state bound as the inner join; eviction still follows from the
+    * range predicate. In batch, end-of-input closes the question and
+    * Catalyst plans a plain left outer hash join.
+    */
+  def attributionLeft(views: DataFrame, purchases: DataFrame, horizon: String): DataFrame =
+    joined(views, purchases, horizon, "left_outer")
+
+  private def joined(views: DataFrame, purchases: DataFrame, horizon: String,
+      how: String): DataFrame = {
     val v = views.select(
       col("user_id"),
       col("event_id").as("view_id"),
@@ -49,7 +70,8 @@ object IntervalJoin {
     v.join(p,
         col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $horizon"),
+        how)
       .select(
         col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"), col("purchase_value"))

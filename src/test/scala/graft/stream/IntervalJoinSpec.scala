@@ -55,6 +55,46 @@ class IntervalJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left outer: batch null-extends non-converting views; stream emits them after expiry") {
+    val s = spark
+    import s.implicits._
+    // Batch truth: user 1's view converts twice; user 2's view gets one
+    // null-extended row (its only purchase is outside the horizon).
+    val batch = IntervalJoin.attributionLeft(views.toDF(), purchases.toDF(), "30 minutes")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    assert(batch == Set((10L, Some(20L)), (10L, Some(22L)), (11L, None)))
+
+    val vs = mkStream
+    val ps = mkStream
+    val q = IntervalJoin.attributionLeft(
+        vs.toDF().withWatermark("ts", "10 minutes"),
+        ps.toDF().withWatermark("ts", "10 minutes"),
+        "30 minutes")
+      .writeStream.format("memory").queryName("ijoin_left").outputMode("append").start()
+    try {
+      vs.addData(views)
+      ps.addData(purchases)
+      q.processAllAvailable()
+      // The negative for view 11 must NOT exist yet: the watermark has
+      // not passed view_ts + horizon, so a matching purchase could
+      // still arrive.
+      val early = s.table("ijoin_left").collect().map(r => Option(r.get(2))).toSet
+      assert(!early.contains(None), s"negative emitted before expiry: $early")
+      // Push the global watermark (min of both sides) past 10:30 —
+      // the unmatched view's state expires and the null row appends.
+      vs.addData(Ev(98, 9, ts("2024-01-01 12:00:00"), "view", 0.0))
+      ps.addData(Ev(99, 9, ts("2024-01-01 12:00:00"), "purchase", 1.0))
+      q.processAllAvailable()
+      vs.addData(Ev(96, 9, ts("2024-01-01 13:00:00"), "view", 0.0))
+      ps.addData(Ev(97, 9, ts("2024-01-01 13:00:00"), "purchase", 1.0))
+      q.processAllAvailable()
+      val streamed = s.table("ijoin_left").collect()
+        .filter(_.getLong(0) <= 2L)
+        .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("stream-stream: a purchase behind the watermark never matches") {
     val s = spark
     import s.implicits._
