@@ -590,18 +590,24 @@ object SimSearch {
       .toDF("vec_id", "m", "us")
   }
 
-  /** Per-subspace codebook: (m, cw, cs, cs2) — K·M rows, always
-    * broadcast. The codeword self-dot cs2 is materialized here, before
-    * the broadcast, so the encode join pays ONE dot per candidate pair:
-    * argmin_j ‖u − c_j‖² = argmin_j (cs2_j − 2⟨u, c_j⟩) — the u² term
-    * is constant within a (vector, subspace) group and cannot move the
-    * argmin or its ties (exact integers, identical shifts).
+  /** First-K per-subspace codebook: (m, cw, cs) — K·M rows, always
+    * broadcast. Parameter-locked (codewords = the unit-quantized
+    * subvectors of the first K vectors by id) so the oracle can replay
+    * it; [[trainPqCodebooks]] is the quality upgrade with the same
+    * schema.
     */
-  private def pqCodebook(emb: DataFrame, dim: Int): DataFrame = {
-    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+  private def pqCodebook(emb: DataFrame, dim: Int): DataFrame =
     pqSubs(emb.filter(col("vec_id") < PqK), dim)
-      .select(col("m"), col("vec_id").as("cw"), col("us").as("cs"),
-        ndot(col("us"), col("us")).as("cs2"))
+      .select(col("m"), col("vec_id").as("cw"), col("us").as("cs"))
+
+  /** Codeword self-dots, materialized BEFORE the broadcast so the
+    * encode join pays ONE dot per candidate pair: argmin_j ‖u − c_j‖²
+    * = argmin_j (cs2_j − 2⟨u, c_j⟩) — the u² term is constant within a
+    * (vector, subspace) group and cannot move the argmin or its ties.
+    */
+  private def withCs2(cb: DataFrame): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(cb.sparkSession)
+    cb.select(col("m"), col("cw"), col("cs"), ndot(col("cs"), col("cs")).as("cs2"))
   }
 
   /** PQ encoding: each vector compresses to M single-byte codes — the
@@ -614,9 +620,15 @@ object SimSearch {
     * exchange, so the shuffle carries one skinny row per (vector,
     * subspace), never the candidate cross product.
     */
-  def pqEncode(emb: DataFrame, dim: Int): DataFrame = {
+  def pqEncode(emb: DataFrame, dim: Int): DataFrame =
+    pqEncodeWith(emb, dim, pqCodebook(emb, dim))
+
+  /** Encode against an explicit codebook ((m, cw, cs) — first-K or
+    * [[trainPqCodebooks]] output).
+    */
+  def pqEncodeWith(emb: DataFrame, dim: Int, codebook: DataFrame): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
-    pqSubs(emb, dim).join(broadcast(pqCodebook(emb, dim)), Seq("m"))
+    pqSubs(emb, dim).join(broadcast(withCs2(codebook)), Seq("m"))
       .select(col("vec_id"), col("m"), col("cw"),
         (col("cs2") - lit(2.0) * ndot(col("us"), col("cs"))).as("d2"))
       .groupBy(col("vec_id"), col("m"))
@@ -643,12 +655,16 @@ object SimSearch {
     * the floats are scanned but never shuffled.
     */
   def pqTopKFromCodes(codes: DataFrame, emb: DataFrame, queryBound: Int,
-      dim: Int, shortlist: Int = 20): DataFrame = {
+      dim: Int, shortlist: Int = 20): DataFrame =
+    pqSearch(codes, emb, queryBound, dim, shortlist, pqCodebook(emb, dim))
+
+  private def pqSearch(codes: DataFrame, emb: DataFrame, queryBound: Int,
+      dim: Int, shortlist: Int, codebook: DataFrame): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val lut = pqSubs(emb.filter(col("vec_id") < queryBound), dim)
-      .join(pqCodebook(emb, dim), Seq("m"))
+      .join(codebook, Seq("m"))
       .select(col("vec_id").as("qid"), col("m"), col("cw"),
-        ndot(col("us"), col("cs")).cast("long").as("dp"))
+        ndot(col("us"), col("cs")).as("dp"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid").asc)
     val cand = codes.join(broadcast(lut),
         codes("m") === lut("m") && codes("code") === lut("cw"))
@@ -673,6 +689,75 @@ object SimSearch {
   def pqTopK(emb: DataFrame, queryBound: Int, dim: Int,
       shortlist: Int = 20): DataFrame =
     pqTopKFromCodes(pqEncode(emb, dim), emb, queryBound, dim, shortlist)
+
+  /** Per-subspace k-means codebooks — the quality upgrade over the
+    * parameter-locked first-K quantizer, exactly the
+    * [[trainCentroids]] trade for IVF: no cross-engine oracle (the
+    * codebooks are data/iteration-dependent) but fully deterministic —
+    * hash-seeded init per subspace, L2 assignment with integer-exact
+    * distances and smallest-id tie-breaks, mean updates summed in
+    * decimal(28,10) so partial-agg order cannot move a ulp.
+    *
+    * All M subspaces train in ONE DataFrame loop (subspace is just a
+    * grouping column): per round, codebooks broadcast, assignment is a
+    * map-side-combined argmin, and the mean update shuffles skinny
+    * (m, cell, pos, x) rows of the training sample only.
+    */
+  def trainPqCodebooks(emb: DataFrame, dim: Int, k: Int = PqK,
+      iters: Int = 3, sampleEvery: Int = 1): DataFrame = {
+    require(k >= 1 && iters >= 0 && sampleEvery >= 1,
+      s"bad PQ k-means config: k=$k iters=$iters sampleEvery=$sampleEvery")
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val base = if (sampleEvery == 1) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleEvery.toLong)) === 0L)
+    val pts = pqSubs(base, dim).cache()
+    val wInit = Window.partitionBy(col("m"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cents = pts.withColumn("rn", row_number().over(wInit))
+      .filter(col("rn") <= k)
+      .select(col("m"), (col("rn") - 1).cast("long").as("cw"),
+        col("us").cast("array<double>").as("cs"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val c = broadcast(withCs2(cents))
+      val assigned = pts.join(c, Seq("m"))
+        .select(col("vec_id"), col("m"), col("us"),
+          struct((col("cs2") - lit(2.0) * ndot(col("us"), col("cs"))).as("d"),
+            col("cw")).as("sc"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("sc")).as("a"), first(col("us")).as("us"))
+        .select(col("m"), col("a.cw").as("cell"), col("us"))
+      val means = assigned
+        .select(col("m"), col("cell"), posexplode(col("us")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(sum(col("x").cast("decimal(28,10)")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("m"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("sx") / col("cnt")).cast("double").as("v")))),
+          e => e.getField("v")).as("cs2arr"))
+      // A cell that lost every point keeps its previous codeword.
+      cents = cents.alias("l")
+        .join(means.alias("r"),
+          col("l.m") === col("r.m") && col("l.cw") === col("r.cell"), "left")
+        .select(col("l.m").as("m"), col("l.cw").as("cw"),
+          coalesce(col("r.cs2arr"), col("l.cs")).as("cs"))
+        .localCheckpoint()
+    }
+    pts.unpersist()
+    cents
+  }
+
+  /** PQ top-1 with k-means codebooks: train → encode → ADC → re-rank.
+    * No cross-engine oracle (same policy as [[ivfTopKTrained]]);
+    * `SimSearchSpec` shows the raw-ADC win on a clustered corpus where
+    * first-K codewords all come from a few clusters.
+    */
+  def pqTopKTrained(emb: DataFrame, queryBound: Int, dim: Int,
+      shortlist: Int = 20, iters: Int = 3, sampleEvery: Int = 1): DataFrame = {
+    val cb = trainPqCodebooks(emb, dim, PqK, iters, sampleEvery)
+    pqSearch(pqEncodeWith(emb, dim, cb), emb, queryBound, dim, shortlist, cb)
+  }
 
   /** DuckDB oracle for [[pqTopK]]: replays unit quantization, codebook
     * construction, nearest-codeword encoding, integer ADC scoring, the

@@ -148,6 +148,49 @@ class SimSearchSpec extends SparkTestBase {
       s"codebook self-encoding violated: ${self.filterNot(c => c._3 == c._1).take(5).toSeq}")
   }
 
+  test("trained PQ codebooks beat any insertion-order codebook (raw ADC)") {
+    import org.apache.spark.sql.functions._
+    // Clustered corpus with INTERLEAVED cluster ids (id % 8) — with
+    // block-contiguous clusters the first-256 codebook contains every
+    // subvector of the query cluster and self-codes exactly the
+    // candidates that matter (measured 86/100, an artifact, not
+    // quantizer quality; random-256 actual subvectors measure 44 on
+    // the same corpus). Interleaving removes the concentration so both
+    // untrained codebooks tie (37 vs 36) and Lloyd iterations measure
+    // their real effect: 37 → 45 raw-ADC top-1 (+9 over the iters=0
+    // init, deterministic).
+    val dim = 64
+    val df = spark.range(1000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (when(j === pmod(col("id"), lit(8)).cast("int") * 8, 1.0).otherwise(0.0) +
+          (pmod(xxhash64(col("id") * dim + j.cast("long")), lit(1000L))
+            .cast("double") / 1000.0 - 0.5) * 0.2)
+          .cast("float")).as("embedding"))
+    val brute = SimSearch.bruteTopK(df, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def agree(res: Array[org.apache.spark.sql.Row]): Int = {
+      val m = res.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (q, c) => m.get(q).contains(c) }
+    }
+    // shortlist=1 ⇒ the re-rank is the identity on the ADC winner:
+    // this measures the QUANTIZER, not the re-rank's repair.
+    val firstK = agree(SimSearch.pqTopK(df, 100, dim, shortlist = 1).collect())
+    val trained = agree(
+      SimSearch.pqTopKTrained(df, 100, dim, shortlist = 1).collect())
+    info(s"raw ADC top-1 agreement: firstK=$firstK/100 trained=$trained/100")
+    assert(trained >= firstK + 5,
+      s"training must beat insertion order: trained=$trained firstK=$firstK")
+    assert(trained >= 42, s"trained codebooks must recover structure: $trained/100")
+  }
+
+  test("pqTopKTrained is deterministic across runs") {
+    val emb = t(spark, sf0001, "embeddings")
+    val a = SimSearch.pqTopKTrained(emb, 50, 64, iters = 2).collect().map(_.toSeq).toSet
+    val b = SimSearch.pqTopKTrained(emb, 50, 64, iters = 2).collect().map(_.toSeq).toSet
+    assert(a == b && a.map(_.head).size == 50)
+  }
+
   test("pqTopK top-1 agrees with brute force on >= 95% of queries") {
     val emb = t(spark, sf0001, "embeddings")
     val brute = SimSearch.bruteTopK(emb, 100).collect()
