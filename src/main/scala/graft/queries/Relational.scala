@@ -317,6 +317,41 @@ object Relational {
       .agg(countDistinct($"user_id").as("n_users"))
   }
 
+  /** Per-window heavy hitters over the event props payload: for each
+    * 1-day window, the `k` values covering ≥ 2% of the window's
+    * events, via the same sketch-then-verify shape as the corpus-level
+    * `heavy_hitters` — a Misra-Gries sketch (k=59: error ≤ N/60 <
+    * N/50, so every true ≥2% item is ALWAYS a candidate) finds
+    * candidates with bounded state per window, then an exact recount
+    * over the candidate-filtered stream verifies with a pure-integer
+    * threshold (50·n ≥ n_total). Deterministic despite merge-order-
+    * dependent borderline sketch survivors — the exact filter discards
+    * them.
+    *
+    * Scale: per (window, partition) the sketch carries ≤ k counters
+    * regardless of the value cardinality; the exact pass runs only
+    * over the broadcast-candidate-filtered stream. The same UDAF runs
+    * unchanged inside a watermarked streaming window aggregate
+    * (`MisraGriesSpec` proves the guarantee survives real streaming
+    * partial merges).
+    */
+  def windowHeavy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select(
+      to_date(date_trunc("day", $"ts")).as("window_start"),
+      regexp_extract($"props", "\"k\": (\\d+)", 1).as("k_value"))
+    val sk = ev.groupBy($"window_start").agg(
+      graft.functions.MisraGriesAgg.misraGries($"k_value", 59).as("sketch"),
+      count(lit(1)).as("n_total"))
+    val cands = sk.select($"window_start", $"n_total", explode($"sketch").as("c"))
+      .select($"window_start", $"c.item".as("k_value"), $"n_total")
+    ev.join(broadcast(cands), Seq("window_start", "k_value"))
+      .groupBy($"window_start", $"k_value", $"n_total")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" * 50 >= $"n_total")
+      .select($"window_start", $"k_value", $"n")
+  }
+
   /** Unpivot (wide→long melt) of lineitem's four measures, summarized
     * per metric. The reshape is Spark's native `unpivot` (an Expand
     * node: map-only row multiplication, no exchange); the summary is
@@ -439,6 +474,7 @@ object Relational {
     "event_funnel" -> (eventFunnel _),
     "cohort_retention" -> (cohortRetention _),
     "unpivot_stats" -> (unpivotStats _),
+    "window_heavy" -> (windowHeavy _),
     "agg_percentiles" -> (aggPercentiles _),
     "approx_distinct" -> (approxDistinct _),
     "approx_percentiles" -> (approxPercentiles _))
@@ -630,6 +666,15 @@ object Relational {
         |UNION ALL SELECT 2, 'view', count(*) FROM s2
         |UNION ALL SELECT 3, 'click', count(*) FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+    // Exact truth: group counts + the same pure-integer 5% threshold.
+    "window_heavy" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start,
+        |    regexp_extract(props, '"k": (\d+)', 1) AS k_value FROM events),
+        |t AS (SELECT window_start, count(*) AS n_total FROM e GROUP BY 1)
+        |SELECT e.window_start, e.k_value, count(*) AS n
+        |FROM e JOIN t USING (window_start)
+        |GROUP BY e.window_start, e.k_value, t.n_total
+        |HAVING count(*) * 50 >= t.n_total""".stripMargin,
     "unpivot_stats" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem

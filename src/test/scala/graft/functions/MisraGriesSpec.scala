@@ -72,6 +72,48 @@ class MisraGriesSpec extends SparkTestBase {
     assert(want.nonEmpty, "fixture should have >=1% tokens")
   }
 
+  test("the guarantee survives a watermarked streaming window aggregate") {
+    // The UDAF is mergeable, so it runs unchanged inside a streaming
+    // window aggregate where Spark merges PARTIAL sketches across
+    // microbatches and shuffle partitions in nondeterministic order.
+    // The MG guarantee — every value with true share >= 1/(k+1) is
+    // present — must hold per emitted window regardless of that order.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.Ev
+    val s = spark; import s.implicits._
+    def day(d: Int, m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$d 10:$m%02d:00")
+    // Per day: one hot value (60 of 100 events) + a 40-value tail.
+    def events(d: Int): Seq[Ev] =
+      (0 until 60).map(i => Ev(d * 1000 + i, 1, day(d, i % 50), "hot", 0.0)) ++
+        (0 until 40).map(i => Ev(d * 1000 + 100 + i, 1, day(d, i), s"t$i", 0.0))
+    val all = events(1) ++ events(2)
+    val ms = MemoryStream[Ev](org.apache.spark.sql.Encoders.product[Ev], s.sqlContext)
+    val q = ms.toDF().withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(misraGries($"event_type", 59).as("sk"), count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"sk", $"n")
+      .writeStream.format("memory").queryName("mg_window")
+      .outputMode("append").start()
+    try {
+      // Shuffled thirds across three microbatches: real partial merges.
+      val shuffled = new scala.util.Random(7).shuffle(all)
+      shuffled.grouped(70).foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      ms.addData(Ev(9999, 9, Timestamp.valueOf("2024-01-05 00:00:00"), "tick", 0.0))
+      q.processAllAvailable()
+      val rows = s.table("mg_window").collect()
+        .filter(_.getTimestamp(0).toString.startsWith("2024-01-0"))
+        .map(r => r.getTimestamp(0).toString.take(10) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet)
+        .toMap
+      assert(rows.keySet == Set("2024-01-01", "2024-01-02"))
+      // 'hot' is 60% >> 1/60: guaranteed present in both windows.
+      assert(rows.values.forall(_.contains("hot")),
+        s"MG guarantee violated under streaming merges: $rows")
+    } finally q.stop()
+  }
+
   test("nulls carry no mass and groupBy works per group") {
     val s = spark; import s.implicits._
     val df = Seq(("a", Some("x")), ("a", Some("x")), ("a", None), ("a", Some("y")),
