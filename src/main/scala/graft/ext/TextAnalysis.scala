@@ -586,6 +586,10 @@ object TextAnalysis {
     * mixture key (cardinality = #languages/#sources — tiny); n_min is
     * an aggregate of THAT K-row table; the rate table broadcasts and
     * the gate is map-only. The corpus itself never shuffles.
+    *
+    * Rows with a NULL mixture key are dropped (inner join on the key):
+    * an unlabeled document has no place in a keyed mixture — route
+    * nulls through a sentinel key upstream if they should participate.
     */
   def temperatureMix(docs: DataFrame, idCol: String, keyCol: String): DataFrame = {
     val counts = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))

@@ -267,6 +267,10 @@ object Relational {
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val flags = t(s, dir, "events")
       .select($"user_id", $"event_type", $"ts")
+      // Map-side: only funnel-typed events can move a stage time, so
+      // nothing else needs to reach the exchange. (The oracle's WHERE
+      // clauses make the same cut per stage.)
+      .filter($"event_type".isin("signup", "view", "click", "purchase"))
       .withColumn("t1", min(when($"event_type" === "signup", $"ts")).over(upToNow))
       .withColumn("t2", min(when($"event_type" === "view" && $"t1".isNotNull, $"ts"))
         .over(upToNow))
