@@ -39,7 +39,13 @@ object FuzzyJoin {
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"),
-        levenshtein(col("a.name"), col("b.name")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("a.name"), col("b.name")).as("dist"),
+        // Nondeterministic barrier (the quality_filter pattern):
+        // without it PushPredicateThroughNonJoin re-inlines `dist`
+        // into a Filter BELOW this Project and levenshtein runs twice
+        // per candidate pair — once to filter, once to emit.
+        monotonically_increasing_id().as("__barrier"))
+      .filter(col("dist") <= maxDist && col("__barrier") >= 0)
+      .drop("__barrier")
   }
 }
