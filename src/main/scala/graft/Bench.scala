@@ -57,27 +57,54 @@ object Bench {
         }
       (name, sec, ok)
     }
-    // Keep the line SHORT: the driver captures a bounded tail of stdout and
-    // parses the JSON line out of it — r3's line (full-precision doubles +
-    // a per-query status map) overflowed that window and parsed as null.
-    // Millisecond precision and failure-names-only keep ~70 queries well
-    // under the window.
+    val (fullLine, stdoutLine) = renderLines(results, sfDir)
+    // File copy carries the COMPLETE per-query map (debuggable even if the
+    // stdout tail is lost); stdout gets the truncation-safe line as the
+    // forked JVM's final output — build.sbt's StdoutOutput strategy keeps
+    // it free of sbt's "[info] " prefix.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      fullLine.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(stdoutLine)
+    spark.stop()
+  }
+
+  /** Renders (fullLine, stdoutLine).
+    *
+    * The driver captures only a ~2,000-char TAIL of stdout and parses the
+    * JSON line out of it. That bit us three rounds running: r3's line
+    * (full-precision doubles) overflowed; by r5 the 110-query map alone was
+    * ~2.3 KB so the truncation ate the HEAD of the line — including
+    * `"metric":"total"` — and BENCH_r05.json parsed as null. Per-query
+    * count grows every round, so no fixed format that carries every query
+    * on stdout can stay safe.
+    *
+    * Fix: stdout carries ONE line that is guaranteed short. Summary fields
+    * (`metric`/`value`/`failed`) come FIRST; the `queries` map is capped to
+    * the slowest entries that keep the whole line within StdoutBudget
+    * bytes (the slowest are the ones worth seeing in a bounded window);
+    * `queries_full` points at the committed file with the complete map.
+    */
+  def renderLines(results: Seq[(String, Double, Boolean)], sfDir: String): (String, String) = {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val fq = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val failed = results.count(!_._3)
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_queries":$fq,"sf":"$sfDir"}"""
-    // File copy first (debuggable even if the stdout tail is lost),
-    // then the line itself as the forked JVM's final stdout output —
-    // build.sbt's StdoutOutput strategy keeps it free of sbt's
-    // "[info] " prefix.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      line.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(line)
-    spark.stop()
+    def line(qEntries: Seq[String], extra: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"failed_queries":$fq,"sf":"$sfDir"$extra,"queries":${qEntries.mkString("{", ",", "}")}}"""
+    val allEntries = results.sortBy(_._1).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+    val fullLine = line(allEntries, "")
+    // Stdout: fill the queries map slowest-first until the budget is hit.
+    val bySlow = results.sortBy(-_._2).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+    val fixedLen = line(Nil, StdoutExtra).length
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixedLen
+    for (e <- bySlow if used + e.length + 1 <= StdoutBudget) { kept += e; used += e.length + 1 }
+    (fullLine, line(kept.toSeq, StdoutExtra))
   }
+  /** Byte budget for the stdout line — half the driver's ~2,000-char tail
+    * window, leaving headroom for any stray final log lines. */
+  val StdoutBudget = 1000
+  private val StdoutExtra = ""","queries_full":"bench_last.json""""
 }

