@@ -154,4 +154,146 @@ object Multimodal {
        |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
        | md5(substr(t, frame_no * $frameBytes + 1, $frameBytes)) AS frame_hash
        |FROM f""".stripMargin
+
+  // ------------------------------------------------------------------
+  // REAL image codec — JDK-native javax.imageio (PNG/JPEG/BMP/GIF ship
+  // with the JDK, no external media libs). The stub above remains the
+  // video/audio path; images decode for real.
+  // ------------------------------------------------------------------
+
+  /** True decoded image metadata: container format as reported by the
+    * ImageIO reader, pixel dimensions, and raster band count.
+    */
+  final case class ImageMeta(format: String, width: Int, height: Int, channels: Int)
+
+  /** JDK-native image codec. All methods are executor-safe (no shared
+    * mutable state; ImageIO's readers are instantiated per call).
+    */
+  object ImageCodec {
+    // ImageIO's default read path spills to a disk-backed cache file per
+    // image — pure overhead for in-memory byte arrays on 32 executor
+    // threads. Memory-cache only.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decodes any ImageIO-supported payload; None = quarantine (not an
+      * image, truncated, or an unsupported container).
+      */
+    def decode(payload: Array[Byte]): Option[ImageMeta] = {
+      if (payload == null || payload.length < 8) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          Some(ImageMeta(
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            img.getWidth, img.getHeight, img.getRaster.getNumBands))
+        } finally reader.dispose()
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
+    /** Deterministic RGB test-pattern PNG — the fixture generator for
+      * the roundtrip queries/specs (pixels derive from (x, y, seed)).
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val r = (x * 31 + y * 17 + seed) & 0xff
+          val g = (x * 7 + y * 13 + (seed >> 8)) & 0xff
+          val b = (x * 3 + y * 29 + (seed >> 16)) & 0xff
+          img.setRGB(x, y, ((r << 16) | (g << 8) | b).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** Real resample: decode, bilinear-scale to (outW, outH), re-encode
+      * PNG. None = input payload was undecodable (quarantine).
+      */
+    def resizePng(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+      if (payload == null || payload.length < 8) return None
+      val src =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      src.map { s =>
+        val out = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(s, 0, 0, outW, outH, null)
+        } finally g2.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+    }
+  }
+
+  /** Decoded image features for (doc_id, payload) rows. */
+  final case class ImageFeatures(
+      doc_id: Long, format: String, width: Int, height: Int, channels: Int)
+
+  /** Rows whose payload the codec refused — the quarantine lane a real
+    * ingest keeps for triage instead of silently dropping.
+    */
+  final case class QuarantinedMedia(doc_id: Long, n_bytes: Long)
+
+  private def binaryRows(docs: DataFrame, idCol: String, payloadCol: String) =
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+
+  /** REAL batch image decode (javax.imageio): same map-only plumbing as
+    * [[decodeFeatures]], but the dimensions/format/band-count are read
+    * from the actual encoded bitstream. Undecodable payloads are
+    * dropped here; [[quarantineImages]] is their lane.
+    */
+  def decodeImages(docs: DataFrame, idCol: String, payloadCol: String): Dataset[ImageFeatures] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        ImageCodec.decode(payload).map(m =>
+          ImageFeatures(id, m.format, m.width, m.height, m.channels))
+      }
+    }(Encoders.product[ImageFeatures])
+
+  /** Complement of [[decodeImages]]: the payloads the codec refused. */
+  def quarantineImages(docs: DataFrame, idCol: String, payloadCol: String): Dataset[QuarantinedMedia] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.collect { case (id, payload) if ImageCodec.decode(payload).isEmpty =>
+        QuarantinedMedia(id, if (payload == null) 0L else payload.length.toLong)
+      }
+    }(Encoders.product[QuarantinedMedia])
+
+  /** REAL batch resize: decode → bilinear scale to (w/divisor, h/divisor,
+    * floor, min 1) → re-encode PNG → re-decode to PROVE the output is a
+    * valid image (the emitted dims come from the re-decoded bitstream,
+    * not from arithmetic). Undecodable inputs are dropped (quarantine
+    * lane as above).
+    */
+  def resizeImages(docs: DataFrame, idCol: String, payloadCol: String, divisor: Int): Dataset[ImageFeatures] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        for {
+          in <- ImageCodec.decode(payload)
+          resized <- ImageCodec.resizePng(
+            payload, math.max(1, in.width / divisor), math.max(1, in.height / divisor))
+          out <- ImageCodec.decode(resized)
+        } yield ImageFeatures(id, out.format, out.width, out.height, out.channels)
+      }
+    }(Encoders.product[ImageFeatures])
 }

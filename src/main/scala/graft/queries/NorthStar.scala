@@ -566,6 +566,38 @@ object NorthStar {
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.sampleFrames(payloadDocs(s, dir), "doc_id", "payload", 32, 8).toDF()
 
+  /** Real encoded-PNG payload per document: a deterministic RGB test
+    * pattern whose dimensions are arithmetic in doc_id — so the
+    * decode/resize oracles can predict the REAL codec's output without
+    * DuckDB having an image decoder. Encode is map-only; the payload
+    * never shuffles.
+    */
+  private def imageDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 57 + 8).toInt
+        val h = (id % 41 + 8).toInt
+        (id, graft.ext.Multimodal.ImageCodec.encodePng(w, h, id))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode (javax.imageio) over synthesized PNG payloads:
+    * dimensions/format/bands come from the decoded bitstream; the
+    * oracle predicts them arithmetically from doc_id.
+    */
+  def imageDecode(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.decodeImages(imageDocs(s, dir), "doc_id", "payload").toDF()
+
+  /** REAL image resize: decode → bilinear half-scale → re-encode PNG →
+    * re-decode; emitted dims come from the re-decoded output image.
+    */
+  def imageResize(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.resizeImages(imageDocs(s, dir), "doc_id", "payload", 2).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "tok_bpe" -> (tokBpe _),
@@ -581,6 +613,8 @@ object NorthStar {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames" -> (multimodalFrames _),
+    "image_decode" -> (imageDecode _),
+    "image_resize" -> (imageResize _),
     "dedup_exact" -> (dedupExact _),
     "fingerprint" -> (fingerprint _),
     "text_tokens" -> (textTokens _),
@@ -703,6 +737,22 @@ object NorthStar {
     "multimodal_decode" -> graft.ext.Multimodal.decodeOracleSql("documents", "text", "doc_id"),
     "multimodal_resize" -> graft.ext.Multimodal.resizeOracleSql("documents", "text", "doc_id", 64),
     "multimodal_frames" -> graft.ext.Multimodal.framesOracleSql("documents", "text", "doc_id", 32, 8),
+    // The REAL codec's output, predicted arithmetically: imageDocs
+    // encodes a (doc_id%57+8) x (doc_id%41+8) RGB PNG per document, so
+    // the decoded format/width/height/channels are exact functions of
+    // doc_id. DuckDB needs no image decoder to be the truth.
+    "image_decode" ->
+      """SELECT doc_id, 'png' AS format,
+        | CAST(doc_id % 57 + 8 AS INT) AS width,
+        | CAST(doc_id % 41 + 8 AS INT) AS height,
+        | CAST(3 AS INT) AS channels
+        |FROM documents""".stripMargin,
+    "image_resize" ->
+      """SELECT doc_id, 'png' AS format,
+        | CAST(greatest(1, (doc_id % 57 + 8) // 2) AS INT) AS width,
+        | CAST(greatest(1, (doc_id % 41 + 8) // 2) AS INT) AS height,
+        | CAST(3 AS INT) AS channels
+        |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
         | md5(text) AS text_hash
