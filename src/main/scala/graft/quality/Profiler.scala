@@ -72,6 +72,36 @@ object Profiler {
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
 
+  /** The profile a 100 TB pipeline actually runs: same one-job shape as
+    * [[profile]] but cardinality comes from `approx_count_distinct`
+    * (HyperLogLog++, default rsd 5%). The exact variant's
+    * count(DISTINCT) compiles to an Expand ×(cols+1) plan whose
+    * exchange degenerates to ~one row per input row for a unique-ish
+    * column — a full-table shuffle of the widest column at scale. Here
+    * every aggregate (count / sum / HLL sketch / min / max) partial-
+    * aggregates map-side, so the exchange carries one sketch-width row
+    * per partition regardless of cardinality. [[profile]] stays the
+    * exact opt-in for when the profile itself is the deliverable.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n_$c, __nulls_$c, __dist_$c, __min_$c, __max_$c"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, approx_distinct, min_value, max_value)")
+  }
+
   /** Fixed-width histogram of a numeric column: bin = floor(x / width),
     * with the bin's [lo, hi) bounds materialized. The bin assignment is
     * one IEEE division + floor — the identical operation sequence in

@@ -279,6 +279,15 @@ object ScaleOps {
     graft.quality.Profiler.profile(t(s, dir, "lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
 
+  /** The scale-path profile: HLL cardinality instead of exact distinct
+    * — no Expand, map-side partials only (sketch-bounded like
+    * `approx_distinct`: rows-only driver check; `ProfilerSpec` bounds
+    * it against the exact profile).
+    */
+  def profileLineitemApprox(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Profiler.profileApprox(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+
   /** Fixed-width price histogram (5000-wide bins) — the distribution
     * half of the profiling pass; sparse bins, two-phase aggregate.
     */
@@ -363,6 +372,7 @@ object ScaleOps {
     "dedup_incremental" -> (dedupIncremental _),
     "stream_enrich" -> (streamEnrich _),
     "profile_table" -> (profileLineitem _),
+    "profile_table_approx" -> (profileLineitemApprox _),
     "price_histogram" -> (priceHistogram _),
     "fuzzy_match" -> (fuzzyMatch _),
     "partition_scan" -> (partitionScan _),

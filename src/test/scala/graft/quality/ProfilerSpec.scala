@@ -31,6 +31,37 @@ class ProfilerSpec extends SparkTestBase {
     assert("LocalRelation".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("profileApprox matches the exact profile except HLL cardinality") {
+    val s = spark; import s.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, s"cat_${i % 7}")).toDF("k", "v")
+    val exact = Profiler.profile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profiler.profileApprox(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("k", "v")) {
+      // n_rows / n_nulls / min / max are exact in both variants.
+      assert(approx(c).getLong(1) == exact(c).getLong(1), s"$c n_rows")
+      assert(approx(c).getLong(2) == exact(c).getLong(2), s"$c n_nulls")
+      assert(approx(c).getString(4) == exact(c).getString(4), s"$c min")
+      assert(approx(c).getString(5) == exact(c).getString(5), s"$c max")
+      // Cardinality within HLL's documented rsd (5% default; allow 3σ).
+      val (est, truth) = (approx(c).getLong(3).toDouble, exact(c).getLong(3).toDouble)
+      assert(math.abs(est - truth) / truth <= 0.15, s"$c distinct: est=$est truth=$truth")
+    }
+  }
+
+  test("profileApprox plan has no Expand — partials stay map-side") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val approxPlan = Profiler.profileApprox(df, Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan)
+    // The exact variant DOES pay the Expand — the contrast this spec pins.
+    val exactPlan = Profiler.profile(df, Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan)
+  }
+
   test("referential check counts orphans; NULL FKs are not orphans") {
     val s = spark; import s.implicits._
     val child = Seq(Some(1L), Some(1L), Some(5L), None).toDF("fk")
