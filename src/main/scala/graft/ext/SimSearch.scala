@@ -369,6 +369,120 @@ object SimSearch {
       trainCentroids(emb, p.numCentroids, iters, sampleEvery))
   }
 
+  /** Parameter-LOCKED trained centroids — the missing piece between
+    * first-K centroids (oracle-replicable, weak cells) and
+    * [[trainCentroids]] (k-means cells, no cross-engine oracle):
+    * Lloyd's iterations unrolled a FIXED count over the unit-quantized
+    * INTEGER vectors ([[quantizeUnit]] — already proven
+    * oracle-compatible by the q8/PQ oracles), first-K init, and
+    * SUM-vector centroids. Cosine is scale-invariant, so the sum of a
+    * cell's vectors ranks identically to their mean — and unlike the
+    * mean it needs no inexact division: every training step is exact
+    * arithmetic (integer element sums, integer dots whose doubles are
+    * exact below 2^53, round-6 cosines), so the ENTIRE training
+    * replays bit-for-bit in DuckDB ([[ivfTrainedOracleSql]]) and the
+    * trained path carries a full rows+schema+hash oracle instead of a
+    * recall bound.
+    *
+    * Scale shape matches [[trainCentroids]]: centroids broadcast each
+    * round; assignment is a map-side-combined max(struct) per vector;
+    * the update shuffles skinny (cell, pos, x) rows; lineage cut per
+    * round. Element sums stay exact while N·127 < 2^53 (N ≈ 7·10¹³
+    * vectors — beyond any single index shard).
+    */
+  def trainCentroidsLocked(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"bad locked k-means config: k=$k iters=$iters")
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val u = emb.select(col("vec_id"),
+      quantizeUnit(col("embedding"), ndot).as("u"))
+    var cents = u.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("u").as("cu"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val c = broadcast(cents.select(col("cent_id"), col("cu"),
+        sqrt(ndot(col("cu"), col("cu"))).as("ccn")))
+      val csim = round(
+        ndot(col("u"), col("cu")) / (sqrt(ndot(col("u"), col("u"))) * col("ccn")), 6)
+      val assigned = u.crossJoin(c)
+        .select(col("vec_id"), col("u"),
+          struct(csim.as("s"), (-col("cent_id")).as("nc")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("m"), first(col("u")).as("u"))
+        .select((-col("m.nc")).as("cell"), col("u"))
+      // Sum vector per cell: doubles holding exact integers, so the
+      // aggregation is order-independent in both engines.
+      val sums = assigned
+        .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sx")))),
+          e => e.getField("sx")).as("cu2"))
+      // A cell that lost every point keeps its previous centroid.
+      cents = cents.join(sums, cents("cent_id") === sums("cell"), "left")
+        .select(col("cent_id"), coalesce(col("cu2"), col("cu")).as("cu"))
+        .localCheckpoint()
+    }
+    cents.select(col("cent_id"), col("cu").as("cv"),
+      sqrt(ndot(col("cu"), col("cu"))).as("cn"))
+  }
+
+  /** IVF top-1 over [[trainCentroidsLocked]] cells: the trained-index
+    * deployment shape WITH a full cross-engine oracle.
+    */
+  def ivfTopKTrainedLocked(emb: DataFrame, queryBound: Int, p: IvfParams,
+      iters: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+    ivfWithCentroids(vecs, queryBound, p.probes,
+      trainCentroidsLocked(emb, p.numCentroids, iters))
+  }
+
+  /** DuckDB oracle for [[ivfTopKTrainedLocked]]: replays quantization,
+    * the unrolled Lloyd iterations (sum-vector centroids, empty cells
+    * keep their codeword), final cell assignment, probing, and the
+    * exact re-rank.
+    */
+  def ivfTrainedOracleSql(queryBound: Int, p: IvfParams, iters: Int, dim: Int): String = {
+    val k = p.numCentroids
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT u.vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY u.vec_id
+         |    ORDER BY round(list_cosine_similarity(u.u, cu), 6) DESC, cent_id) AS rn
+         |  FROM u CROSS JOIN c${i - 1}),
+         |s$i AS (SELECT cent_id AS cell, pos, sum(u.u[pos]) AS sx
+         |  FROM a$i JOIN u USING (vec_id) CROSS JOIN range(1, $dim + 1) r(pos)
+         |  WHERE rn = 1 GROUP BY 1, 2),
+         |l$i AS (SELECT cell, list(sx ORDER BY pos) AS cu2 FROM s$i GROUP BY cell),
+         |c$i AS (SELECT cent_id, coalesce(cu2, cu) AS cu
+         |  FROM c${i - 1} LEFT JOIN l$i ON cent_id = cell)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (SELECT vec_id, CASE WHEN list_dot_product(v, v) = 0
+       |        THEN list_transform(v, x -> 0.0)
+       |        ELSE list_transform(v,
+       |          x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) END AS u
+       |      FROM d),
+       |c0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < $k)$iterCtes,
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r WHERE crn = 1),
+       |probe AS (SELECT vec_id AS qid, cent_id AS cell FROM r
+       |          WHERE crn <= ${p.probes} AND vec_id < $queryBound),
+       |cand AS (SELECT DISTINCT qid, cid
+       |         FROM probe JOIN cell ON probe.cell = cell.cell AND qid <> cid),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv2.v), 6) AS sim
+       |      FROM cand JOIN d qv ON qv.vec_id = qid JOIN d cv2 ON cv2.vec_id = cid),
+       |rr AS (SELECT qid, cid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |       FROM p)
+       |SELECT qid, cid, sim FROM rr WHERE rn = 1""".stripMargin
+  }
+
   /** DuckDB oracle for [[ivfTopK]]. */
   def ivfOracleSql(queryBound: Int, p: IvfParams): String = {
     val numCentroids = p.numCentroids
@@ -575,7 +689,11 @@ object SimSearch {
     // the interpreted HOF fold, which would cost O(dim²) interpreted
     // work per vector at encode time.
     val nrm = sqrt(ndot(d, d))
-    transform(d, x => floor(x * lit(127.0) / nrm + lit(0.5)).cast("double"))
+    // Zero-norm guard: an all-zero embedding would divide by zero and
+    // emit NaN codes that silently poison every downstream ADC score
+    // for that row; it quantizes to the zero vector instead.
+    when(nrm === lit(0.0), transform(d, _ => lit(0.0)))
+      .otherwise(transform(d, x => floor(x * lit(127.0) / nrm + lit(0.5)).cast("double")))
   }
 
   /** (vec_id, m, us): the M unit-quantized subvectors of each vector. */

@@ -145,6 +145,15 @@ object NorthStar {
     graft.ext.SimSearch.ivfTopK(t(s, dir, "embeddings"), 100,
       graft.ext.SimSearch.IvfParams.fixture)
 
+  /** Trained-IVF ANN with the parameter-LOCKED Lloyd unroll (2
+    * iterations over quantized integer vectors, sum-vector centroids)
+    * — the trained deployment shape, yet fully oracle-checked: the
+    * DuckDB twin replays the entire training.
+    */
+  def simTopKIvfTrained(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.ivfTopKTrainedLocked(t(s, dir, "embeddings"), 100,
+      graft.ext.SimSearch.IvfParams.fixture, iters = 2)
+
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
@@ -623,6 +632,7 @@ object NorthStar {
     "sim_topk" -> (simTopK _),
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
+    "sim_topk_ivf_trained" -> (simTopKIvfTrained _),
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
@@ -821,6 +831,8 @@ object NorthStar {
         |SELECT qid, cid, sim FROM r WHERE rn = 1""".stripMargin,
     "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100, graft.ext.SimSearch.LshParams.fixture),
     "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100, graft.ext.SimSearch.IvfParams.fixture),
+    "sim_topk_ivf_trained" -> graft.ext.SimSearch.ivfTrainedOracleSql(
+      100, graft.ext.SimSearch.IvfParams.fixture, iters = 2, dim = 64),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
       s"""WITH $ShingleCtes

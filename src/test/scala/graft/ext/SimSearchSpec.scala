@@ -97,6 +97,52 @@ class SimSearchSpec extends SparkTestBase {
       s"training must beat insertion-order centroids: trained=$trained firstK=$firstK")
   }
 
+  test("locked trained IVF recovers clusters too, and is deterministic") {
+    import org.apache.spark.sql.functions._
+    // Same clustered corpus as the k-means test: first-K centroids all
+    // land in cluster 0, the locked Lloyd unroll must escape it.
+    val dim = 16
+    val df = spark.range(1000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (when(j === (col("id") / 125).cast("int"), 1.0).otherwise(0.0) +
+          (pmod(xxhash64(col("id") * dim + j.cast("long")), lit(1000L))
+            .cast("double") / 1000.0 - 0.5) * 0.2)
+          .cast("float")).as("embedding"))
+    val brute = SimSearch.bruteTopK(df, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def agree(res: Map[Long, Long]): Int =
+      brute.count { case (q, c) => res.get(q).contains(c) }
+    val p = SimSearch.IvfParams(8, 1)
+    val firstK = agree(SimSearch.ivfTopK(df, 100, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val run1 = SimSearch.ivfTopKTrainedLocked(df, 100, p, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = SimSearch.ivfTopKTrainedLocked(df, 100, p, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1 == run2, "locked training must be bit-deterministic")
+    val locked = agree(run1)
+    info(s"probe-1 top-1 agreement: firstK=$firstK/100 locked=$locked/100")
+    assert(locked >= 85, s"locked-trained centroids must recover the clusters: $locked/100")
+    assert(locked >= firstK + 20,
+      s"locked training must beat insertion-order centroids: locked=$locked firstK=$firstK")
+  }
+
+  test("quantizeUnit maps a zero-norm embedding to zero codes, not NaN") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, -1f, 0f))).toDF("vec_id", "embedding")
+    val ndot = graft.functions.DotProduct.fn(spark)
+    val out = df.select(col("vec_id"),
+      SimSearch.quantizeUnit(col("embedding"), ndot).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0L) == Seq(0.0, 0.0, 0.0, 0.0), s"zero vector: ${out(0L)}")
+    assert(!out(1L).exists(_.isNaN))
+    assert(out(1L).head == 90.0) // 127/sqrt(2) rounds to 90
+  }
+
   test("ivfTopKTrained is deterministic across runs") {
     val emb = t(spark, sf0001, "embeddings")
     val p = SimSearch.IvfParams(16, 4)
