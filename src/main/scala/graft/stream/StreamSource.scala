@@ -32,11 +32,28 @@ object StreamSource {
       maxFilesPerTrigger: Int = 100): DataFrame =
     FileSource.readStream(spark, format, landingPath, schema, maxFilesPerTrigger)
 
+  /** The transport-agnostic half of both broker sources: binary
+    * payload bytes → UTF-8 → JSON against the declared schema →
+    * flattened columns. Kafka exposes the bytes as `value`, Kinesis as
+    * `data`; everything after the column name is THIS function, so it
+    * is contract-tested connector-free over MemoryStream binary
+    * payloads (`StreamPayloadParseSpec`) — the executed in-sandbox
+    * twin of the jar-gated connector path. Malformed payloads parse to
+    * a null struct and surface as all-null rows (PERMISSIVE), so a
+    * poison message can never kill the stream.
+    */
+  def parseJsonPayload(raw: DataFrame, byteCol: String, schema: StructType): DataFrame =
+    raw
+      .select(from_json(col(byteCol).cast("string"), schema).as("payload"))
+      .select(col("payload.*"))
+
   /** Kafka-shaped stream: subscribe to a topic, parse JSON values into
     * the declared schema. Requires the spark-sql-kafka connector on the
     * cluster classpath (standard deploy; not part of this repo's
-    * offline test environment — covered by plan-construction semantics
-    * only, all stateful logic is tested via MemoryStream/file sources).
+    * offline test environment — plan construction covered by the
+    * jar-gated specs, the value parse by [[parseJsonPayload]]'s
+    * MemoryStream contract test, all stateful logic via
+    * MemoryStream/file sources).
     */
   def readKafka(
       spark: SparkSession,
@@ -44,14 +61,14 @@ object StreamSource {
       topic: String,
       schema: StructType,
       startingOffsets: String = "latest"): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(from_json(col("value").cast("string"), schema).as("payload"))
-      .select(col("payload.*"))
+    parseJsonPayload(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load(),
+      "value", schema)
 
   /** Kinesis-shaped stream (reference README.md:11 names Kinesis as the
     * stream transport): subscribe to a stream, parse the record `data`
@@ -69,12 +86,12 @@ object StreamSource {
       region: String,
       schema: StructType,
       startingPosition: String = "latest"): DataFrame =
-    spark.readStream
-      .format("kinesis")
-      .option("streamName", streamName)
-      .option("region", region)
-      .option("startingPosition", startingPosition)
-      .load()
-      .select(from_json(col("data").cast("string"), schema).as("payload"))
-      .select(col("payload.*"))
+    parseJsonPayload(
+      spark.readStream
+        .format("kinesis")
+        .option("streamName", streamName)
+        .option("region", region)
+        .option("startingPosition", startingPosition)
+        .load(),
+      "data", schema)
 }
