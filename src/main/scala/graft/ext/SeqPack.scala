@@ -51,9 +51,13 @@ object SeqPack {
       .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
       .select(col("__bucket"), col("__off"))
     inBucket.join(broadcast(offsets), "__bucket")
+      .withColumn("__start", col("__off") + col("__run") - col(tokCol).cast("long"))
       .select(col(idCol), col(tokCol).cast("long").as(tokCol),
-        floor((col("__off") + col("__run") - col(tokCol)) / lit(budget.toDouble))
-          .cast("long").as("shard_id"))
+        // Integral divide (start offsets are non-negative): a double
+        // division loses exactness once offsets pass 2^53 — inside the
+        // design's corpus ambition; `div` stays exact over the full
+        // long range (SeqPackSpec proves the divergence).
+        expr(s"__start div ${budget}L").as("shard_id"))
   }
 
   /** Reference single-window encoding (the shape the two-level version
@@ -66,8 +70,8 @@ object SeqPack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("__run", sum(col(tokCol).cast("long")).over(w))
+      .withColumn("__start", col("__run") - col(tokCol).cast("long"))
       .select(col(idCol), col(tokCol).cast("long").as(tokCol),
-        floor((col("__run") - col(tokCol)) / lit(budget.toDouble))
-          .cast("long").as("shard_id"))
+        expr(s"__start div ${budget}L").as("shard_id"))
   }
 }

@@ -50,6 +50,31 @@ class SeqPackSpec extends SparkTestBase {
     assert(maxShard <= budget + maxDoc, s"shard total $maxShard breaks the budget bound")
   }
 
+  test("shard assignment stays exact past 2^53 token offsets") {
+    val s = spark; import s.implicits._
+    // doc 1's start offset is 2^53 + 1 — not representable as a
+    // double: the old floor(x / budget.toDouble) encoding would round
+    // it down and misassign the shard. Integral `div` cannot.
+    val big = (1L << 53) + 1L
+    val docs = Seq((0L, big), (1L, 5L)).toDF("doc_id", "n_tokens")
+    // Proof the double path misassigns at budget 1: the offset itself
+    // collapses to the previous representable double.
+    assert(math.floor(big.toDouble / 1.0).toLong != big)
+    for (impl <- Seq(
+        SeqPack.tokenShards(docs, "doc_id", "n_tokens", 1L, 64L),
+        SeqPack.tokenShardsGlobal(docs, "doc_id", "n_tokens", 1L))) {
+      val byId = impl.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(byId(0L) == 0L)
+      assert(byId(1L) == big, s"doc 1 shard must be exactly 2^53+1, got ${byId(1L)}")
+    }
+    // And with a realistic budget the boundary doc lands one shard up
+    // from where double arithmetic would put it.
+    val boundary = Seq((0L, (1L << 53)), (1L, 1L), (2L, 7L)).toDF("doc_id", "n_tokens")
+    val shards = SeqPack.tokenShardsGlobal(boundary, "doc_id", "n_tokens", 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shards(2L) == ((1L << 53) + 1L) / 3L)
+  }
+
   test("corpus-side window partitions by bucket — no global sort on the doc stream") {
     val plan = SeqPack.tokenShards(docTokens, "doc_id", "n_tokens", 2048, 64)
       .queryExecution.optimizedPlan.toString
