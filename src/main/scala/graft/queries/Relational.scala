@@ -486,22 +486,20 @@ object Relational {
   /** Gaps-and-islands rewrite of 30-min-gap sessionization; shared by
     * the session_window query and its custom-state twin.
     *
-    * Known boundary exposure (verified empirically): two events whose
-    * gap is EXACTLY the timeout break here (`>= INTERVAL`) and in the
-    * custom-state fold, but Spark's `session_window` operator merges
-    * touching windows into one session — so `event_sessions` would
-    * diverge from this oracle on exact-gap timestamps. The fixture's
-    * event times are generated at sub-second jitter, which never lands
-    * on the exact 1800.000000s boundary; `StatefulSessionsSpec` pins
-    * the contract for the custom-state path, where the boundary is
-    * ours to define.
+    * Boundary rule (verified empirically, pinned by
+    * `SessionBoundarySpec`): Spark's `session_window` MERGES touching
+    * windows — an event exactly `gap` after the previous one extends
+    * the session — so the break condition here is strict `>`, and the
+    * custom-state fold uses the matching inclusive `<=` merge. All
+    * three encodings agree on every input, including exact-boundary
+    * timestamps, not just the fixture's jittered ones.
     */
   private val sessionsOracleSql: String =
     """WITH o AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |            >= INTERVAL 30 MINUTE
+      |            > INTERVAL 30 MINUTE
       |    THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |g AS (

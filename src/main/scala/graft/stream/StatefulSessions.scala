@@ -48,22 +48,21 @@ object StatefulSessions {
   def usOf(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** Interval-union fold: sort by start, collapse neighbors whose gap is
-    * < gapUs; a gap of EXACTLY the timeout breaks — the `ts - lag(ts)
-    * >= INTERVAL` contract of the gaps-and-islands oracle. (Spark's
-    * `session_window` differs at that single boundary: it also merges
-    * back-to-back windows whose gap equals the timeout. Continuous
-    * timestamps never hit it, which is why `event_sessions` and
-    * `event_sessions_state` agree on the fixture corpora; the boundary
-    * choice is pinned here and spec-tested.) Deterministic regardless
-    * of arrival order, which is what lets a late-but-in-watermark event
-    * bridge two open sessions.
+  /** Interval-union fold: sort by start, collapse neighbors whose gap
+    * is <= gapUs — INCLUSIVE at the boundary, matching Spark's
+    * `session_window`, which merges touching windows (verified
+    * empirically, pinned by `SessionBoundarySpec`): an event exactly
+    * `gap` after the previous one extends the session. The
+    * gaps-and-islands oracle uses the matching strict-`>` break rule,
+    * so all three encodings agree on EVERY input, not just jittered
+    * fixtures. Deterministic regardless of arrival order, which is
+    * what lets a late-but-in-watermark event bridge two open sessions.
     */
   def merge(sessions: Seq[SessAgg], gapUs: Long): List[SessAgg] =
     sessions.sortBy(s => (s.startUs, s.lastUs))
       .foldLeft(List.empty[SessAgg]) { (acc, s) =>
         acc match {
-          case head :: tail if s.startUs - head.lastUs < gapUs =>
+          case head :: tail if s.startUs - head.lastUs <= gapUs =>
             SessAgg(head.startUs, math.max(head.lastUs, s.lastUs),
               head.n + s.n, head.sum + s.sum) :: tail
           case _ => s :: acc
@@ -71,10 +70,12 @@ object StatefulSessions {
       }.reverse
 
   /** Merge, then split at the watermark: a session is closed once the
-    * watermark has passed its quiet period (last + gap). */
+    * watermark is strictly past its quiet period (last + gap) — strict,
+    * because an event AT last+gap still merges under the inclusive
+    * boundary and events at the watermark are not late. */
   def advance(sessions: Seq[SessAgg], gapUs: Long, watermarkUs: Long)
       : (List[SessAgg], List[SessAgg]) =
-    merge(sessions, gapUs).partition(s => s.lastUs + gapUs <= watermarkUs)
+    merge(sessions, gapUs).partition(s => s.lastUs + gapUs < watermarkUs)
 
   /** "30 minutes" / "1 hour" → micros (same strings the window
     * functions take; sub-day units only, so no calendar ambiguity). */
@@ -110,9 +111,9 @@ object StatefulSessions {
 
   /** Batch sessionization: end of input closes every session. Output
     * schema matches [[EventWindows.sessionByUser]] exactly, and the
-    * exact-gap boundary matches [[merge]] (a gap of exactly the timeout
-    * breaks — same `>= INTERVAL` contract as the gaps-and-islands
-    * oracle).
+    * exact-gap boundary matches [[merge]] and `session_window` (a gap
+    * of exactly the timeout MERGES; the oracle breaks strictly past
+    * the gap).
     *
     * Scale: a hash repartition on user_id plus a secondary sort on
     * (user_id, ts) — Spark's external sort spills, so a partition never
@@ -146,7 +147,7 @@ object StatefulSessions {
               uid = e.user_id; open = SessAgg(t, t, 1L, e.value)
             } else if (e.user_id != uid) {
               close(); uid = e.user_id; open = SessAgg(t, t, 1L, e.value)
-            } else if (t - open.lastUs >= gapUs) {
+            } else if (t - open.lastUs > gapUs) {
               close(); open = SessAgg(t, t, 1L, e.value)
             } else {
               open = SessAgg(open.startUs, t, open.n + 1L, open.sum + e.value)

@@ -34,10 +34,11 @@ class StatefulSessionsSpec extends SparkTestBase {
     assert(viaState.nonEmpty)
   }
 
-  test("a gap of exactly the timeout breaks the session (oracle contract)") {
-    // Pinned divergence: Spark's session_window would merge these two
-    // (it treats touching windows as one session); the gaps-and-islands
-    // oracle — and therefore this operator — breaks at >= gap.
+  test("a gap of exactly the timeout MERGES (session_window-aligned contract)") {
+    // Aligned boundary: Spark's session_window merges touching windows,
+    // so the fold (inclusive <=) and the gaps-and-islands oracle
+    // (strict > break) do too — see SessionBoundarySpec for the
+    // three-way agreement on boundary/inside/outside rows.
     val s = spark
     import s.implicits._
     val boundary = Seq(
@@ -45,8 +46,7 @@ class StatefulSessionsSpec extends SparkTestBase {
       Ev(2, 7, ts("2024-01-01 10:30:00"), "click", 2.0))
     val out = StatefulSessions.sessionsBatch(boundary.toDF(), "30 minutes")
       .collect().map(r => (r.getTimestamp(0), r.getLong(3)))
-    assert(out.toSet == Set(
-      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:30:00"), 1L)))
+    assert(out.toSeq == Seq((ts("2024-01-01 10:00:00"), 2L)))
   }
 
   test("merge bridges a late-but-in-watermark event across two open sessions") {
