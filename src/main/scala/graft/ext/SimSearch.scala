@@ -730,7 +730,8 @@ object SimSearch {
 
   /** PQ encoding: each vector compresses to M single-byte codes — the
     * nearest codeword (integer L2, ties to the smallest id) per
-    * subspace. 64 floats (256 B) become 8 bytes: a 32× smaller scan.
+    * subspace. With M = 16 (PqM) subspaces, 64 floats (256 B) become
+    * 16 bytes: a 16× smaller scan.
     *
     * Scale: the codebook (K·M rows) broadcasts; the argmin is a
     * map-side-combinable min(struct(d2, cw)) — each partition reduces

@@ -63,8 +63,28 @@ object NormalizeText {
     val str = s.toString
     val nfc = Normalizer.normalize(str, Normalizer.Form.NFC)
     val lowered = nfc.toLowerCase(java.util.Locale.ROOT)
-    val collapsed = lowered.replaceAll("[\\s\\u00a0\\u2007\\u202f]+", " ").trim
-    UTF8String.fromString(collapsed)
+    val collapsed = WsRun.matcher(lowered).replaceAll(" ")
+    UTF8String.fromString(trimSpaces(collapsed))
+  }
+
+  /** Precompiled whitespace-run class (String.replaceAll would
+    * recompile it on every slow-path row). */
+  private val WsRun =
+    java.util.regex.Pattern.compile("[\\s\\u00a0\\u2007\\u202f]+")
+
+  /** Trim ONLY the space character: Java's String.trim strips every
+    * code point <= U+0020 — including control chars like U+0001 that
+    * the collapse class deliberately leaves alone — while the DuckDB
+    * twin's trim() removes only spaces. Trimming spaces keeps
+    * norm_text/norm_hash engine-agreed on ANY input, not just inputs
+    * without edge control characters.
+    */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    if (from == 0 && to == s.length) s else s.substring(from, to)
   }
 
   /** One pass over the raw bytes: ASCII, no uppercase, no control

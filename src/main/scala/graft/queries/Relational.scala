@@ -362,7 +362,12 @@ object Relational {
     * one two-phase aggregate whose float sum runs through
     * decimal(18,4) so the result is identical under any partial-agg
     * order. Oracle spells the melt as a UNION ALL — an independent
-    * formulation of the same reshape.
+    * formulation of the same reshape — with IS NOT NULL branches
+    * pinning the semantics `Dataset.unpivot` applies implicitly:
+    * unpivot DROPS rows whose measure value is NULL, UNION ALL keeps
+    * them. TPC-H lineitem measures are non-null so the two agree here,
+    * but the oracle must encode the same rule to stay truthful if a
+    * nullable measure is ever unpivoted.
     */
   def unpivotStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -680,9 +685,13 @@ object Relational {
     "unpivot_stats" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |    WHERE l_quantity IS NOT NULL
         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
-        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |    WHERE l_discount IS NOT NULL
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |    WHERE l_tax IS NOT NULL)
         |SELECT metric, count(*) AS n_rows,
         |  round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum

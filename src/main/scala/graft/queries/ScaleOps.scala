@@ -99,7 +99,7 @@ object ScaleOps {
   }
 
   /** Product-quantization ADC top-1: the corpus compresses ONCE to
-    * M = 8 single-byte codes per vector (32× smaller than the floats)
+    * M = 16 single-byte codes per vector (16× smaller than the floats)
     * and is landed; queries touch only the landed code table plus a
     * broadcast lookup table — the float corpus is never rescanned.
     * Codebook is parameter-locked to the first-256 subvectors so the

@@ -46,6 +46,18 @@ class NormalizeTextSpec extends SparkTestBase {
     assert(norm("") == "")
   }
 
+  test("edge control chars survive the trim — matching DuckDB's space-only trim") {
+    // \u0001 is outside both the collapse class and DuckDB trim()'s
+    // space-only default; Java's String.trim would strip it (it strips
+    // every code point <= U+0020) and diverge norm_text/norm_hash
+    // between the engines.
+    assert(norm("\u0001abc") == "\u0001abc")
+    assert(norm("abc\u0002") == "abc\u0002")
+    assert(norm(" \u0001 Abc ") == "\u0001 abc")
+    // Whitespace-class controls (tab, CR, LF) still collapse and trim.
+    assert(norm("\tabc\n") == "abc")
+  }
+
   test("codegen path equals the shared core, nulls propagate") {
     val f = NormalizeText.fn(spark)
     val inputs = Seq("cafe\u0301\u00a0\u00a0RIVER", "plain ascii", "\u00c9COLE x", null)
