@@ -607,6 +607,20 @@ object NorthStar {
   def imageResize(s: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.resizeImages(imageDocs(s, dir), "doc_id", "payload", 2).toDF()
 
+  /** The quarantine lane, end to end: every doc_id % 7 == 0 payload is
+    * truncated to its first 10 bytes (a broken PNG header) before the
+    * decode stage; the REAL codec must refuse exactly those and pass
+    * everything else — so the oracle predicts the quarantine set by
+    * arithmetic, and a codec that silently "decodes" garbage (or drops
+    * a good payload) hash-mismatches.
+    */
+  def imageQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = imageDocs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, substring(col("payload"), 1, 10))
+        .otherwise(col("payload")).as("payload"))
+    graft.ext.Multimodal.quarantineImages(corrupted, "doc_id", "payload").toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "tok_bpe" -> (tokBpe _),
@@ -624,6 +638,7 @@ object NorthStar {
     "multimodal_frames" -> (multimodalFrames _),
     "image_decode" -> (imageDecode _),
     "image_resize" -> (imageResize _),
+    "image_quarantine" -> (imageQuarantine _),
     "dedup_exact" -> (dedupExact _),
     "fingerprint" -> (fingerprint _),
     "text_tokens" -> (textTokens _),
@@ -763,6 +778,11 @@ object NorthStar {
         | CAST(greatest(1, (doc_id % 41 + 8) // 2) AS INT) AS height,
         | CAST(3 AS INT) AS channels
         |FROM documents""".stripMargin,
+    // Quarantined = exactly the payloads the query truncated to 10
+    // bytes before decode (doc_id % 7 == 0).
+    "image_quarantine" ->
+      """SELECT doc_id, CAST(10 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
         | md5(text) AS text_hash

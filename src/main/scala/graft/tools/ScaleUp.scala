@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe: materialize an N× scale-up of a fixture dir for scaling
+  * spot-benches (the sf1 run the driver doesn't ship data for).
+  *
+  * The copies are SHARD-DISJOINT by construction — ids offset per
+  * copy, fuzzy-block name prefixes and shingle tokens tagged with the
+  * copy index — so every data-dependent output (dedup components,
+  * similarity pairs, fuzzy blocks) grows linearly with the factor and
+  * a super-linear wall-time term can only come from the ENGINE plan,
+  * which is exactly what the probe exists to catch. Small dims and
+  * untouched tables are byte-copied.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <factor>")
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    def copies(df: DataFrame)(tag: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => tag(df, k)).reduce(_ unionAll _)
+
+    // lineitem: order keys offset per copy (distinct counts scale too).
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val liMax = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    copies(li)((df, k) => df.withColumn("l_orderkey", col("l_orderkey") + lit(k * liMax)))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // documents: ids offset; every token of copy k > 0 tagged so
+    // shingle/minhash spaces are disjoint across copies.
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+    copies(docs) { (df, k) =>
+      val tagged = if (k == 0) df
+        else df.withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$k")))
+      tagged
+        .withColumn("doc_id", col("doc_id") + lit(k * docMax))
+        .withColumn("n_chars", length(col("text")))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: ids offset; copies perturbed so ANN ties don't pile up.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+    copies(emb) { (df, k) =>
+      df.withColumn("vec_id", col("vec_id") + lit(k * embMax))
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(k * 0.001f)).cast("float")))
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // customer: keys offset; the copy tag REPLACES the first character
+    // (same length!) so the fuzzy-match block key (first 16 chars) is
+    // copy-disjoint while keeping the original digit structure — a
+    // length-changing prefix would shift which digits land in the key
+    // and blow the block sizes up 100x (observed: fuzzy_match went
+    // super-linear on exactly that fixture bug).
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val custMax = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    copies(cust) { (df, k) =>
+      // Lowercase tags: the fixture names start with an uppercase
+      // letter, so no copy can collide with copy 0 ('A'+2 would
+      // reproduce 'C'ustomer and merge blocks across copies).
+      val named = if (k == 0) df
+        else df.withColumn("c_name",
+          concat(lit(('a' + k).toChar.toString), expr("substring(c_name, 2)")))
+      named.withColumn("c_custkey", col("c_custkey") + lit(k * custMax))
+    }.write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // Everything else is a byte copy (the probes don't scale them).
+    for (t <- Seq("region", "nation", "orders", "part", "supplier", "events")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"SCALEUP done: $out = $factor x $src")
+    spark.stop()
+  }
+}
