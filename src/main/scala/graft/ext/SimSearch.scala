@@ -440,13 +440,12 @@ object SimSearch {
       trainCentroidsLocked(emb, p.numCentroids, iters))
   }
 
-  /** DuckDB oracle for [[ivfTopKTrainedLocked]]: replays quantization,
-    * the unrolled Lloyd iterations (sum-vector centroids, empty cells
-    * keep their codeword), final cell assignment, probing, and the
-    * exact re-rank.
+  /** Shared oracle prelude for every locked-training replay: raw
+    * vectors `d`, quantized `u`, first-K init `c0`, and the unrolled
+    * Lloyd iterations `c1..c<iters>` (sum-vector centroids, empty
+    * cells keep their codeword).
     */
-  def ivfTrainedOracleSql(queryBound: Int, p: IvfParams, iters: Int, dim: Int): String = {
-    val k = p.numCentroids
+  private def trainedCentroidCtes(k: Int, iters: Int, dim: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT u.vec_id, cent_id,
          |  row_number() OVER (PARTITION BY u.vec_id
@@ -459,13 +458,56 @@ object SimSearch {
          |c$i AS (SELECT cent_id, coalesce(cu2, cu) AS cu
          |  FROM c${i - 1} LEFT JOIN l$i ON cent_id = cell)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |u AS (SELECT vec_id, CASE WHEN list_dot_product(v, v) = 0
        |        THEN list_transform(v, x -> 0.0)
        |        ELSE list_transform(v,
        |          x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) END AS u
        |      FROM d),
-       |c0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < $k)$iterCtes,
+       |c0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < $k)$iterCtes""".stripMargin
+  }
+
+  /** Semantic corpus clustering — every vector's cell under the
+    * locked-trained centroids, with the rounded assignment cosine.
+    * The curation primitive behind topic balancing, per-cluster
+    * sampling, and cluster-aware dedup; same plan as the IVF index
+    * build (broadcast centroids, map-side-combined argmax — the
+    * corpus never shuffles). Fully oracle-checked via the training
+    * replay.
+    */
+  def clusterAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val cents = trainCentroidsLocked(emb, k, iters)
+    val csim = round(
+      ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6)
+    emb.select(col("vec_id"), col("embedding").as("v"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(csim.as("s"), (-col("cent_id")).as("nc")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster_id"),
+        col("m.s").as("sim"))
+  }
+
+  /** DuckDB oracle for [[clusterAssign]]: training replay + argmax. */
+  def clusterAssignOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(k, iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        round(list_cosine_similarity(d.v, cu), 6) AS sim,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters)
+       |SELECT vec_id, cent_id AS cluster_id, sim FROM r WHERE crn = 1""".stripMargin
+
+  /** DuckDB oracle for [[ivfTopKTrainedLocked]]: replays quantization,
+    * the unrolled Lloyd iterations, final cell assignment, probing,
+    * and the exact re-rank.
+    */
+  def ivfTrainedOracleSql(queryBound: Int, p: IvfParams, iters: Int, dim: Int): String = {
+    val k = p.numCentroids
+    s"""WITH ${trainedCentroidCtes(k, iters, dim)},
        |r AS (SELECT d.vec_id, cent_id,
        |        row_number() OVER (PARTITION BY d.vec_id
        |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn

@@ -154,6 +154,13 @@ object NorthStar {
     graft.ext.SimSearch.ivfTopKTrainedLocked(t(s, dir, "embeddings"), 100,
       graft.ext.SimSearch.IvfParams.fixture, iters = 2)
 
+  /** Semantic clustering of the embedding corpus (16 locked-trained
+    * cells): the curation primitive for topic balance / per-cluster
+    * sampling. Oracle replays the training.
+    */
+  def docClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.clusterAssign(t(s, dir, "embeddings"), 16, iters = 2)
+
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
@@ -648,6 +655,7 @@ object NorthStar {
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk_ivf_trained" -> (simTopKIvfTrained _),
+    "doc_clusters" -> (docClusters _),
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
@@ -853,6 +861,7 @@ object NorthStar {
     "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100, graft.ext.SimSearch.IvfParams.fixture),
     "sim_topk_ivf_trained" -> graft.ext.SimSearch.ivfTrainedOracleSql(
       100, graft.ext.SimSearch.IvfParams.fixture, iters = 2, dim = 64),
+    "doc_clusters" -> graft.ext.SimSearch.clusterAssignOracleSql(16, iters = 2, dim = 64),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
       s"""WITH $ShingleCtes
