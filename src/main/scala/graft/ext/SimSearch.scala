@@ -475,9 +475,14 @@ object SimSearch {
     * corpus never shuffles). Fully oracle-checked via the training
     * replay.
     */
-  def clusterAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def clusterAssign(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    clusterAssignWithCentroids(emb, trainCentroidsLocked(emb, k, iters))
+
+  /** [[clusterAssign]] against an explicit (typically landed) centroid
+    * table — train once offline, assign in every serving query.
+    */
+  def clusterAssignWithCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
-    val cents = trainCentroidsLocked(emb, k, iters)
     val csim = round(
       ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6)
     emb.select(col("vec_id"), col("embedding").as("v"),
@@ -489,6 +494,17 @@ object SimSearch {
       .agg(max(col("sc")).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cluster_id"),
         col("m.s").as("sim"))
+  }
+
+  /** [[ivfTopKTrainedLocked]] against an explicit (typically landed)
+    * centroid table (`cent_id`, `cv`, `cn`).
+    */
+  def ivfTopKWithCentroids(emb: DataFrame, queryBound: Int, probes: Int,
+      cents: DataFrame): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+    ivfWithCentroids(vecs, queryBound, probes, cents)
   }
 
   /** DuckDB oracle for [[clusterAssign]]: training replay + argmax. */

