@@ -87,24 +87,31 @@ object Bench {
     */
   def renderLines(results: Seq[(String, Double, Boolean)], sfDir: String): (String, String) = {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val fq = results.collect { case (k, _, false) => s"\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val failed = results.count(!_._3)
+    def fqJson(names: Seq[String]): String =
+      names.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+    val failedNames = results.collect { case (k, _, false) => k }
+    val failed = failedNames.size
     val total = results.map(_._2).sum
-    def line(qEntries: Seq[String], extra: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"failed_queries":$fq,"sf":"$sfDir"$extra,"queries":${qEntries.mkString("{", ",", "}")}}"""
+    def line(qEntries: Seq[String], fq: Seq[String], extra: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"failed_queries":${fqJson(fq)},"sf":"$sfDir"$extra,"queries":${qEntries.mkString("{", ",", "}")}}"""
     val allEntries = results.sortBy(_._1).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-    val fullLine = line(allEntries, "")
-    // Stdout: fill the queries map slowest-first until the budget is hit.
+    val fullLine = line(allEntries, failedNames, "")
+    // Stdout: failed_queries is capped too — a mass-failure round (the
+    // rounds where the report matters most) must not overflow the tail
+    // window through the failure list; `failed` carries the true count
+    // and the file line carries every name.
+    val fqCapped = failedNames.take(MaxStdoutFailures)
     val bySlow = results.sortBy(-_._2).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-    val fixedLen = line(Nil, StdoutExtra).length
+    val fixedLen = line(Nil, fqCapped, StdoutExtra).length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = fixedLen
     for (e <- bySlow if used + e.length + 1 <= StdoutBudget) { kept += e; used += e.length + 1 }
-    (fullLine, line(kept.toSeq, StdoutExtra))
+    (fullLine, line(kept.toSeq, fqCapped, StdoutExtra))
   }
   /** Byte budget for the stdout line — half the driver's ~2,000-char tail
     * window, leaving headroom for any stray final log lines. */
   val StdoutBudget = 1000
+  /** Max failure names on stdout (~25 bytes each ≤ 200 of the budget). */
+  val MaxStdoutFailures = 8
   private val StdoutExtra = ""","queries_full":"bench_last.json""""
 }

@@ -20,6 +20,24 @@ object Tables {
     */
   def pathTag(dir: String): String = "sf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  private val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Build-once guard for landed scratch artifacts (PQ/q8 codes,
+    * trained centroids, partitioned layouts): the first caller per
+    * JVM runs `build` (which must WRITE `path`), everyone else just
+    * reads. On a failed build the path is removed from the set so a
+    * later call can retry instead of reading a missing/partial
+    * artifact for the rest of the JVM. Callers are the sequential
+    * Bench/Verify query loops; racing first-calls of the SAME path are
+    * not defended (the second would read mid-write) — same contract as
+    * the inline pattern this replaces.
+    */
+  def landOnce(path: String)(build: => Unit): Unit =
+    if (landed.add(path)) {
+      try build
+      catch { case e: Throwable => landed.remove(path); throw e }
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     // reader rejects; read nanos as long and truncate to micros (same

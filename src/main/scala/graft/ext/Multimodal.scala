@@ -178,7 +178,14 @@ object Multimodal {
     /** Decodes any ImageIO-supported payload; None = quarantine (not an
       * image, truncated, or an unsupported container).
       */
-    def decode(payload: Array[Byte]): Option[ImageMeta] = {
+    def decode(payload: Array[Byte]): Option[ImageMeta] =
+      decodeImage(payload).map(_._1)
+
+    /** Decode keeping the pixel raster — for stages that transform the
+      * image after reading it (resize decodes the input ONCE through
+      * this, not once for metadata and again for pixels).
+      */
+    def decodeImage(payload: Array[Byte]): Option[(ImageMeta, java.awt.image.BufferedImage)] = {
       if (payload == null || payload.length < 8) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -189,9 +196,9 @@ object Multimodal {
         try {
           reader.setInput(iis)
           val img = reader.read(0)
-          Some(ImageMeta(
+          Some((ImageMeta(
             reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
-            img.getWidth, img.getHeight, img.getRaster.getNumBands))
+            img.getWidth, img.getHeight, img.getRaster.getNumBands), img))
         } finally reader.dispose()
       } catch { case _: Exception => None }
       finally iis.close()
@@ -220,29 +227,29 @@ object Multimodal {
       baos.toByteArray
     }
 
-    /** Real resample: decode, bilinear-scale to (outW, outH), re-encode
-      * PNG. None = input payload was undecodable (quarantine).
+    /** Real resample of an already-decoded raster: bilinear-scale to
+      * (outW, outH), re-encode PNG.
       */
-    def resizePng(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
-      if (payload == null || payload.length < 8) return None
-      val src =
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        catch { case _: Exception => None }
-      src.map { s =>
-        val out = new java.awt.image.BufferedImage(
-          outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val g2 = out.createGraphics()
-        try {
-          g2.setRenderingHint(
-            java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g2.drawImage(s, 0, 0, outW, outH, null)
-        } finally g2.dispose()
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", baos)
-        baos.toByteArray
-      }
+    def scalePng(src: java.awt.image.BufferedImage, outW: Int, outH: Int): Array[Byte] = {
+      val out = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(src, 0, 0, outW, outH, null)
+      } finally g2.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
     }
+
+    /** Payload-to-payload resize convenience (one input decode). None =
+      * input payload was undecodable (quarantine).
+      */
+    def resizePng(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+      decodeImage(payload).map { case (_, img) => scalePng(img, outW, outH) }
   }
 
   /** Decoded image features for (doc_id, payload) rows. */
@@ -279,19 +286,19 @@ object Multimodal {
       }
     }(Encoders.product[QuarantinedMedia])
 
-  /** REAL batch resize: decode → bilinear scale to (w/divisor, h/divisor,
-    * floor, min 1) → re-encode PNG → re-decode to PROVE the output is a
-    * valid image (the emitted dims come from the re-decoded bitstream,
-    * not from arithmetic). Undecodable inputs are dropped (quarantine
-    * lane as above).
+  /** REAL batch resize: decode ONCE → bilinear scale to (w/divisor,
+    * h/divisor, floor, min 1) → re-encode PNG → re-decode the (smaller)
+    * output to PROVE it is a valid image (the emitted dims come from
+    * the re-decoded bitstream, not from arithmetic). Undecodable
+    * inputs are dropped (quarantine lane as above).
     */
   def resizeImages(docs: DataFrame, idCol: String, payloadCol: String, divisor: Int): Dataset[ImageFeatures] =
     binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
       it.flatMap { case (id, payload) =>
         for {
-          in <- ImageCodec.decode(payload)
-          resized <- ImageCodec.resizePng(
-            payload, math.max(1, in.width / divisor), math.max(1, in.height / divisor))
+          (in, img) <- ImageCodec.decodeImage(payload)
+          resized = ImageCodec.scalePng(img,
+            math.max(1, in.width / divisor), math.max(1, in.height / divisor))
           out <- ImageCodec.decode(resized)
         } yield ImageFeatures(id, out.format, out.width, out.height, out.channels)
       }

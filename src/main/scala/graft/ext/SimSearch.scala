@@ -943,8 +943,10 @@ object SimSearch {
   def pqOracleSql(queryBound: Int, dim: Int, shortlist: Int = 20): String = {
     val sub = dim / PqM
     s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |u AS (SELECT vec_id, list_transform(v,
-       |        x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) AS u
+       |u AS (SELECT vec_id, CASE WHEN list_dot_product(v, v) = 0
+       |        THEN list_transform(v, x -> 0.0)
+       |        ELSE list_transform(v,
+       |          x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) END AS u
        |      FROM d),
        |s AS (SELECT vec_id, m,
        |        list_slice(u, m * $sub + 1, m * $sub + $sub) AS us

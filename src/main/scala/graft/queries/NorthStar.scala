@@ -150,13 +150,21 @@ object NorthStar {
     * serving queries read the landed K-row table. Semantics unchanged —
     * the oracles replay the training from the data either way.
     */
-  private val landedCents = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** ONE definition of the locked-training geometry, shared by the
+    * queries AND their oracle constructors — retuning any of these
+    * retunes both sides, so the training replay cannot drift.
+    */
+  private val LockedK = graft.ext.SimSearch.IvfParams.fixture.numCentroids
+  private val LockedIters = 2
+  private val EmbDim = 64
+
   private def trainedCents(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_cents/${graft.Tables.pathTag(dir)}"
-    if (landedCents.add(path))
+    graft.Tables.landOnce(path) {
       graft.ext.SimSearch.trainCentroidsLocked(t(s, dir, "embeddings"),
-        graft.ext.SimSearch.IvfParams.fixture.numCentroids, iters = 2)
+        LockedK, LockedIters)
         .write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
   }
 
@@ -752,9 +760,9 @@ object NorthStar {
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-        |    / 2048.0) AS BIGINT) AS shard_id
+        |    // 2048 AS BIGINT) AS shard_id
         |FROM q""".stripMargin,
     "source_profile" ->
       """SELECT source, count(*) AS n_docs,
@@ -876,8 +884,9 @@ object NorthStar {
     "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100, graft.ext.SimSearch.LshParams.fixture),
     "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100, graft.ext.SimSearch.IvfParams.fixture),
     "sim_topk_ivf_trained" -> graft.ext.SimSearch.ivfTrainedOracleSql(
-      100, graft.ext.SimSearch.IvfParams.fixture, iters = 2, dim = 64),
-    "doc_clusters" -> graft.ext.SimSearch.clusterAssignOracleSql(16, iters = 2, dim = 64),
+      100, graft.ext.SimSearch.IvfParams.fixture, LockedIters, EmbDim),
+    "doc_clusters" -> graft.ext.SimSearch.clusterAssignOracleSql(
+      LockedK, LockedIters, EmbDim),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
       s"""WITH $ShingleCtes

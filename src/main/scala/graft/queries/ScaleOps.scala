@@ -89,12 +89,12 @@ object ScaleOps {
     * raw embeddings; `SimSearchSpec` measures top-1 agreement with the
     * float path.
     */
-  private val landedQ8 = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def simTopKQ8(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_q8/${graft.Tables.pathTag(dir)}"
-    if (landedQ8.add(path))
+    graft.Tables.landOnce(path) {
       graft.ext.SimSearch.quantizeCorpus(t(s, dir, "embeddings"))
         .write.mode("overwrite").parquet(path)
+    }
     graft.ext.SimSearch.q8TopKFromCodes(s.read.parquet(path), 100)
   }
 
@@ -106,12 +106,12 @@ object ScaleOps {
     * DuckDB oracle replays encoding and scoring integer-exactly;
     * `SimSearchSpec` measures top-1 agreement with brute force.
     */
-  private val landedPq = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def simTopKPq(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_pq/${graft.Tables.pathTag(dir)}"
-    if (landedPq.add(path))
+    graft.Tables.landOnce(path) {
       graft.ext.SimSearch.pqEncode(t(s, dir, "embeddings"), 64)
         .write.mode("overwrite").parquet(path)
+    }
     graft.ext.SimSearch.pqTopKFromCodes(
       s.read.parquet(path), t(s, dir, "embeddings"), 100, 64)
   }
@@ -186,10 +186,9 @@ object ScaleOps {
     * gives only for its leading column. The oracle filters the raw
     * table: layout must never change results.
     */
-  private val landedZ = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def zorderScan(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_zorder/${graft.Tables.pathTag(dir)}"
-    if (landedZ.add(path)) {
+    graft.Tables.landOnce(path) {
       val proj = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"))
@@ -214,7 +213,7 @@ object ScaleOps {
   def schemaMerge(s: SparkSession, dir: String): DataFrame = {
     val tag = graft.Tables.pathTag(dir)
     val path = s"/tmp/graft_evolve/$tag/orders"
-    if (landedEvolve.add(path)) {
+    graft.Tables.landOnce(path) {
       val o = t(s, dir, "orders")
       o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"))
@@ -226,7 +225,6 @@ object ScaleOps {
     s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
   }
-  private val landedEvolve = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Incremental near-dup off a LANDED index: the base corpus
     * (doc_id % 10 ≠ 7) lands once as two bucketed tables — band keys
@@ -238,12 +236,11 @@ object ScaleOps {
     * bandingFor(0.5) = (22, 11) — same recall argument as
     * `dedup_near`.
     */
-  private val landedNdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val tag = graft.Tables.pathTag(dir)
     val (kt, st) = (s"graft_ndx_keys_$tag", s"graft_ndx_sh_$tag")
     val docs = t(s, dir, "documents")
-    if (landedNdx.add(tag) && !s.catalog.tableExists(kt)) {
+    graft.Tables.landOnce(s"ndx_$tag") { if (!s.catalog.tableExists(kt)) {
       val (numHashes, numBands) = graft.ext.NearDup.bandingFor(0.5)
       val baseSh = graft.ext.NearDup.shingleSets(
         docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", 3)
@@ -252,7 +249,7 @@ object ScaleOps {
         kt, s"/tmp/graft_ndx/$tag/keys", 16, "bkey")
       graft.sink.BucketedLayout.writeBucketed(
         baseSh, st, s"/tmp/graft_ndx/$tag/sh", 16, "doc_id")
-    }
+    } }
     graft.ext.NearDup.incrementalPairs(
       docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 0.5,
       s.table(kt), s.table(st))
@@ -302,10 +299,9 @@ object ScaleOps {
     * scannable (`PartitionPruneSpec` asserts selected < total
     * partitions and the pushed partition filter).
     */
-  private val landedPart = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def partitionScan(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_part/${graft.Tables.pathTag(dir)}/orders"
-    if (landedPart.add(path)) {
+    graft.Tables.landOnce(path) {
       graft.sink.PartitionedWriter.write(
         t(s, dir, "orders")
           .withColumn("order_year", year(col("o_orderdate"))),

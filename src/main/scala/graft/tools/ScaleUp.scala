@@ -36,11 +36,20 @@ object ScaleUp {
     def copies(df: DataFrame)(tag: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => tag(df, k)).reduce(_ unionAll _)
 
-    // lineitem: order keys offset per copy (distinct counts scale too).
+    // orders + lineitem share ONE order-key offset so the scaled
+    // tables stay referentially intact — a join probe must see join
+    // work scale with the data, and an RI probe must see zero orphans.
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val liMax = li.agg(max("l_orderkey")).head().getLong(0) + 1
-    copies(li)((df, k) => df.withColumn("l_orderkey", col("l_orderkey") + lit(k * liMax)))
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val okMax = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    copies(li)((df, k) => df.withColumn("l_orderkey", col("l_orderkey") + lit(k * okMax)))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val custMax = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    copies(ord) { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * okMax))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * custMax))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // documents: ids offset; every token of copy k > 0 tagged so
     // shingle/minhash spaces are disjoint across copies.
@@ -70,8 +79,6 @@ object ScaleUp {
     // length-changing prefix would shift which digits land in the key
     // and blow the block sizes up 100x (observed: fuzzy_match went
     // super-linear on exactly that fixture bug).
-    val cust = spark.read.parquet(s"$src/customer.parquet")
-    val custMax = cust.agg(max("c_custkey")).head().getLong(0) + 1
     copies(cust) { (df, k) =>
       // Lowercase tags: the fixture names start with an uppercase
       // letter, so no copy can collide with copy 0 ('A'+2 would
@@ -82,8 +89,11 @@ object ScaleUp {
       named.withColumn("c_custkey", col("c_custkey") + lit(k * custMax))
     }.write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    // Everything else is a byte copy (the probes don't scale them).
-    for (t <- Seq("region", "nation", "orders", "part", "supplier", "events")) {
+    // Small dims and events are byte copies: region/nation/part/
+    // supplier are broadcast-sized everywhere, and events references
+    // customer copy 0 only (documented: event probes at scale need
+    // their own generator).
+    for (t <- Seq("region", "nation", "part", "supplier", "events")) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),

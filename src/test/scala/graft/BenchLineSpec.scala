@@ -44,6 +44,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(node.get("value").asDouble() - total) < 1e-3)
   }
 
+  test("mass failure still fits the tail window — failed list is capped") {
+    // Worst case: nearly every query failed. The stdout line must stay
+    // within budget (the failure count survives; names are capped).
+    val results = fakeResults(300).map { case (k, v, _) => (k, v, false) }
+    val (_, stdoutLine) = Bench.renderLines(results, "/root/testdata/sf0.1")
+    assert(stdoutLine.length <= Bench.StdoutBudget,
+      s"mass-failure line is ${stdoutLine.length} bytes")
+    val node = mapper.readTree(stdoutLine)
+    assert(node.get("failed").asInt() == 300)
+    assert(node.get("failed_queries").size() == Bench.MaxStdoutFailures)
+    // The file line keeps every name.
+    val (fullLine, _) = Bench.renderLines(results, "sfX")
+    assert(mapper.readTree(fullLine).get("failed_queries").size() == 300)
+  }
+
   test("stdout queries map keeps the slowest entries") {
     val results = fakeResults(300)
     val (_, stdoutLine) = Bench.renderLines(results, "sfX")
