@@ -507,6 +507,60 @@ object SimSearch {
     ivfWithCentroids(vecs, queryBound, probes, cents)
   }
 
+  /** Corpus kNN GRAPH: top-`k` neighbors for EVERY vector, candidates
+    * bounded by the vector's own IVF cell (locked-trained centroids) —
+    * the building block of graph-based semantic dedup, diversity
+    * sampling, and connected-component curation. Where the top-k
+    * QUERY shape broadcasts a bounded query set, a kNN graph has N
+    * queries, so the bound must come from the INDEX: each vector
+    * compares only within its cell (cell sizes ≈ N/K), never corpus².
+    *
+    * Scale: one cell-keyed self-join — both sides arrive hash-
+    * partitioned on the same cell id, so candidate generation is one
+    * co-partitioned exchange; WindowGroupLimit keeps per-vector heaps
+    * of k before the final rank. Recall is the cell assumption
+    * (neighbors in other cells are unseen — probes=1 by design here);
+    * the assignment is deterministic, so the graph is an exact
+    * function of the data and fully oracle-replayable.
+    */
+  def knnGraph(emb: DataFrame, k: Int, cents: DataFrame): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val cells = clusterAssignWithCentroids(emb, cents)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+      .join(cells, "vec_id")
+    val a = vecs.select(col("cell"), col("vec_id").as("qid"),
+      col("v").as("qv"), col("n").as("qn"))
+    val b = vecs.select(col("cell"), col("vec_id").as("cid"),
+      col("v").as("cv"), col("n").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB oracle for [[knnGraph]]: training replay + cell-bounded
+    * top-k.
+    */
+  def knnGraphOracleSql(k: Int, kCents: Int, iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(kCents, iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id, cent_id AS cell FROM r WHERE crn = 1),
+       |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |        round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+       |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |      JOIN d qv ON qv.vec_id = a.vec_id JOIN d cv ON cv.vec_id = b.vec_id),
+       |rr AS (SELECT qid, cid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |       FROM p)
+       |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM rr WHERE rn <= $k""".stripMargin
+
   /** DuckDB oracle for [[clusterAssign]]: training replay + argmax. */
   def clusterAssignOracleSql(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${trainedCentroidCtes(k, iters, dim)},

@@ -185,6 +185,13 @@ object NorthStar {
     graft.ext.SimSearch.clusterAssignWithCentroids(
       t(s, dir, "embeddings"), trainedCents(s, dir))
 
+  /** Top-3 kNN graph over the whole corpus, candidates bounded by the
+    * locked-trained IVF cells — graph-based semantic dedup / diversity
+    * curation primitive. Oracle replays training + cell-bounded top-k.
+    */
+  def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.knnGraph(t(s, dir, "embeddings"), 3, trainedCents(s, dir))
+
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
@@ -680,6 +687,7 @@ object NorthStar {
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk_ivf_trained" -> (simTopKIvfTrained _),
     "doc_clusters" -> (docClusters _),
+    "knn_graph" -> (knnGraphQ _),
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
@@ -887,6 +895,8 @@ object NorthStar {
       100, graft.ext.SimSearch.IvfParams.fixture, LockedIters, EmbDim),
     "doc_clusters" -> graft.ext.SimSearch.clusterAssignOracleSql(
       LockedK, LockedIters, EmbDim),
+    "knn_graph" -> graft.ext.SimSearch.knnGraphOracleSql(
+      3, LockedK, LockedIters, EmbDim),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
       s"""WITH $ShingleCtes

@@ -128,6 +128,40 @@ class SimSearchSpec extends SparkTestBase {
       s"locked training must beat insertion-order centroids: locked=$locked firstK=$firstK")
   }
 
+  test("knnGraph: cell-bounded neighbors, no cartesian, ranked output") {
+    import org.apache.spark.sql.functions._
+    // Clustered corpus (as above): within-cluster neighbors dominate.
+    val dim = 16
+    val df = spark.range(400).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (when(j === (col("id") / 100).cast("int"), 1.0).otherwise(0.0) +
+          (pmod(xxhash64(col("id") * dim + j.cast("long")), lit(1000L))
+            .cast("double") / 1000.0 - 0.5) * 0.2)
+          .cast("float")).as("embedding"))
+    val cents = SimSearch.trainCentroidsLocked(df, 4, iters = 2)
+    val g = SimSearch.knnGraph(df, 3, cents)
+    val rows = g.collect()
+    // Every vector gets up to 3 ranked neighbors, no self-edges.
+    assert(rows.length > 390 * 3, s"graph too sparse: ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self edge")
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(3)).sorted.toSeq
+      .zipWithIndex.forall { case (rk, i) => rk == i + 1 }), "ranks not dense")
+    // On this corpus, neighbors should overwhelmingly share a cluster
+    // (cluster id = vec_id / 100).
+    val sameCluster = rows.count(r => r.getLong(0) / 100 == r.getLong(1) / 100)
+    assert(sameCluster.toDouble / rows.length >= 0.95,
+      s"cell-bounded graph should be intra-cluster: $sameCluster/${rows.length}")
+    // Plan shape: the CANDIDATE join must be an equi-join keyed on the
+    // cell id (the broadcast K-row centroid cross joins in the
+    // assignment stage are the sanctioned shape and stay BNLJ).
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian candidates:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell#".r
+      .findFirstIn(plan).isDefined,
+      s"candidate join must be cell-keyed equi-join:\n$plan")
+  }
+
   test("quantizeUnit maps a zero-norm embedding to zero codes, not NaN") {
     import org.apache.spark.sql.functions._
     val s = spark; import s.implicits._
