@@ -138,6 +138,28 @@ object ScaleOps {
     graft.transform.CdcMerge.applyChanges(cust, changes, "c_custkey")
   }
 
+  /** Version snapshot diff (K5 time travel, exercised end to end):
+    * customer publishes as v1, the CDC-merged state as v2, and
+    * [[graft.sink.WarehousePublisher.snapshotDiff]] classifies every
+    * key as added / removed / changed from the two time-travel reads.
+    * The change feed is the deterministic cdc_merge one, so the
+    * classification is pure key arithmetic for the oracle: %11 keys
+    * were deleted (delete outranks the %77 update overlap), remaining
+    * %7 keys changed (acctbal bumped), %13 keys re-inserted shifted
+    * (added).
+    */
+  def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val tag = graft.Tables.pathTag(dir)
+    val cfg = graft.config.WarehouseConfig(
+      schema = "graft_snap", table = tag, analyze = false)
+    graft.Tables.landOnce(s"snap_$tag") {
+      graft.sink.WarehousePublisher.publish(s, t(s, dir, "customer"), cfg)
+      graft.sink.WarehousePublisher.publish(s, cdcMerge(s, dir), cfg)
+    }
+    graft.sink.WarehousePublisher.snapshotDiff(
+      s, cfg.qualified, "c_custkey", oldVersion = 1L, newVersion = 2L)
+  }
+
   /** Gopher-style repetition gate over documents (thresholds chosen to
     * split the fixture: top-word fractions run 0.05-0.25, duplicate-
     * bigram fractions 0-0.14).
@@ -360,6 +382,7 @@ object ScaleOps {
     "sim_topk_q8" -> (simTopKQ8 _),
     "sim_topk_pq" -> (simTopKPq _),
     "cdc_merge" -> (cdcMerge _),
+    "snapshot_diff" -> (snapshotDiffQ _),
     "rep_ratio" -> (repRatio _),
     "pii_redact" -> (piiRedact _),
     "skew_join" -> (skewJoin _),
@@ -469,6 +492,19 @@ object ScaleOps {
         |  ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
         | AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // The diff classification is pure key arithmetic because the
+    // cdc_merge change feed is deterministic: %11 deleted (delete
+    // outranks the %77 update), remaining %7 changed, %13 inserted
+    // key-shifted.
+    "snapshot_diff" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'removed' AS change
+        |FROM customer WHERE c_custkey % 11 = 0
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT), 'changed'
+        |FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+        |UNION ALL
+        |SELECT CAST(c_custkey + 10000000 AS BIGINT), 'added'
+        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin,
     "profile_table" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
       .map(c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,

@@ -1,7 +1,7 @@
 package graft.sink
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, lit, md5, when}
 
 import graft.config.WarehouseConfig
 
@@ -113,6 +113,7 @@ object WarehousePublisher {
     val phys = s"${target}_v$version"
 
     try {
+      reclaimOrphanLocation(spark, phys)
       shaped.write.mode(SaveMode.Overwrite).saveAsTable(phys)
       val loaded = spark.table(phys).count() // K7-style verification read
       legacySlot.foreach(s => spark.sql(s"ALTER TABLE $target RENAME TO ${target}_v$s"))
@@ -135,6 +136,23 @@ object WarehousePublisher {
         throw e
     }
   }
+
+  /** Crash recovery for the versioned layout: a JVM that died after
+    * writing `<phys>`'s files but whose session catalog died with it
+    * leaves an orphaned managed-table location that makes the next
+    * `saveAsTable` of the same slot fail with LOCATION_ALREADY_EXISTS.
+    * A location with no catalog entry is unreachable by any reader
+    * (readers resolve through the catalog view pointer), so it is safe
+    * to reclaim. Never fires for live tables: those ARE in the catalog,
+    * and versionsOf advances the slot past them.
+    */
+  private def reclaimOrphanLocation(spark: SparkSession, phys: String): Unit =
+    if (!spark.catalog.tableExists(phys)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, phys.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
 
   /** K6: table maintenance — ANALYZE maps to COMPUTE STATISTICS on the
     * physical version; the VACUUM analog (small-file compaction)
@@ -180,6 +198,41 @@ object WarehousePublisher {
     */
   def readVersion(spark: SparkSession, target: String, version: Long): DataFrame =
     spark.table(s"${target}_v$version")
+
+  /** Row-level diff between two published versions of a table: which
+    * keys were added, removed, or changed — the audit/CDC-validation
+    * primitive a versioned warehouse owes its users ("what did this
+    * publish actually do?"). Rows are classified by a full-outer join
+    * on the key plus an md5 over the canonically-ordered non-key
+    * columns (NULLs sentinel-coded so NULL ≠ empty string); untouched
+    * rows are not emitted.
+    *
+    * Scale: one key-keyed exchange of each snapshot and a hash compare
+    * — no row-by-row column diffing, no broadcast of either side; the
+    * output is bounded by the true change set.
+    */
+  def snapshotDiff(spark: SparkSession, target: String, keyCol: String,
+      oldVersion: Long, newVersion: Long): DataFrame = {
+    val o = readVersion(spark, target, oldVersion)
+    val n = readVersion(spark, target, newVersion)
+    require(o.columns.sorted.toSeq == n.columns.sorted.toSeq,
+      s"snapshot diff needs matching schemas, got ${o.columns.toSeq} vs ${n.columns.toSeq}")
+    val nonKey = o.columns.filterNot(_ == keyCol).sorted.toSeq
+    def hashed(df: DataFrame, tag: String): DataFrame = df.select(
+      col(keyCol).cast("long").as(s"__${tag}_k"),
+      md5(concat_ws("\u0001",
+        nonKey.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as(s"__${tag}_h"))
+    hashed(o, "o")
+      .join(hashed(n, "n"), col("__o_k") === col("__n_k"), "full_outer")
+      .select(
+        coalesce(col("__o_k"), col("__n_k")).as(keyCol),
+        when(col("__o_k").isNull, "added")
+          .when(col("__n_k").isNull, "removed")
+          .when(col("__o_h") =!= col("__n_h"), "changed")
+          .as("change"))
+      .filter(col("change").isNotNull)
+  }
 
   /** The version the published view currently points at, parsed from
     * the view definition — the pointer IS the commit state, so there is

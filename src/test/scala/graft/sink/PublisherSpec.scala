@@ -174,6 +174,42 @@ class PublisherSpec extends SparkTestBase {
     assert(spark.table("pubspec_vd").collect().map(_.getString(1)).toSeq == Seq("c"))
   }
 
+  test("snapshotDiff classifies added/removed/changed and NULL != empty string") {
+    val s = spark; import s.implicits._
+    val cfg = WarehouseConfig(schema = "pubspec", table = "diff", analyze = false)
+    val v1 = Seq(
+      (1L, Option("a"), 10.0),  // unchanged
+      (2L, Option("b"), 20.0),  // value change
+      (3L, Option(""), 30.0),   // "" -> NULL: must register as changed
+      (4L, Option("d"), 40.0))  // removed
+      .toDF("k", "v", "x")
+    val v2 = Seq(
+      (1L, Option("a"), 10.0),
+      (2L, Option("B"), 20.0),
+      (3L, Option.empty[String], 30.0),
+      (5L, Option("e"), 50.0))  // added
+      .toDF("k", "v", "x")
+    WarehousePublisher.publish(spark, v1, cfg)
+    WarehousePublisher.publish(spark, v2, cfg)
+    val diff = WarehousePublisher.snapshotDiff(spark, "pubspec_diff", "k", 1L, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("publish reclaims an orphaned location left by a dead JVM") {
+    val s = spark; import s.implicits._
+    val cfg = WarehouseConfig(schema = "pubspec", table = "orphan", analyze = false)
+    // Simulate a crashed JVM: files exist at the v1 managed location but
+    // the (session) catalog has no entry for the table.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.io.File(new java.net.URI(wh).getPath, "pubspec_orphan_v1")
+    loc.mkdirs()
+    assert(new java.io.File(loc, "leftover").createNewFile())
+    val res = WarehousePublisher.publish(spark, Seq((1, "a")).toDF("k", "v"), cfg)
+    assert(res.version == 1L)
+    assert(spark.table("pubspec_orphan").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("exportTable (UNLOAD) round-trips a published table") {
     val cfg = WarehouseConfig(schema = "pubspec", table = "exp", analyze = false)
     WarehousePublisher.publish(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), cfg)
