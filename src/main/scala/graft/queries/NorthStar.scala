@@ -385,6 +385,16 @@ object NorthStar {
   def tfidfQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
 
+  /** BM25 retrieval ([[graft.ext.Bm25.topK]]): top-100 documents for a
+    * fixed three-term query — distinct from tfidf_terms (per-doc
+    * characteristic terms) in that it RANKS the corpus against a
+    * query, the shape retrieval-driven curation needs.
+    */
+  private val Bm25Terms = Seq("hash", "join", "vector")
+
+  def bm25Q(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Bm25.topK(t(s, dir, "documents"), "doc_id", "text", Bm25Terms, 100)
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash). The payload here derives from text
     * (no image libs in container — SURVEY scope note); the schema and
@@ -709,7 +719,8 @@ object NorthStar {
     "bigram_fit" -> (bigramFitQ _),
     "text_norm" -> (textNormQ _),
     "training_manifest" -> (trainingManifest _),
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "bm25_topk" -> (bm25Q _))
 
   /** Shared oracle building blocks for the near-dup family — the
     * shingle sets, the exact-Jaccard pair graph, and the component
@@ -982,6 +993,7 @@ object NorthStar {
         |  FROM documents)
         |SELECT doc_id, n_tokens FROM q
         |WHERE n_tokens >= 10 AND n_tokens <= 5000 AND stop_ratio >= 0.01""".stripMargin,
+    "bm25_topk" -> graft.ext.Bm25.oracleSql(Bm25Terms, 100),
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
