@@ -47,9 +47,41 @@ object Temporal {
         sum(col("cents")).over(w).as("cents_24h"))
   }
 
+  /** Rolling anomaly gate: flag events whose value sits more than 3
+    * sample-ish sigmas from their key's trailing-24h history — the
+    * streaming-adjacent data-quality monitor, expressed batch-side.
+    *
+    * Exactness: the z² test is cross-multiplied into pure BIGINT
+    * arithmetic — (v·n − s1)² > 9·(n·s2 − s1²) — over integer cents,
+    * so there is no float anywhere (same trick as numeric_outliers,
+    * composed here with the event-time RANGE frame). The frame is
+    * [−24h, −1µs]: strictly-prior history, so an event never judges
+    * itself. Output is bounded by true anomalies, not events.
+    */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("tus"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-DayMicros, -1)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col("cents")).over(w)
+    val s2 = sum(col("cents") * col("cents")).over(w)
+    val num = (col("cents") * col("n") - col("s1")) *
+      (col("cents") * col("n") - col("s1"))
+    val den = col("n") * col("s2") - col("s1") * col("s1")
+    e.select(col("event_id"), col("user_id"), col("cents"),
+        n.as("n"), s1.as("s1"), s2.as("s2"))
+      .filter(col("n") >= 5 && den > 0 && num > lit(9L) * den)
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("n").as("n_prior"), num.as("zsq_num"), den.as("zsq_den"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> (tsGapfill _),
-    "ts_rolling" -> (tsRolling _))
+    "ts_rolling" -> (tsRolling _),
+    "ts_anomaly" -> (tsAnomaly _))
 
   val oracle: Map[String, String] = Map(
     "ts_gapfill" -> graft.ext.TimeSeries.gapfillOracleSql(BucketMicros),
@@ -62,5 +94,24 @@ object Temporal {
          |    CAST(round(value * 100, 0) AS BIGINT) AS cents
          |  FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY tus
-         |  RANGE BETWEEN $DayMicros PRECEDING AND CURRENT ROW)""".stripMargin)
+         |  RANGE BETWEEN $DayMicros PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ts_anomaly" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |  FROM events),
+         |s AS (
+         |  SELECT event_id, user_id, cents,
+         |    count(*) OVER w AS n,
+         |    CAST(sum(cents) OVER w AS BIGINT) AS s1,
+         |    CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+         |    RANGE BETWEEN $DayMicros PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, cents, n AS n_prior,
+         |  (cents * n - s1) * (cents * n - s1) AS zsq_num,
+         |  n * s2 - s1 * s1 AS zsq_den
+         |FROM s
+         |WHERE n >= 5 AND n * s2 - s1 * s1 > 0
+         |  AND (cents * n - s1) * (cents * n - s1) > 9 * (n * s2 - s1 * s1)""".stripMargin)
 }
