@@ -57,9 +57,18 @@ object TimeSeries {
     */
   def gapfill(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, idCol: String, bucketMicros: Long): DataFrame = {
+    // FLOOR division, not Spark's truncate-toward-zero `div`: the two
+    // differ for pre-epoch timestamps (negative micros), where truncate
+    // would shift events one bucket late and diverge from the oracle's
+    // floor `//`. floor(x - ((x % b + b) % b)) / b stays in exact long
+    // arithmetic (no double rounding at 1e18 magnitudes).
+    val floorIdx = expr(
+      s"""(unix_micros($tsCol)
+         | - ((unix_micros($tsCol) % ${bucketMicros}L + ${bucketMicros}L)
+         |     % ${bucketMicros}L)) div ${bucketMicros}L""".stripMargin)
     val buckets = events
       .select(col(keyCol).as("k"),
-        expr(s"unix_micros($tsCol) div ${bucketMicros}L").as("idx"),
+        floorIdx.as("idx"),
         expr(s"cast(round($valueCol * 100, 0) as bigint)").as("cents"),
         col(idCol).as("eid"))
       .groupBy(col("k"), col("idx"))

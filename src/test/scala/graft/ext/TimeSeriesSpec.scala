@@ -60,6 +60,15 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(k2.head.getAs[Double]("v_interp") == 9.0)
   }
 
+  test("pre-epoch timestamps bucket by FLOOR, not truncate-toward-zero") {
+    // -5s sits in bucket [-10s, 0s): floor(-5e6/1e7) = -1. Truncating
+    // division would put it in bucket 0 and disagree with the oracle's
+    // floor `//`.
+    val out = run(Seq((1L, -5L, 1.00, 1L)))
+    assert(out.length == 1)
+    assert(out.head.getAs[Timestamp]("bucket_ts") == ts(-10))
+  }
+
   test("single pass: one scan, one window, generated gaps (no spine join)") {
     val df = graft.Tables.t(spark, sf0001, "events")
     val plan = TimeSeries.gapfill(df, "user_id", "ts", "value", "event_id", Bucket)
