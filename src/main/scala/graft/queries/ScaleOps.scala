@@ -160,6 +160,39 @@ object ScaleOps {
       s, cfg.qualified, "c_custkey", oldVersion = 1L, newVersion = 2L)
   }
 
+  /** Incremental aggregate refresh, end to end through the versioned
+    * warehouse: the per-user rollup of 90% of events publishes as v1,
+    * then [[graft.transform.IncrementalAgg.merge]] folds the remaining
+    * 10% delta's aggregate in and publishes v2 — WITHOUT re-reading the
+    * base facts. The oracle aggregates ALL events directly, so the gate
+    * is the incremental-view-maintenance identity itself:
+    * merge(agg(base), agg(Δ)) = agg(base ∪ Δ), exact because every
+    * measure is a sum-decomposable integer.
+    */
+  def incrAgg(s: SparkSession, dir: String): DataFrame = {
+    val tag = graft.Tables.pathTag(dir)
+    val cfg = graft.config.WarehouseConfig(
+      schema = "graft_incr", table = tag, analyze = false)
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("v_cents"))
+    graft.Tables.landOnce(s"incr_$tag") {
+      val e = t(s, dir, "events")
+      graft.sink.WarehousePublisher.publish(
+        s, rollup(e.filter(col("event_id") % 10 =!= 0)), cfg)
+      val v1 = graft.sink.WarehousePublisher.readVersion(s, cfg.qualified, 1L)
+      graft.sink.WarehousePublisher.publish(
+        s,
+        graft.transform.IncrementalAgg.merge(
+          v1, rollup(e.filter(col("event_id") % 10 === 0)),
+          Seq("user_id"), Seq("n_events", "v_cents")),
+        cfg)
+    }
+    graft.sink.WarehousePublisher.readVersion(s, cfg.qualified, 2L)
+      .select(col("user_id"), col("n_events"), col("v_cents"))
+  }
+
   /** Gopher-style repetition gate over documents (thresholds chosen to
     * split the fixture: top-word fractions run 0.05-0.25, duplicate-
     * bigram fractions 0-0.14).
@@ -335,6 +368,29 @@ object ScaleOps {
         col("order_year").cast("long").as("order_year"))
   }
 
+  /** Co-purchase pair mining (association analysis): unordered part
+    * pairs that appear together in ≥2 orders. The pair generation is
+    * ARRAY arithmetic, not a self-join: one exchange collects each
+    * order's distinct sorted parts, then nested `transform` + `slice`
+    * emits the C(n,2) combinations per order inline — the candidate
+    * count is bounded by Σ C(items-per-order, 2) (basket-sized, ~6 per
+    * order here), never |lineitem|². A self-join on l_orderkey builds
+    * the same pairs but scans and shuffles lineitem twice; the DuckDB
+    * oracle deliberately IS that other formulation.
+    */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val arr = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    arr.select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+  }
+
   /** Per-group numeric outlier gate: lineitem prices vs their return-
     * flag group's z-score, moments exact in integer cents
     * ([[graft.quality.Profiler.zScoreOutliers]]). Threshold 1.5σ —
@@ -383,6 +439,8 @@ object ScaleOps {
     "sim_topk_pq" -> (simTopKPq _),
     "cdc_merge" -> (cdcMerge _),
     "snapshot_diff" -> (snapshotDiffQ _),
+    "copurchase_pairs" -> (copurchasePairs _),
+    "incr_agg" -> (incrAgg _),
     "rep_ratio" -> (repRatio _),
     "pii_redact" -> (piiRedact _),
     "skew_join" -> (skewJoin _),
@@ -496,6 +554,20 @@ object ScaleOps {
     // cdc_merge change feed is deterministic: %11 deleted (delete
     // outranks the %77 update), remaining %7 changed, %13 inserted
     // key-shifted.
+    // The IVM identity: the oracle aggregates ALL events directly;
+    // the engine must reach the same rows via merge(agg(90%), agg(10%)).
+    "incr_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+    // Deliberately the self-join formulation the Spark side avoids.
+    "copurchase_pairs" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS support
+        |FROM p a JOIN p b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "snapshot_diff" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'removed' AS change
         |FROM customer WHERE c_custkey % 11 = 0
