@@ -391,6 +391,25 @@ object ScaleOps {
       .filter(col("support") >= 2)
   }
 
+  /** Triangles in the co-purchase graph: part triples where all three
+    * pairs co-occur in ≥2 orders — the cohesion primitive (bundle
+    * detection, graph-density features) one rung up from pair mining.
+    * Edges are canonically a<b, so each triangle enumerates exactly
+    * once as a<b<c with no orientation dedup. Both joins run on the
+    * SPARSE pair list (support-filtered — bounded by true pairs, never
+    * lineitem²): wedge build keyed on the shared endpoint, then a
+    * closing equi-join on (a, c). Intermediate size is Σ deg(b)² over
+    * the filtered graph — the standard edge-list triangle shape.
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchasePairs(s, dir).select(col("part_a"), col("part_b"))
+    val wedges = e.select(col("part_a").as("a"), col("part_b").as("b"))
+      .join(e.select(col("part_a").as("b"), col("part_b").as("c")), "b")
+    wedges.join(
+        e.select(col("part_a").as("a"), col("part_b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
   /** Per-group numeric outlier gate: lineitem prices vs their return-
     * flag group's z-score, moments exact in integer cents
     * ([[graft.quality.Profiler.zScoreOutliers]]). Threshold 1.5σ —
@@ -441,6 +460,7 @@ object ScaleOps {
     "snapshot_diff" -> (snapshotDiffQ _),
     "copurchase_pairs" -> (copurchasePairs _),
     "incr_agg" -> (incrAgg _),
+    "triangle_count" -> (triangleCount _),
     "rep_ratio" -> (repRatio _),
     "pii_redact" -> (piiRedact _),
     "skew_join" -> (skewJoin _),
@@ -560,6 +580,17 @@ object ScaleOps {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    "triangle_count" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM p a JOIN p b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |FROM e e1
+        |JOIN e e2 ON e1.pb = e2.pa
+        |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin,
     // Deliberately the self-join formulation the Spark side avoids.
     "copurchase_pairs" ->
       """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
