@@ -78,12 +78,51 @@ object Temporal {
         col("n").as("n_prior"), num.as("zsq_num"), den.as("zsq_den"))
   }
 
+  /** Behavioral path analysis: the per-user event-type transition
+    * matrix — counts and transition probabilities for every observed
+    * (previous type → type) step, ordered by event time within user.
+    * Completes the funnel/retention/paths product-analytics trio.
+    *
+    * Exactness: counts are integers; the probability is ONE double
+    * division per row, rounded to 6 — numerator and denominator both
+    * exact. Shape: one exchange for the lag window (per-user, on the
+    * narrow 3-column frame), one for the pair aggregate; the
+    * transition matrix is |types|² regardless of input size.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w2 = Window.partitionBy(col("prev_type"))
+    pairs.select(col("prev_type"), col("event_type"), col("n"),
+      round(col("n") / sum(col("n")).over(w2), 6).as("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> (eventTransitions _),
     "ts_gapfill" -> (tsGapfill _),
     "ts_rolling" -> (tsRolling _),
     "ts_anomaly" -> (tsAnomaly _))
 
   val oracle: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, count(*) AS n FROM q
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT), 6) AS p
+        |FROM c""".stripMargin,
     "ts_gapfill" -> graft.ext.TimeSeries.gapfillOracleSql(BucketMicros),
     "ts_rolling" ->
       s"""SELECT event_id, user_id,
