@@ -78,7 +78,15 @@ object WarehousePublisher {
           "(set allow_column_evolution to publish anyway)")
   }
 
-  def publish(spark: SparkSession, df: DataFrame, cfg: WarehouseConfig): PublishResult = {
+  /** `properties` are stamped onto the physical version BEFORE the view
+    * swap, so they commit atomically with the data: if the swap
+    * happened, the property is visible on the current version; if not,
+    * neither is the data. This is the hook exactly-once consumers use
+    * to record their progress marker transactionally (see
+    * [[graft.stream.StreamSink.rollupEachBatch]]).
+    */
+  def publish(spark: SparkSession, df: DataFrame, cfg: WarehouseConfig,
+      properties: Map[String, String] = Map.empty): PublishResult = {
     val target = cfg.qualified
     if (!cfg.allowColumnEvolution) checkColumnCompat(spark, target, df)
 
@@ -116,6 +124,12 @@ object WarehousePublisher {
       reclaimOrphanLocation(spark, phys)
       shaped.write.mode(SaveMode.Overwrite).saveAsTable(phys)
       val loaded = spark.table(phys).count() // K7-style verification read
+      if (properties.nonEmpty) {
+        val kvs = properties.map { case (k, v) =>
+          s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+        }.mkString(", ")
+        spark.sql(s"ALTER TABLE $phys SET TBLPROPERTIES($kvs)")
+      }
       legacySlot.foreach(s => spark.sql(s"ALTER TABLE $target RENAME TO ${target}_v$s"))
       // Commit point: one atomic pointer swap.
       spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $phys")
@@ -232,6 +246,15 @@ object WarehousePublisher {
           .when(col("__o_h") =!= col("__n_h"), "changed")
           .as("change"))
       .filter(col("change").isNotNull)
+  }
+
+  /** A property of the CURRENTLY published version (stamped at publish
+    * time) — the transactional progress marker read-side.
+    */
+  def currentProperty(spark: SparkSession, target: String, key: String): Option[String] = {
+    val phys = s"${target}_v${currentVersion(spark, target)}"
+    spark.sql(s"SHOW TBLPROPERTIES $phys").collect()
+      .collectFirst { case r if r.getString(0) == key => r.getString(1) }
   }
 
   /** The version the published view currently points at, parsed from

@@ -82,6 +82,68 @@ object StreamSink {
       }
       .start()
 
+  /** Streaming rollup maintenance (incremental-view-maintenance on a
+    * stream): each micro-batch of RAW events is aggregated to its own
+    * per-key partial, folded into the CURRENT published rollup via
+    * [[graft.transform.IncrementalAgg.merge]], and republished through
+    * the atomic view-pointer swap. Unlike `publishEachBatch` (complete
+    * mode — recompute everything per trigger) and unlike a stateful
+    * streaming aggregation (rollup lives in the state store), the
+    * accumulated state here IS the published table: per batch the cost
+    * is the batch's own aggregate plus a |distinct keys| merge join,
+    * readers time-travel the rollup's history for free, and a restart
+    * needs no state-store recovery — the last published version is the
+    * state. Measures must be sum-decomposable (IncrementalAgg's
+    * contract). The table must be published once (even empty-keyed)
+    * before the stream starts.
+    */
+  private val AppliedBatchKey = "graft.applied_batch"
+
+  /** One guarded fold: skip if the CURRENT version already carries this
+    * batch id (foreachBatch is at-least-once — a crash between the
+    * checkpoint commit and the view swap redelivers the batch), else
+    * merge and publish with the batch id stamped as a table property.
+    * The stamp rides the physical version BEFORE the view swap
+    * ([[WarehousePublisher.publish]] `properties`), so marker and data
+    * commit in the same atomic pointer move — the redelivered batch
+    * sees either both (skips) or neither (refolds), never a half.
+    */
+  def applyRollupBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      cfg: WarehouseConfig,
+      keys: Seq[String],
+      measures: Seq[String],
+      aggOf: DataFrame => DataFrame): Unit = {
+    val applied = WarehousePublisher
+      .currentProperty(spark, cfg.qualified, AppliedBatchKey).map(_.toLong)
+    if (applied.forall(_ < batchId)) {
+      val merged = graft.transform.IncrementalAgg
+        .merge(spark.table(cfg.qualified), aggOf(batch), keys, measures)
+      WarehousePublisher.publish(spark, merged, cfg,
+        properties = Map(AppliedBatchKey -> batchId.toString))
+      ()
+    }
+  }
+
+  def rollupEachBatch(
+      spark: SparkSession,
+      events: DataFrame,
+      cfg: WarehouseConfig,
+      keys: Seq[String],
+      measures: Seq[String],
+      aggOf: DataFrame => DataFrame,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyRollupBatch(spark, batch, batchId, cfg, keys, measures, aggOf)
+      }
+      .start()
+
   /** Streaming incremental dedup: each micro-batch of documents probes
     * the LANDED near-dup index ([[graft.ext.NearDup.incrementalPairs]])
     * and only novel documents (no base match at `threshold`) land at
