@@ -278,6 +278,39 @@ object Multimodal {
       }
     }(Encoders.product[ImageFeatures])
 
+  /** Per-channel pixel sums read from the DECODED raster. */
+  final case class ImagePixelStats(
+      doc_id: Long, width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL feature extraction one level below [[decodeImages]]: decode
+    * the bitstream AND reduce the raster — exact per-channel pixel
+    * sums. This is the pixel-content proof: a codec that reports the
+    * right dimensions but wrong bytes (color-managed, subsampled,
+    * lossy) mismatches here. Same map-only plumbing — payloads never
+    * shuffle; the output is three longs per image.
+    */
+  def channelStats(docs: DataFrame, idCol: String, payloadCol: String): Dataset[ImagePixelStats] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        ImageCodec.decodeImage(payload).map { case (m, img) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < m.height) {
+            var x = 0
+            while (x < m.width) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImagePixelStats(id, m.width, m.height, sr, sg, sb)
+        }
+      }
+    }(Encoders.product[ImagePixelStats])
+
   /** Complement of [[decodeImages]]: the payloads the codec refused. */
   def quarantineImages(docs: DataFrame, idCol: String, payloadCol: String): Dataset[QuarantinedMedia] =
     binaryRows(docs, idCol, payloadCol).mapPartitions { it =>

@@ -655,6 +655,14 @@ object NorthStar {
   def imageResize(s: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.resizeImages(imageDocs(s, dir), "doc_id", "payload", 2).toDF()
 
+  /** REAL pixel-level feature extraction: decode every payload and sum
+    * each channel over the raster. The oracle replays the generator's
+    * pixel arithmetic ((x,y,seed) pattern) in SQL — so the gate proves
+    * the codec recovered the EXACT bytes, not just the dimensions.
+    */
+  def imageFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.channelStats(imageDocs(s, dir), "doc_id", "payload").toDF()
+
   /** The quarantine lane, end to end: every doc_id % 7 == 0 payload is
     * truncated to its first 10 bytes (a broken PNG header) before the
     * decode stage; the REAL codec must refuse exactly those and pass
@@ -720,7 +728,8 @@ object NorthStar {
     "text_norm" -> (textNormQ _),
     "training_manifest" -> (trainingManifest _),
     "multimodal_meta" -> (multimodalMeta _),
-    "bm25_topk" -> (bm25Q _))
+    "bm25_topk" -> (bm25Q _),
+    "image_features" -> (imageFeatures _))
 
   /** Shared oracle building blocks for the near-dup family — the
     * shingle sets, the exact-Jaccard pair graph, and the component
@@ -994,6 +1003,21 @@ object NorthStar {
         |SELECT doc_id, n_tokens FROM q
         |WHERE n_tokens >= 10 AND n_tokens <= 5000 AND stop_ratio >= 0.01""".stripMargin,
     "bm25_topk" -> graft.ext.Bm25.oracleSql(Bm25Terms, 100),
+    // Pixel replay of ImageCodec.encodePng's (x, y, seed) pattern:
+    // proves the decode recovered exact bytes, not just dimensions.
+    "image_features" ->
+      """WITH px AS (
+        |  SELECT doc_id, CAST(doc_id % 57 + 8 AS INT) AS width,
+        |    CAST(doc_id % 41 + 8 AS INT) AS height
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, width, height, ux.x AS x, uy.y AS y
+        |  FROM px, UNNEST(range(width)) AS ux(x), UNNEST(range(height)) AS uy(y))
+        |SELECT doc_id, width, height,
+        |  CAST(sum((x*31 + y*17 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x*7 + y*13 + doc_id // 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x*3 + y*29 + doc_id // 65536) % 256) AS BIGINT) AS sum_b
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
