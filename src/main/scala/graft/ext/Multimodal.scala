@@ -278,6 +278,79 @@ object Multimodal {
       }
     }(Encoders.product[ImageFeatures])
 
+  /** REAL audio codec, zero external deps: WAV/PCM16 via the JDK's own
+    * `javax.sound.sampled` — the audio parallel of [[ImageCodec]] (the
+    * stub codec remains the video path). Mono 16-bit little-endian at
+    * 8 kHz; the generator synthesizes deterministic samples from
+    * (index, seed), so an oracle can replay the decoded waveform's
+    * exact sample arithmetic without an audio library.
+    */
+  object AudioCodec {
+    val SampleRate = 8000f
+
+    /** Deterministic PCM16 mono WAV: sample i = ((i*31 + seed*17) mod
+      * 65536) − 32768.
+      */
+    def encodeWavPcm16(nSamples: Int, seed: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val bytes = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (((i.toLong * 31 + seed * 17) % 65536) - 32768).toInt
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Decode a WAV payload: (n_samples, sample_rate_hz, channels,
+      * sum of samples, max |sample|) — None for refused payloads
+      * (wrong container, truncated, not PCM16 mono).
+      */
+    def decodeWav(payload: Array[Byte]): Option[(Long, Int, Int, Long, Int)] =
+      try {
+        if (payload == null) return None
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) return None
+        val data = ais.readAllBytes()
+        if (data.length % 2 != 0) return None
+        var (i, sum, maxAbs) = (0, 0L, 0)
+        while (i < data.length) {
+          val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+          sum += s
+          if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+          i += 2
+        }
+        Some((data.length / 2L, fmt.getSampleRate.toInt, fmt.getChannels, sum, maxAbs))
+      } catch { case _: Exception => None }
+  }
+
+  /** Decoded audio features for (doc_id, payload) rows. */
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Long, sample_rate: Int, channels: Int,
+      sum_amp: Long, max_amp: Int)
+
+  /** REAL batch audio decode: map-only like [[decodeImages]]; refused
+    * payloads are dropped (the quarantine pattern is [[quarantineImages]]'s).
+    */
+  def decodeAudio(docs: DataFrame, idCol: String, payloadCol: String): Dataset[AudioFeatures] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        AudioCodec.decodeWav(payload).map { case (n, sr, ch, sum, mx) =>
+          AudioFeatures(id, n, sr, ch, sum, mx)
+        }
+      }
+    }(Encoders.product[AudioFeatures])
+
   /** Per-channel pixel sums read from the DECODED raster. */
   final case class ImagePixelStats(
       doc_id: Long, width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)

@@ -663,6 +663,29 @@ object NorthStar {
   def imageFeatures(s: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.channelStats(imageDocs(s, dir), "doc_id", "payload").toDF()
 
+  /** Real encoded-WAV payload per document: deterministic PCM16 whose
+    * length and samples are arithmetic in doc_id (same contract as
+    * [[imageDocs]] for the audio modality).
+    */
+  private def audioDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        (id, graft.ext.Multimodal.AudioCodec
+          .encodeWavPcm16((id % 500 + 100).toInt, id))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode (javax.sound.sampled) over synthesized WAVs:
+    * frame count, rate, channel count, and the decoded waveform's
+    * exact sample sum/peak; the oracle replays the sample arithmetic.
+    */
+  def audioDecode(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.decodeAudio(audioDocs(s, dir), "doc_id", "payload").toDF()
+
   /** The quarantine lane, end to end: every doc_id % 7 == 0 payload is
     * truncated to its first 10 bytes (a broken PNG header) before the
     * decode stage; the REAL codec must refuse exactly those and pass
@@ -729,7 +752,8 @@ object NorthStar {
     "training_manifest" -> (trainingManifest _),
     "multimodal_meta" -> (multimodalMeta _),
     "bm25_topk" -> (bm25Q _),
-    "image_features" -> (imageFeatures _))
+    "image_features" -> (imageFeatures _),
+    "audio_decode" -> (audioDecode _))
 
   /** Shared oracle building blocks for the near-dup family — the
     * shingle sets, the exact-Jaccard pair graph, and the component
@@ -1003,6 +1027,16 @@ object NorthStar {
         |SELECT doc_id, n_tokens FROM q
         |WHERE n_tokens >= 10 AND n_tokens <= 5000 AND stop_ratio >= 0.01""".stripMargin,
     "bm25_topk" -> graft.ext.Bm25.oracleSql(Bm25Terms, 100),
+    // Sample replay of AudioCodec.encodeWavPcm16's (i, seed) waveform.
+    "audio_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(doc_id % 500 + 100 AS INT) AS n FROM documents),
+        |e AS (SELECT doc_id, n, ui.i AS i FROM a, UNNEST(range(n)) AS ui(i)),
+        |s AS (SELECT doc_id, n, (i*31 + doc_id*17) % 65536 - 32768 AS v FROM e)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp, CAST(max(abs(v)) AS INT) AS max_amp
+        |FROM s GROUP BY doc_id, n""".stripMargin,
     // Pixel replay of ImageCodec.encodePng's (x, y, seed) pattern:
     // proves the decode recovered exact bytes, not just dimensions.
     "image_features" ->

@@ -1,0 +1,34 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.ext.Multimodal.AudioCodec
+
+class AudioCodecSpec extends SparkTestBase {
+
+  test("decodes its own WAV with exact sample count, sum, and peak") {
+    val wav = AudioCodec.encodeWavPcm16(250, seed = 42L)
+    // RIFF/WAVE magic, to prove these are real container bytes.
+    assert(wav(0) == 'R'.toByte && wav(8) == 'W'.toByte)
+    val (n, sr, ch, sum, mx) = AudioCodec.decodeWav(wav).get
+    val samples = (0 until 250).map(i => ((i.toLong * 31 + 42L * 17) % 65536 - 32768).toInt)
+    assert(n == 250L && sr == 8000 && ch == 1)
+    assert(sum == samples.map(_.toLong).sum)
+    assert(mx == samples.map(math.abs).max)
+  }
+
+  test("refuses truncated, garbage, and null payloads") {
+    val wav = AudioCodec.encodeWavPcm16(100, seed = 1L)
+    assert(AudioCodec.decodeWav(wav.take(11)).isEmpty)
+    assert(AudioCodec.decodeWav(Array.fill[Byte](64)(33)).isEmpty)
+    assert(AudioCodec.decodeWav(null).isEmpty)
+  }
+
+  test("decodeAudio is map-only over a binary column") {
+    val s = spark; import s.implicits._
+    val docs = Seq(1L, 2L).map(id =>
+      (id, AudioCodec.encodeWavPcm16(10, id))).toDF("doc_id", "payload")
+    val ds = Multimodal.decodeAudio(docs, "doc_id", "payload")
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(ds.collect().map(_.doc_id).sorted.toSeq == Seq(1L, 2L))
+  }
+}
