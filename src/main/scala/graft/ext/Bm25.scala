@@ -78,13 +78,19 @@ object Bm25 {
         (tf + expr(K1) * (expr(OneMinusB) + expr(B) * col("dl") / lit(avgdl)))
       when(tf > 0, round(idf * tfPart, 6).cast("decimal(18,6)"))
     }
-    val scores = termList.map(score)
-    val nTerms = termList.map(t => score(t).isNotNull.cast("long"))
-      .reduce(_ + _)
+    // Each per-term score is materialized as ONE column and reused for
+    // both the match count and the sum — the array-filter lambdas are
+    // interpreted (no whole-stage CSE), so building the expression
+    // twice would traverse every token array twice.
+    val sCols = termList.indices.map(i => s"__s_$i")
     docs
       .select(col(idCol), size(toks).as("dl"), toks.as("tk"))
-      .select(col(idCol), nTerms.as("n_terms"),
-        scores.map(s => coalesce(s, lit(BigDecimal(0)).cast("decimal(18,6)")))
+      .select(col(idCol) +: termList.zip(sCols).map { case (t, c) =>
+        score(t).as(c)
+      }: _*)
+      .select(col(idCol),
+        sCols.map(c => col(c).isNotNull.cast("long")).reduce(_ + _).as("n_terms"),
+        sCols.map(c => coalesce(col(c), lit(BigDecimal(0)).cast("decimal(18,6)")))
           .reduce(_ + _).cast("double").as("score"))
       .filter(col("n_terms") > 0)
       .orderBy(col("score").desc, col(idCol).asc)
