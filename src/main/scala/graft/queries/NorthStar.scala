@@ -395,6 +395,25 @@ object NorthStar {
   def bm25Q(s: SparkSession, dir: String): DataFrame =
     graft.ext.Bm25.topK(t(s, dir, "documents"), "doc_id", "text", Bm25Terms, 100)
 
+  /** Vocabulary construction (dictionary encoding / tokenizer vocab):
+    * distinct tokens above a support floor, assigned stable dense ids
+    * by (count desc, token). The no-partition ranking window is
+    * DELIBERATE and safe here: it runs over the already-aggregated
+    * vocab — output-sized (thousands of rows), orders of magnitude
+    * smaller than the corpus the exchange reduced; the corpus-sized
+    * stages (tokenize → explode → count) are all partial-aggregated.
+    */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+    tf.select(col("term"), col("n"),
+      row_number().over(Window.orderBy(col("n").desc, col("term").asc))
+        .cast("long").as("token_id"))
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash). The payload here derives from text
     * (no image libs in container — SURVEY scope note); the schema and
@@ -753,7 +772,8 @@ object NorthStar {
     "multimodal_meta" -> (multimodalMeta _),
     "bm25_topk" -> (bm25Q _),
     "image_features" -> (imageFeatures _),
-    "audio_decode" -> (audioDecode _))
+    "audio_decode" -> (audioDecode _),
+    "vocab_build" -> (vocabBuild _))
 
   /** Shared oracle building blocks for the near-dup family — the
     * shingle sets, the exact-Jaccard pair graph, and the component
@@ -1027,6 +1047,15 @@ object NorthStar {
         |SELECT doc_id, n_tokens FROM q
         |WHERE n_tokens >= 10 AND n_tokens <= 5000 AND stop_ratio >= 0.01""".stripMargin,
     "bm25_topk" -> graft.ext.Bm25.oracleSql(Bm25Terms, 100),
+    "vocab_build" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  WHERE len(term) > 0 GROUP BY term HAVING count(*) >= 5)
+        |SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS token_id
+        |FROM tf""".stripMargin,
     // Sample replay of AudioCodec.encodeWavPcm16's (i, seed) waveform.
     "audio_decode" ->
       """WITH a AS (
