@@ -51,6 +51,29 @@ object Relational {
         max($"o_orderdate").as("last_order"))
   }
 
+  /** Period-over-period revenue: monthly order revenue with
+    * month-over-month and year-over-year deltas plus share-of-total —
+    * the comparison-window OLAP staple. Revenue quantizes to integer
+    * cents at the scan, so every delta is exact; share is the one
+    * float division, rounded. The lag/share windows are no-partition
+    * BY DESIGN: they run over the months frame (output-sized, ~100
+    * rows), not orders — the orders-sized stage is one partial-
+    * aggregated exchange.
+    */
+  def popRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = t(s, dir, "orders")
+      .groupBy(trunc($"o_orderdate", "MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+    val w = Window.orderBy($"month")
+    monthly.select($"month", $"n_orders", $"cents",
+      ($"cents" - lag($"cents", 1).over(w)).as("mom_delta"),
+      ($"cents" - lag($"cents", 12).over(w)).as("yoy_delta"),
+      round($"cents" / sum($"cents").over(
+        Window.partitionBy(lit(1))), 6).as("share"))
+  }
+
   /** TPC-H Q3-style: 3-way join, aggregate, top-10 by revenue.
     * customer is broadcast (small dim); tiebreak on key keeps the
     * limit deterministic.
@@ -462,6 +485,7 @@ object Relational {
     "pivot_status" -> (pivotStatus _),
     "q1_agg" -> (q1Agg _),
     "agg_orders" -> (aggOrders _),
+    "pop_revenue" -> (popRevenue _),
     "q3_topk" -> (q3TopK _),
     "q5_region" -> (q5Region _),
     "join_left" -> (joinLeft _),
@@ -526,6 +550,17 @@ object Relational {
       """SELECT o_orderpriority, o_orderstatus,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "pop_revenue" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(month AS DATE) AS month, n_orders, cents,
+        |  cents - lag(cents, 1) OVER (ORDER BY month) AS mom_delta,
+        |  cents - lag(cents, 12) OVER (ORDER BY month) AS yoy_delta,
+        |  round(cents / CAST(sum(cents) OVER () AS BIGINT), 6) AS share
+        |FROM m""".stripMargin,
     "pivot_status" ->
       """SELECT o_orderpriority,
         | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
