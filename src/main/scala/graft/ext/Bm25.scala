@@ -69,19 +69,21 @@ object Bm25 {
     // float path stays engine-native and bit-comparable with the
     // oracle's ln; per-term scores are summed as DECIMAL(18,6), which
     // is associative-exact regardless of expression order.
+    val termCount = graft.functions.TermCount.fn(docs.sparkSession)
     def score(t: String): org.apache.spark.sql.Column = {
       val d = dfMap(t)
       val idf = log(lit(1.0) +
         (lit(n.toDouble) - lit(d) + lit(0.5)) / (lit(d) + lit(0.5)))
-      val tf = size(filter(col("tk"), x => x === t)).cast("long")
+      // Codegen'd occurrence count — the interpreted equivalent
+      // (size(filter(tk, _ === t))) allocates a filtered array per
+      // (row, term) and was the scoring job's hot path.
+      val tf = termCount(col("tk"), lit(t)).cast("long")
       val tfPart = (tf * expr(K1Plus1)) /
         (tf + expr(K1) * (expr(OneMinusB) + expr(B) * col("dl") / lit(avgdl)))
       when(tf > 0, round(idf * tfPart, 6).cast("decimal(18,6)"))
     }
     // Each per-term score is materialized as ONE column and reused for
-    // both the match count and the sum — the array-filter lambdas are
-    // interpreted (no whole-stage CSE), so building the expression
-    // twice would traverse every token array twice.
+    // both the match count and the sum, behind a projection boundary.
     val sCols = termList.indices.map(i => s"__s_$i")
     docs
       .select(col(idCol), size(toks).as("dl"), toks.as("tk"))

@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
       (exprs: Seq[Expression]) => NormalizeText(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_term_count"),
+      new ExpressionInfo(classOf[TermCount].getName, "graft_term_count"),
+      (exprs: Seq[Expression]) => TermCount(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
       (exprs: Seq[Expression]) =>
