@@ -51,6 +51,65 @@ object Relational {
         max($"o_orderdate").as("last_order"))
   }
 
+  /** TPC-H Q7-style: bilateral shipping volume between two trade
+    * blocs (supplier nations 0-4 → customer nations 5-9) by ship
+    * year; the fixture spreads nation keys uniformly, so a single
+    * nation pair is vacuous at sf0.001 — blocs keep the query
+    * selective AND non-empty at every gate scale. Suppliers,
+    * customers, and both nation legs broadcast; the one shuffle is
+    * lineitem⨝orders on orderkey, and the bloc filters apply at the
+    * broadcast probes, so only qualifying rows reach the aggregate.
+    */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val suppBloc = (0 until 5).map(i => s"NATION_$i")
+    val custBloc = (5 until 10).map(i => s"NATION_$i")
+    val nat = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+    val sup = broadcast(t(s, dir, "supplier")
+      .join(nat.filter($"n_name".isin(suppBloc: _*)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation")))
+    val cus = broadcast(t(s, dir, "customer")
+      .join(nat.filter($"n_name".isin(custBloc: _*)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation")))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(cus, $"o_custkey" === $"c_custkey")
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      // The price*(1-discount) product is exactly 4 decimal places, so
+      // summing as DECIMAL(18,4) is order-independent-exact; a raw
+      // double sum drifts across the 2dp rounding cell at these group
+      // sizes (seen at sf0.01).
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(18,4)")).cast("double"), 2).as("volume"))
+  }
+
+  /** TPC-H Q10-style: top returned-item revenue customers for one
+    * quarter. customer and nation broadcast; the shuffle is the
+    * filtered lineitem⨝orders, and the top-20 is a heap, not a sort.
+    */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_name"))
+    val cus = broadcast(t(s, dir, "customer")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name"))
+    t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .join(t(s, dir, "orders")
+        .filter($"o_orderdate" >= to_date(lit("1995-01-01")) &&
+          $"o_orderdate" < to_date(lit("1995-04-01"))),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cus, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
   /** Period-over-period revenue: monthly order revenue with
     * month-over-month and year-over-year deltas plus share-of-total —
     * the comparison-window OLAP staple. Revenue quantizes to integer
@@ -486,6 +545,8 @@ object Relational {
     "q1_agg" -> (q1Agg _),
     "agg_orders" -> (aggOrders _),
     "pop_revenue" -> (popRevenue _),
+    "q7_volume" -> (q7Volume _),
+    "q10_returns" -> (q10Returns _),
     "q3_topk" -> (q3TopK _),
     "q5_region" -> (q5Region _),
     "join_left" -> (joinLeft _),
@@ -550,6 +611,35 @@ object Relational {
       """SELECT o_orderpriority, o_orderstatus,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, count(*) AS n_items,
+        |  round(CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 2) AS volume
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+        |    AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8','NATION_9'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1995-01-01'
+        |  AND o_orderdate < DATE '1995-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "pop_revenue" ->
       """WITH m AS (
         |  SELECT date_trunc('month', o_orderdate) AS month,
