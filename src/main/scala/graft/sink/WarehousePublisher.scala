@@ -248,6 +248,37 @@ object WarehousePublisher {
       .filter(col("change").isNotNull)
   }
 
+  /** CDC EXTRACT — the inverse of [[graft.transform.CdcMerge]]: derive
+    * the change feed (op ∈ I/U/D, seq, full new-row payload) that
+    * transforms one published version into another. The defining
+    * property, pinned by `PublisherSpec`:
+    * `CdcMerge.applyChanges(v_old, changeFeed(v_old, v_new)) == v_new`
+    * — so a warehouse that only stores snapshots can still FEED
+    * downstream CDC consumers (or replicate to another warehouse)
+    * without a log. Same shape as [[snapshotDiff]]: one key-keyed
+    * exchange per snapshot, hash compare, output bounded by the true
+    * change set; deletes carry NULL payloads.
+    */
+  def changeFeed(spark: SparkSession, target: String, keyCol: String,
+      oldVersion: Long, newVersion: Long): DataFrame = {
+    val n = readVersion(spark, target, newVersion)
+    val payload = n.columns.toSeq
+    val keyType = n.schema(keyCol).dataType
+    // Alias both sides: the diff is itself derived from the new
+    // version's scan, so unqualified references are an ambiguous
+    // self-join.
+    val diff = snapshotDiff(spark, target, keyCol, oldVersion, newVersion)
+      .select(col(keyCol).as("__k"), col("change")).alias("__d")
+    val op = when(col("change") === "added", "I")
+      .when(col("change") === "removed", "D")
+      .otherwise("U")
+    diff.join(n.alias("__n"),
+        col("__k") === col(s"__n.$keyCol").cast("long"), "left")
+      .select(op.as("op") +: lit(1L).as("seq") +:
+        col("__k").cast(keyType).as(keyCol) +:
+        payload.filterNot(_ == keyCol).map(c => col(s"__n.$c").as(c)): _*)
+  }
+
   /** A property of the CURRENTLY published version (stamped at publish
     * time) — the transactional progress marker read-side.
     */

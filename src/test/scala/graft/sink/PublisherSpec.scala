@@ -196,6 +196,27 @@ class PublisherSpec extends SparkTestBase {
     assert(diff == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
   }
 
+  test("changeFeed round-trips: applyChanges(v1, feed(v1,v2)) == v2") {
+    val s = spark; import s.implicits._
+    val cfg = WarehouseConfig(schema = "pubspec", table = "feed", analyze = false)
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (4L, "d", 40.0))
+      .toDF("k", "v", "x")
+    val v2 = Seq((1L, "a", 10.0), (2L, "B", 21.0), (5L, "e", 50.0))
+      .toDF("k", "v", "x")
+    WarehousePublisher.publish(spark, v1, cfg)
+    WarehousePublisher.publish(spark, v2, cfg)
+    val feed = WarehousePublisher.changeFeed(spark, "pubspec_feed", "k", 1L, 2L)
+    val ops = feed.collect().map(r => r.getLong(2) -> r.getString(0)).toMap
+    assert(ops == Map(2L -> "U", 4L -> "D", 5L -> "I"))
+    // Deletes carry NULL payloads; the merge must still remove them.
+    val merged = graft.transform.CdcMerge
+      .applyChanges(WarehousePublisher.readVersion(spark, "pubspec_feed", 1L),
+        feed, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = v2.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(merged == want)
+  }
+
   test("publish reclaims an orphaned location left by a dead JVM") {
     val s = spark; import s.implicits._
     val cfg = WarehouseConfig(schema = "pubspec", table = "orphan", analyze = false)
