@@ -104,13 +104,50 @@ object Temporal {
       round(col("n") / sum(col("n")).over(w2), 6).as("p"))
   }
 
+  /** Inter-arrival distribution: log2-bucketed histogram of the gaps
+    * between a user's consecutive events — the burstiness / bot-rhythm
+    * profile (near-constant machine cadence collapses into one or two
+    * buckets; human traffic spreads). The bucket is INTEGER-exact on
+    * both engines: length(bin(delta_micros)) = floor(log2)+1, no
+    * float log whose power-of-two boundaries could misround. One
+    * exchange for the per-user lag, one for the ~50-row histogram.
+    */
+  def interarrivalHist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts)").as("tus"))
+      .select((col("tus") - lag(col("tus"), 1).over(w)).as("delta_us"))
+      .filter(col("delta_us").isNotNull)
+      .select(length(bin(col("delta_us"))).cast("int").as("log2_bucket"),
+        col("delta_us"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("delta_us")).as("min_us"), max(col("delta_us")).as("max_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interarrival_hist" -> (interarrivalHist _),
     "event_transitions" -> (eventTransitions _),
     "ts_gapfill" -> (tsGapfill _),
     "ts_rolling" -> (tsRolling _),
     "ts_anomaly" -> (tsAnomaly _))
 
   val oracle: Map[String, String] = Map(
+    "interarrival_hist" ->
+      """WITH d AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS delta_us
+        |  FROM events)
+        |SELECT CAST(len(bin(delta_us)) AS INT) AS log2_bucket,
+        |  count(*) AS n,
+        |  CAST(min(delta_us) AS BIGINT) AS min_us,
+        |  CAST(max(delta_us) AS BIGINT) AS max_us
+        |FROM d WHERE delta_us IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "event_transitions" ->
       """WITH q AS (
         |  SELECT event_type,
