@@ -224,6 +224,11 @@ object WarehousePublisher {
     * Scale: one key-keyed exchange of each snapshot and a hash compare
     * — no row-by-row column diffing, no broadcast of either side; the
     * output is bounded by the true change set.
+    *
+    * Contract: `keyCol` must be losslessly castable to BIGINT (the
+    * emitted key is normalized to long so the diff schema is stable
+    * across versions whose key width widened). String keys need a
+    * surrogate — the same rule a warehouse distkey imposes.
     */
   def snapshotDiff(spark: SparkSession, target: String, keyCol: String,
       oldVersion: Long, newVersion: Long): DataFrame = {
