@@ -391,6 +391,34 @@ object ScaleOps {
       .filter(col("support") >= 2)
   }
 
+  /** SCD2 point-in-time dimension join: each order attached to the
+    * dimension version ACTIVE at order date — the warehouse temporal
+    * join (effective-dated attributes), composed from the as-of
+    * operator: "active version at t" IS a backward as-of on
+    * valid_from, so the one-exchange union-sort-carry shape replaces
+    * the BETWEEN-range self-join entirely. The versioned dimension is
+    * synthesized deterministically (3 versions per customer, arithmetic
+    * effective dates), so the DuckDB oracle — its native ASOF LEFT
+    * JOIN — replays it exactly; orders before a customer's first
+    * version keep a NULL segment (left shape).
+    */
+  def scd2Join(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer").select(col("c_custkey"))
+      .select(col("c_custkey"), explode(sequence(lit(0), lit(2))).as("v"))
+      .select(col("c_custkey"), col("v").cast("int").as("v"),
+        date_add(to_date(lit("1993-01-01")),
+          (col("v") * 500 + col("c_custkey") % 97).cast("int")).as("valid_from"),
+        ((col("c_custkey") * 7 + col("v")) % 5).cast("int").as("segment"))
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.ext.AsofJoin.asofBackward(
+        orders, "o_custkey", "o_orderdate",
+        dim, "c_custkey", "valid_from", Seq("segment", "v"))
+      .groupBy(col("segment"), col("v"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+  }
+
   /** Triangles in the co-purchase graph: part triples where all three
     * pairs co-occur in ≥2 orders — the cohesion primitive (bundle
     * detection, graph-density features) one rung up from pair mining.
@@ -461,6 +489,7 @@ object ScaleOps {
     "copurchase_pairs" -> (copurchasePairs _),
     "incr_agg" -> (incrAgg _),
     "triangle_count" -> (triangleCount _),
+    "scd2_join" -> (scd2Join _),
     "rep_ratio" -> (repRatio _),
     "pii_redact" -> (piiRedact _),
     "skew_join" -> (skewJoin _),
@@ -580,6 +609,19 @@ object ScaleOps {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN replays the point-in-time match.
+    "scd2_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, CAST(uv.v AS INT) AS v,
+        |    DATE '1993-01-01' + CAST(uv.v * 500 + c_custkey % 97 AS INT) AS valid_from,
+        |    CAST((c_custkey * 7 + uv.v) % 5 AS INT) AS segment
+        |  FROM customer, UNNEST(range(3)) AS uv(v))
+        |SELECT segment, v, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders ASOF LEFT JOIN dim
+        |  ON orders.o_custkey = dim.c_custkey
+        | AND orders.o_orderdate >= dim.valid_from
+        |GROUP BY 1, 2""".stripMargin,
     "triangle_count" ->
       """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
