@@ -127,7 +127,34 @@ object Temporal {
         min(col("delta_us")).as("min_us"), max(col("delta_us")).as("max_us"))
   }
 
+  /** Rolling distinct actives — DAU and trailing-7-day WAU per day,
+    * EXACT (no sketch). Distinct-over-sliding-window doesn't compose
+    * from window frames (distinct isn't sum-decomposable); the scale
+    * shape is contribution explosion: dedup (user, day) presence, each
+    * presence row contributes to its 7 target days, dedup (user,
+    * target) again, count. Three bounded exchanges over presence
+    * frames (users × days, not events); the raw event stream is
+    * reduced in the FIRST aggregate. Target days are restricted to
+    * observed days (the spine is the data's own day set).
+    */
+  def rollingActives(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val days = p.select(col("d")).distinct()
+    val dau = p.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = p
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("d"))
+      .distinct()
+      .join(days, Seq("d"), "left_semi")
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_actives" -> (rollingActives _),
     "interarrival_hist" -> (interarrivalHist _),
     "event_transitions" -> (eventTransitions _),
     "ts_gapfill" -> (tsGapfill _),
@@ -135,6 +162,19 @@ object Temporal {
     "ts_anomaly" -> (tsAnomaly _))
 
   val oracle: Map[String, String] = Map(
+    // The BETWEEN self-join formulation the engine's explosion avoids.
+    "rolling_actives" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM p),
+        |wau AS (
+        |  SELECT days.d, count(DISTINCT p.user_id) AS wau
+        |  FROM days JOIN p ON p.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY 1),
+        |dau AS (SELECT d, count(*) AS dau FROM p GROUP BY 1)
+        |SELECT dau.d AS day, dau, wau
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
     "interarrival_hist" ->
       """WITH d AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) -
