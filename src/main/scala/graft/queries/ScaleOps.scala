@@ -193,6 +193,28 @@ object ScaleOps {
       .select(col("user_id"), col("n_events"), col("v_cents"))
   }
 
+  /** Benford first-digit audit (numeric forensics): observed leading-
+    * digit distribution of order totals vs the Benford expectation —
+    * the fraud/fabrication screen auditors run on monetary columns.
+    * The digit comes from the integer-cent string (leading significant
+    * digit is invariant under the ×100 shift), so extraction is exact
+    * on both engines; the two floats are one division of exact longs
+    * and one engine-native log10, each rounded. Map-side partial
+    * aggregate; the digit frame is 9 rows.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val digits = t(s, dir, "orders")
+      .select(substring(
+        expr("cast(cast(round(o_totalprice * 100, 0) as bigint) as string)"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits.select(col("digit"), col("n"),
+      round(col("n") / sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))), 6)
+        .as("obs_p"),
+      round(log10((col("digit") + 1) / col("digit")), 6).as("benford_p"))
+  }
+
   /** Gopher-style repetition gate over documents (thresholds chosen to
     * split the fixture: top-word fractions run 0.05-0.25, duplicate-
     * bigram fractions 0-0.14).
@@ -490,6 +512,7 @@ object ScaleOps {
     "incr_agg" -> (incrAgg _),
     "triangle_count" -> (triangleCount _),
     "scd2_join" -> (scd2Join _),
+    "benford_digits" -> (benfordDigits _),
     "rep_ratio" -> (repRatio _),
     "pii_redact" -> (piiRedact _),
     "skew_join" -> (skewJoin _),
@@ -609,6 +632,16 @@ object ScaleOps {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    "benford_digits" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1)
+        |SELECT digit, n,
+        |  round(n / CAST(sum(n) OVER () AS BIGINT), 6) AS obs_p,
+        |  round(log10((digit + 1) / digit), 6) AS benford_p
+        |FROM g""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN replays the point-in-time match.
     "scd2_join" ->
       """WITH dim AS (

@@ -150,7 +150,9 @@ object Temporal {
       .join(days, Seq("d"), "left_semi")
       .groupBy(col("d")).agg(count(lit(1)).as("wau"))
     dau.join(wau, Seq("d"))
-      .select(col("d").as("day"), col("dau"), col("wau"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        // Stickiness (DAU/WAU): one double division of exact longs.
+        round(col("dau") / col("wau"), 6).as("stickiness"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -173,7 +175,8 @@ object Temporal {
         |  FROM days JOIN p ON p.d BETWEEN days.d - 6 AND days.d
         |  GROUP BY 1),
         |dau AS (SELECT d, count(*) AS dau FROM p GROUP BY 1)
-        |SELECT dau.d AS day, dau, wau
+        |SELECT dau.d AS day, dau, wau,
+        |  round(dau / wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
     "interarrival_hist" ->
       """WITH d AS (
