@@ -193,6 +193,29 @@ object ScaleOps {
       .select(col("user_id"), col("n_events"), col("v_cents"))
   }
 
+  /** Deterministic pseudonymization with PRESERVED JOINABILITY: keyed
+    * salted-hash tokens replace raw identifiers (same input + salt →
+    * same token), so de-identified datasets still join on the
+    * tokenized key — the privacy-engineering step beyond redaction
+    * (pii_redact destroys linkage; tokenization keeps it, raw ids
+    * never leave the scan projection). The query proves it: the
+    * per-segment order counts THROUGH the token join equal the plain
+    * key join's. Tokenization is map-side; the join keeps the key
+    * join's exact shape (hash of a hash distributes identically).
+    */
+  def pseudoJoin(s: SparkSession, dir: String): DataFrame = {
+    val salt = "graft_salt_v1"
+    def tok(c: org.apache.spark.sql.Column) =
+      md5(concat_ws(":", lit(salt), c.cast("string")))
+    val cust = t(s, dir, "customer")
+      .select(tok(col("c_custkey")).as("cust_token"), col("c_mktsegment"))
+    t(s, dir, "orders")
+      .select(tok(col("o_custkey")).as("cust_token"))
+      .join(broadcast(cust), "cust_token")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Benford first-digit audit (numeric forensics): observed leading-
     * digit distribution of order totals vs the Benford expectation —
     * the fraud/fabrication screen auditors run on monetary columns.
@@ -513,6 +536,7 @@ object ScaleOps {
     "triangle_count" -> (triangleCount _),
     "scd2_join" -> (scd2Join _),
     "benford_digits" -> (benfordDigits _),
+    "pseudo_join" -> (pseudoJoin _),
     "rep_ratio" -> (repRatio _),
     "pii_redact" -> (piiRedact _),
     "skew_join" -> (skewJoin _),
@@ -632,6 +656,19 @@ object ScaleOps {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    // The oracle joins through the SAME tokens — and since md5 agrees
+    // across engines, the counts also equal the plain key join's.
+    "pseudo_join" ->
+      """WITH c AS (
+        |  SELECT md5('graft_salt_v1:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+        |    c_mktsegment
+        |  FROM customer),
+        |o AS (
+        |  SELECT md5('graft_salt_v1:' || CAST(o_custkey AS VARCHAR)) AS cust_token
+        |  FROM orders)
+        |SELECT c_mktsegment, count(*) AS n_orders
+        |FROM o JOIN c USING (cust_token)
+        |GROUP BY 1""".stripMargin,
     "benford_digits" ->
       """WITH c AS (
         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
