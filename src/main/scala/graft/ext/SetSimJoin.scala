@@ -122,4 +122,70 @@ object SetSimJoin {
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
+
+  /** Exact-complete set-CONTAINMENT join: every (needle, corpus) pair
+    * with C(needle → corpus) = |N∩C| / |N| ≥ `threshold` over distinct
+    * word-`shingleLen`-gram sets. Containment is the decontamination
+    * statistic Jaccard can't express: a short eval prompt fully inside
+    * a long training document has tiny Jaccard (the union is
+    * corpus-document-sized) but containment 1.0 — exactly the leak
+    * that matters.
+    *
+    * Completeness: if C ≥ θ then the overlap o = |N∩C| ≥ ⌈θ·|N|⌉ (o
+    * is an integer). Under ANY fixed total order of N's shingles, N's
+    * last ⌈θ·|N|⌉ − 1 positions cannot hold all o common elements, so
+    * some common element lies in N's first |N| − ⌈θ·|N|⌉ + 1 — the
+    * kept prefix. The CORPUS side indexes every shingle (containment
+    * puts no lower bound on o relative to |C|, so no corpus prefix is
+    * sound), hence the prefix hit is guaranteed to surface the pair.
+    * As in [[jaccardPairs]], the corpus-df rare-first order is purely
+    * the performance lever: needle prefixes hold their rarest
+    * shingles, so inverted-index buckets stay small. A needle shingle
+    * absent from the corpus gets df 0 — rarest of all, which is
+    * right: it probes an empty bucket and costs nothing.
+    *
+    * Scale shape: the corpus index is one shingle-keyed exchange of
+    * (id, 8-byte hash) rows — raw text never shuffles; the needle
+    * side is eval-set-sized (small by nature of the use case); the
+    * candidate and verify volumes are bounded by true shared-shingle
+    * structure, never |needles| × |corpus|.
+    */
+  def containmentPairs(
+      needles: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleLen: Int = NearDup.DefaultShingleLen): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val shN = NearDup.shingleSets(needles, idCol, textCol, shingleLen)
+      .select(col("doc_id").as("needle_id"), col("hs"))
+    val shC = NearDup.shingleSets(corpus, idCol, textCol, shingleLen)
+      .select(col("doc_id").as("corpus_id"), col("hs"))
+
+    val corpusIdx = shC.select(col("corpus_id"), explode(col("hs")).as("h"))
+    val freq = corpusIdx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("needle_id")).orderBy(col("df"), col("h"))
+    val prefix = shN
+      .select(col("needle_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
+      .join(freq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+      .select(col("needle_id"), col("h"))
+
+    val cand = prefix.join(corpusIdx, "h")
+      .select(col("needle_id"), col("corpus_id")).distinct()
+
+    val cont = size(array_intersect(col("hs_n"), col("hs_c"))).cast("double") /
+      size(col("hs_n")).cast("double")
+    cand
+      .join(shN.select(col("needle_id"), col("hs").as("hs_n")), "needle_id")
+      .join(shC.select(col("corpus_id"), col("hs").as("hs_c")), "corpus_id")
+      .filter(cont >= threshold)
+      .select(col("needle_id"), col("corpus_id"), round(cont, 6).as("containment"))
+  }
 }

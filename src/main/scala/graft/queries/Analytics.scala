@@ -224,12 +224,241 @@ object Analytics {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** Exact containment join as eval-set decontamination: needles are
+    * synthesized as the first 60% of every 10th document's token
+    * stream (the "eval prompt extracted from a training doc" shape —
+    * deterministic, so DuckDB rebuilds the identical needles), then
+    * [[graft.ext.SetSimJoin.containmentPairs]] finds every corpus
+    * document containing ≥ 80% of a needle's shingles. Containment is
+    * the decontamination statistic Jaccard can't express: a short
+    * prompt inside a long document has tiny Jaccard but containment
+    * 1.0. The truncation bound is integer arithmetic ((n·3) div 5) so
+    * both engines cut the same token.
+    */
+  def containmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val needles = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        array_join(expr("slice(ws, 1, (size(ws) * 3) div 5)"), " ").as("text"))
+    graft.ext.SetSimJoin.containmentPairs(needles, docs, "doc_id", "text", 0.8)
+  }
+
+  /** Last-touch marketing attribution: each purchase's value is
+    * attributed to the most recent touch (any non-purchase event) by
+    * the same user at or before purchase time — the backward as-of
+    * shape again ([[graft.ext.AsofJoin]]), this time aggregated to
+    * revenue per touch channel. Touches are pre-aggregated to one row
+    * per (user, instant) — the as-of uniqueness contract — with the
+    * representative chosen by max(event_type), replicated verbatim in
+    * the oracle; purchases with no prior touch keep a NULL channel
+    * (left semantics) and surface as their own row. Values are exact
+    * integer cents.
+    *
+    * Scale shape: one union-sort-carry exchange for the as-of (never
+    * the BETWEEN self-join), then a ~|channels|-row aggregate.
+    */
+  def touchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tus"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), col("cents"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id").as("t_user"), col("tus").as("t_us"))
+      .agg(max(col("event_type")).as("touch_type"))
+    graft.ext.AsofJoin.asofBackward(
+        purchases, "user_id", "tus",
+        touches, "t_user", "t_us", Seq("touch_type"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("cents_attributed"))
+  }
+
+  /** Equi-depth decile binning of lineitem prices — the feature-
+    * quantization primitive (monotone-invariant binned features, rank
+    * normalization). The contract is EXACT ntile semantics over the
+    * total order (cents, orderkey, linenumber), but the plan is NOT
+    * the naive global window (one ntile window with no partition key
+    * funnels the corpus through a single task): it is the SeqPack
+    * two-level prefix sum — range-bucket on the leading sort key,
+    * per-bucket row_number, bucket offsets via a broadcast
+    * buckets-sized window — then the standard ntile bucket formula
+    * from the global 1-based index i:
+    *   k = N div 10, r = N mod 10, cut = r·(k+1),
+    *   decile = i ≤ cut ? 1 + (i−1) div (k+1) : 1 + r + (i−cut−1) div k
+    * — pure integer arithmetic, bit-equal to the oracle's NATIVE
+    * ntile(10), so the two formulations differentially check each
+    * other.
+    */
+  def priceDeciles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    // Leading-key range buckets (~1000-currency-unit wide): bucket
+    // order extends the global (cents, ...) order, so in-bucket index
+    // + bucket offset IS the global rank.
+    val bucketed = li.withColumn("__bucket", expr("cents div 100000L"))
+    val wIn = Window.partitionBy(col("__bucket"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    val n = li.agg(count(lit(1)).as("__n"))
+    bucketed
+      .withColumn("__rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "__bucket")
+      .crossJoin(broadcast(n))
+      .withColumn("__i", col("__off") + col("__rn"))
+      .withColumn("decile", expr(
+        """CASE WHEN __i <= (__n % 10) * (__n div 10 + 1)
+          |  THEN 1 + (__i - 1) div (__n div 10 + 1)
+          |  ELSE 1 + (__n % 10) +
+          |    (__i - (__n % 10) * (__n div 10 + 1) - 1) div (__n div 10)
+          |END""".stripMargin).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  /** Per-group exact-k sample: the k lowest-hash documents of EVERY
+    * source — the per-stratum twin of the corpus-wide `bottomk_sample`
+    * (uniform within each group, deterministic, stable under corpus
+    * growth within a group). One window exchange on the group key;
+    * per-partition heaps serve the rank filter (WindowGroupLimit), so
+    * no group ever materializes fully.
+    */
+  def groupKSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.ext.TextAnalysis.tokenHash(col("doc_id").cast("string")),
+        col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("source"), col("rn"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the price
+    * distributions of two segments (returnflag R vs N) — the
+    * distribution-drift monitor of a data pipeline (did this source's
+    * feature distribution move?). D = max |F₁ − F₂| over the merged
+    * support, computed EXACTLY: the max runs over the integer
+    * cross-products |cum₁·N₂ − cum₂·N₁| (CDFs are rationals; clearing
+    * denominators keeps everything BIGINT until one final division,
+    * rounded to 6).
+    *
+    * Scale shape: one exchange collapses the stream to the distinct-
+    * value frame; the cumulative counts then ride the SAME two-level
+    * prefix-sum as `price_deciles` (range-bucket on the value,
+    * in-bucket window, broadcast bucket offsets) — no no-partition
+    * window ever touches an input-sized frame. BIGINT cross-products
+    * hold to ~1e9 rows per side; beyond that the cumsums route through
+    * DECIMAL(38,0) with the same shape.
+    */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("a"),
+        when(col("l_returnflag") === "N", 1L).otherwise(0L).as("b"))
+    val g = x.groupBy(col("cents"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+      .withColumn("__bucket", expr("cents div 100000L"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("cents"))
+    val offsets = g.groupBy(col("__bucket"))
+      .agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+      .withColumn("__offa", coalesce(sum(col("__ta")).over(
+        Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offb", coalesce(sum(col("__tb")).over(
+        Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offa"), col("__offb"))
+    val totals = g.agg(sum(col("ca")).as("n_r"), sum(col("cb")).as("n_n"))
+    g.withColumn("__runa", sum(col("ca")).over(wIn))
+      .withColumn("__runb", sum(col("cb")).over(wIn))
+      .join(broadcast(offsets), "__bucket")
+      .crossJoin(broadcast(totals))
+      .select(col("n_r"), col("n_n"),
+        abs((col("__offa") + col("__runa")) * col("n_n") -
+          (col("__offb") + col("__runb")) * col("n_r")).as("__x"))
+      .groupBy(col("n_r"), col("n_n"))
+      .agg(max(col("__x")).as("d_num"))
+      .select(col("n_r"), col("n_n"), col("d_num"),
+        round(col("d_num") / (col("n_r") * col("n_n")), 6).as("d"))
+  }
+
+  /** Pearson correlation between quantity and price, EXACT-moment
+    * formulation: all five sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * integer-exact — Σy² and the cross-products route through
+    * DECIMAL(38,0) because cents² overflows BIGINT at sf0.1 — and r
+    * falls out as one determin­istic IEEE sqrt/divide chain over the
+    * exact moments, rounded to 6. Spark's built-in `corr` is a
+    * running float whose value depends on partition association
+    * order — it can never hash-match an oracle; this formulation is
+    * order-independent by construction. The audit columns (num, the
+    * two variance factors) are exact decimals, so the gate pins the
+    * moments themselves, not just the rounded r.
+    *
+    * Scale: ONE map-side-combined aggregate over the scan — no
+    * exchange carries more than a single moment row.
+    */
+  def corrExact(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("y"))
+    val m = li.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    m.select(
+      col("n").cast("long").as("n"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+      .select(col("n"), col("cov_num"), col("var_x_num"), col("var_y_num"),
+        round(col("cov_num").cast("double") /
+          (sqrt(col("var_x_num").cast("double")) *
+            sqrt(col("var_y_num").cast("double"))), 6).as("r"))
+  }
+
+  /** Per-group rank normalization: each document's percent_rank of
+    * length within its source (ties broken by doc_id, so ranks are
+    * total and the statistic is (rank−1)/(n−1) over exact integers —
+    * one IEEE division, round 6). The monotone-invariant feature
+    * transform that survives any distribution shift; one window
+    * exchange on the group key, nothing else.
+    */
+  def rankNormalize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(percent_rank().over(w), 6).as("pr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ks_test" -> (ksTest _),
+    "corr_exact" -> (corrExact _),
+    "rank_normalize" -> (rankNormalize _),
     "pagerank" -> (pagerank _),
     "assoc_rules" -> (assocRules _),
     "conversion_lag" -> (conversionLag _),
     "chi_square" -> (chiSquare _),
-    "data_split" -> (dataSplit _))
+    "data_split" -> (dataSplit _),
+    "containment_join" -> (containmentJoin _),
+    "touch_attribution" -> (touchAttribution _),
+    "price_deciles" -> (priceDeciles _),
+    "groupk_sample" -> (groupKSample _))
 
   /** Shared CTE prefix: distinct basket items and the support-filtered
     * co-purchase pair list (the same formulation as the
@@ -256,6 +485,54 @@ object Analytics {
        |  GROUP BY e.dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Deliberately the single global cumulative window the engine's
+    // two-level shape avoids.
+    "ks_test" ->
+      """WITH x AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS b
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |g AS (
+        |  SELECT cents, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(sum(b) AS BIGINT) AS cb
+        |  FROM x GROUP BY 1),
+        |c AS (
+        |  SELECT cents,
+        |    CAST(sum(ca) OVER (ORDER BY cents) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY cents) AS BIGINT) AS cumb
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_r, CAST(sum(cb) AS BIGINT) AS n_n
+        |  FROM g)
+        |SELECT n_r, n_n,
+        |  CAST(max(abs(cuma * n_n - cumb * n_r)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(cuma * n_n - cumb * n_r)) AS BIGINT) /
+        |    (n_r * n_n), 6) AS d
+        |FROM c, t
+        |GROUP BY n_r, n_n""".stripMargin,
+    "corr_exact" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM li)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
+        |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+        |FROM m""".stripMargin,
+    "rank_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id), 6) AS pr
+        |FROM documents""".stripMargin,
     "pagerank" ->
       s"""$PairCtes,
          |e AS (SELECT pa AS src, pb AS dst FROM pr
@@ -320,6 +597,67 @@ object Analytics {
         |     CAST(obs * n_total - row_n * col_n AS DOUBLE)) /
         |    CAST(n_total * row_n * col_n AS DOUBLE), 6) AS chi2_cell
         |FROM tot""".stripMargin,
+    // Brute-force needle × corpus truth over STRING shingles (the
+    // engine's hashed-shingle equality stands in exactly as in
+    // jaccard_pairs / dedup_incremental).
+    "containment_join" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |ndl AS (
+        |  SELECT doc_id, ws[1 : (len(ws) * 3) // 5] AS ws FROM tok
+        |  WHERE doc_id % 10 = 3),
+        |shn AS (
+        |  SELECT doc_id AS needle_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM ndl WHERE len(ws) >= 3),
+        |shc AS (
+        |  SELECT doc_id AS corpus_id,
+        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      FOR i IN range(1, len(ws) - 1)]) AS s
+        |  FROM tok WHERE len(ws) >= 3)
+        |SELECT needle_id, corpus_id,
+        |  round(len(list_intersect(n.s, c.s))::DOUBLE / len(n.s), 6)
+        |    AS containment
+        |FROM shn n, shc c
+        |WHERE len(list_intersect(n.s, c.s))::DOUBLE / len(n.s) >= 0.8""".stripMargin,
+    "touch_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT user_id, tus, cents FROM e WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id AS t_user, tus AS t_us, max(event_type) AS touch_type
+        |  FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2)
+        |SELECT touch_type, count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS cents_attributed
+        |FROM p ASOF LEFT JOIN tch
+        |  ON p.user_id = tch.t_user AND p.tus >= tch.t_us
+        |GROUP BY 1""".stripMargin,
+    // Deliberately the NATIVE ntile over a single global window — the
+    // formulation the engine's two-level prefix sum avoids.
+    "price_deciles" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    ntile(10) OVER (ORDER BY
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+        |      l_orderkey, l_linenumber) AS decile
+        |  FROM lineitem)
+        |SELECT decile, count(*) AS n_rows,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1""".stripMargin,
+    "groupk_sample" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
     "data_split" ->
       """WITH a AS (
         |  SELECT doc_id, source, n_chars,

@@ -68,6 +68,61 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in plan")
   }
 
+  private def bruteContainment(needles: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame,
+      threshold: Double): Set[(Long, Long, Double)] = {
+    val s = spark; import s.implicits._
+    val shN = NearDup.shingleSets(needles, "doc_id", "text", 3)
+      .select($"doc_id".as("needle_id"), $"hs".as("hs_n"))
+    val shC = NearDup.shingleSets(corpus, "doc_id", "text", 3)
+      .select($"doc_id".as("corpus_id"), $"hs".as("hs_c"))
+    val cont = size(array_intersect($"hs_n", $"hs_c")).cast("double") /
+      size($"hs_n").cast("double")
+    shN.crossJoin(shC).filter(cont >= threshold)
+      .select($"needle_id", $"corpus_id", round(cont, 6).as("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("containment join equals brute force; catches what Jaccard cannot") {
+    val s = spark; import s.implicits._
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val needles = Seq(
+      (101L, (50 to 69).map(i => s"w$i").mkString(" ")), // inside `long`
+      (102L, (1 to 20).map(i => s"u$i").mkString(" "))   // nowhere
+    ).toDF("doc_id", "text")
+    val corpus = Seq((1L, long), (2L, (1 to 40).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (th <- Seq(0.5, 0.8, 1.0)) {
+      val got = SetSimJoin.containmentPairs(needles, corpus, "doc_id", "text", th)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == bruteContainment(needles, corpus, th), s"diverged at θ=$th")
+    }
+    // The motivating asymmetry: needle 101 is FULLY contained in doc 1
+    // (containment 1.0) while their Jaccard is tiny — the union is
+    // corpus-document-sized — so the Jaccard join at the same
+    // threshold is blind to the leak.
+    val contained = SetSimJoin.containmentPairs(
+        needles, corpus, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contained == Set((101L, 1L)))
+    val jac = SetSimJoin.jaccardPairs(
+        needles.union(corpus), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((101L, 1L)) && !jac.contains((1L, 101L)))
+  }
+
+  test("containment join on the fixture needles equals brute force") {
+    val docs = t(spark, sf0001, "documents")
+    val needles = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        array_join(expr("slice(ws, 1, (size(ws) * 3) div 5)"), " ").as("text"))
+    val got = SetSimJoin.containmentPairs(needles, docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteContainment(needles, docs, 0.8))
+    assert(got.nonEmpty, "every truncated needle is contained in its source")
+  }
+
   test("prefix index carries far fewer rows than the full token stream") {
     val s = spark; import s.implicits._
     // At θ=0.9 the prefix keeps |s| - ceil(0.9|s|) + 1 ≈ 10% of each

@@ -92,6 +92,84 @@ class AnalyticsSpec extends SparkTestBase {
     half.foreach { case (id, b) => assert(full(id) == b) }
   }
 
+  test("price_deciles: two-level prefix sum equals the naive global ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val naive = li
+      .withColumn("decile", ntile(10).over(Window.orderBy(
+        col("cents"), col("l_orderkey"), col("l_linenumber"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"), sum(col("cents")).as("sum_cents"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = Analytics.priceDeciles(spark, sf0001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == naive)
+    assert(got.size == 10)
+  }
+
+  test("groupk_sample: exactly min(5, group size) rows per source") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Analytics.groupKSample(spark, sf0001)
+      .collect().groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length }
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (s, n) => assert(n == math.min(5L, sizes(s))) }
+  }
+
+  test("touch_attribution: every purchase attributed exactly once") {
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+    val purchases = e.filter(col("event_type") === "purchase").count()
+    val attributed = Analytics.touchAttribution(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    assert(attributed == purchases)
+  }
+
+  test("ks_test: two-level cumsum equals the naive global window; D in [0,1]") {
+    import org.apache.spark.sql.expressions.Window
+    val x = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("a"),
+        when(col("l_returnflag") === "N", 1L).otherwise(0L).as("b"))
+    val g = x.groupBy("cents").agg(sum("a").as("ca"), sum("b").as("cb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.agg(sum("ca"), sum("cb")).head()
+    val (n1, n2) = (tot.getLong(0), tot.getLong(1))
+    val naive = g.select(
+        abs(sum(col("ca")).over(w) * n2 - sum(col("cb")).over(w) * n1).as("x"))
+      .agg(max("x")).head().getLong(0)
+    val got = Analytics.ksTest(spark, sf0001).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (n1, n2, naive))
+    assert(got.getDouble(3) >= 0.0 && got.getDouble(3) <= 1.0)
+  }
+
+  test("corr_exact matches Spark's float corr to 1e-6 and pins exact moments") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("y"))
+    val floatR = li.agg(corr(col("x"), col("y"))).head().getDouble(0)
+    val got = Analytics.corrExact(spark, sf0001).head()
+    assert(math.abs(got.getDouble(4) - floatR) < 1e-6,
+      s"exact r ${got.getDouble(4)} vs float corr $floatR")
+    assert(got.getLong(0) == li.count())
+  }
+
+  test("rank_normalize: pr spans [0,1] within every source") {
+    val rows = Analytics.rankNormalize(spark, sf0001).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val prs = rs.map(_.getDouble(3))
+      assert(prs.min == 0.0 && prs.max == 1.0)
+      assert(prs.forall(p => p >= 0.0 && p <= 1.0))
+    }
+  }
+
   test("conversion_lag: buckets partition the converted-user count") {
     val hist = Analytics.conversionLag(spark, sf0001).collect()
     assert(hist.nonEmpty)
