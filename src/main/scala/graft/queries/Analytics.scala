@@ -431,6 +431,90 @@ object Analytics {
             sqrt(col("var_y_num").cast("double"))), 6).as("r"))
   }
 
+  /** Per-group OLS regression (price on quantity per return flag):
+    * slope and intercept from the SAME exact-moment shape as
+    * [[corrExact]] — both are ratios of DECIMAL(38,0) polynomials in
+    * the integer sums (slope = cov/varx; intercept clears the
+    * denominator: (Σy·varx − cov·Σx) / (n·varx)), each realized as
+    * one IEEE division over exactly-computed numerators, round(,6).
+    * The audit columns pin the exact rationals. One map-side-combined
+    * aggregate; output is \|groups\| rows.
+    */
+  def olsByGroup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+        col("sx"), col("sy"))
+      .select(col("l_returnflag"), col("n"), col("cov_num"), col("var_x_num"),
+        round(col("cov_num").cast("double") / col("var_x_num").cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("var_x_num") - col("cov_num") * col("sx"))
+            .cast("double") /
+          (col("n").cast("decimal(38,0)") * col("var_x_num")).cast("double"), 6)
+          .as("intercept"))
+  }
+
+  /** Cross-source vocabulary overlap: Jaccard between every pair of
+    * sources' token vocabularies — the corpus-composition view (which
+    * sources duplicate each other's language?). All exchanges are
+    * VOCABULARY-bounded: distinct (source, token), per-source sizes,
+    * and a token-keyed self-join whose volume is Σ df(token)² over
+    * the source-level df (≤ \|sources\|² per token) — the raw token
+    * stream reduces in the first aggregate and never shuffles again.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val shared = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("nv").as("nv_a"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("nv").as("nv_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") /
+          (col("nv_a") + col("nv_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct shingles that occur NOWHERE else in the corpus — the
+    * uniqueness/memorization-risk score (novelty 1.0 = nothing
+    * shared; 0.0 = fully reconstructible from elsewhere). Shingle df
+    * is the standard two-phase vocabulary-bounded aggregate; a
+    * shingle is novel iff its df is exactly its multiplicity in this
+    * document (= 1 after the per-doc distinct). One shingle-keyed
+    * exchange + a per-doc ratio of exact integers, round(,6).
+    */
+  def noveltyScore(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.ext.NearDup.shingleSets(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.ext.NearDup.DefaultShingleLen)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Per-group rank normalization: each document's percent_rank of
     * length within its source (ties broken by doc_id, so ranks are
     * total and the statistic is (rank−1)/(n−1) over exact integers —
@@ -450,6 +534,9 @@ object Analytics {
     "ks_test" -> (ksTest _),
     "corr_exact" -> (corrExact _),
     "rank_normalize" -> (rankNormalize _),
+    "ols_by_group" -> (olsByGroup _),
+    "source_overlap" -> (sourceOverlap _),
+    "novelty_score" -> (noveltyScore _),
     "pagerank" -> (pagerank _),
     "assoc_rules" -> (assocRules _),
     "conversion_lag" -> (conversionLag _),
@@ -533,6 +620,57 @@ object Analytics {
         |  round(percent_rank() OVER (PARTITION BY source
         |    ORDER BY n_chars, doc_id), 6) AS pr
         |FROM documents""".stripMargin,
+    "ols_by_group" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy * (n * sxx - sx * sx) -
+        |             (n * sxy - sx * sy) * sx AS DOUBLE) /
+        |    CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS intercept
+        |FROM m""".stripMargin,
+    "source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(n_shared / (sa.nv + sb.nv - n_shared), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+    // String shingles stand in for the engine's hashed shingles
+    // exactly as in jaccard_pairs / containment_join.
+    "novelty_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      FOR i IN range(1, len(ws) - 1)])) AS h
+        |  FROM tok WHERE len(ws) >= 3),
+        |df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS novelty
+        |FROM sh JOIN df USING (h)
+        |GROUP BY doc_id""".stripMargin,
     "pagerank" ->
       s"""$PairCtes,
          |e AS (SELECT pa AS src, pb AS dst FROM pr

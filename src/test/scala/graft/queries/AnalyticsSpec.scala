@@ -170,6 +170,49 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("ols_by_group matches Spark's built-in regr_slope/intercept to 1e-6") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("y"))
+    val ref = li.groupBy("l_returnflag")
+      .agg(expr("regr_slope(y, x)").as("s"), expr("regr_intercept(y, x)").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Analytics.olsByGroup(spark, sf0001).collect().foreach { r =>
+      val (s0, i0) = ref(r.getString(0))
+      assert(math.abs(r.getDouble(4) - s0) < 1e-6, s"slope ${r.getDouble(4)} vs $s0")
+      assert(math.abs(r.getDouble(5) - i0) < 1e-4, s"intercept ${r.getDouble(5)} vs $i0")
+    }
+  }
+
+  test("source_overlap: complete pair matrix, jaccard in (0,1]") {
+    val rows = Analytics.sourceOverlap(spark, sf0001).collect()
+    val sources = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source").distinct().count().toInt
+    // Fixture sources share the same vocabulary pool, so every pair
+    // shares at least one token and the matrix is complete.
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("novelty_score: ratios consistent and globally conserved") {
+    val rows = Analytics.noveltyScore(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "novel <= total")
+      val want = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want)
+    }
+    // Global conservation: Σ novel == number of df==1 shingles.
+    val sh = graft.ext.NearDup.shingleSets(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3)
+      .select(explode(col("hs")).as("h"))
+    val singletons = sh.groupBy("h").count().filter(col("count") === 1).count()
+    assert(rows.map(_.getLong(2)).sum == singletons)
+  }
+
   test("conversion_lag: buckets partition the converted-user count") {
     val hist = Analytics.conversionLag(spark, sf0001).collect()
     assert(hist.nonEmpty)
