@@ -515,6 +515,96 @@ object Analytics {
         round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
   }
 
+  /** Winsorized robust aggregate per group: prices clamped to the
+    * group's [p1, p99] ORDER STATISTICS before summing — outlier-
+    * robust revenue. The bounds are rank-based (the k-th actual value,
+    * k = n div 100 + 1 and n − n div 100), NOT interpolated
+    * percentiles: ranks are pure integer arithmetic and the bound is
+    * a real data value, so clamp and sums stay BIGINT end to end —
+    * an interpolated bound would inject an engine-specific float into
+    * every comparison. Ties broken by (orderkey, linenumber), so the
+    * rank → value mapping is total.
+    *
+    * Scale shape: one window exchange on the group key for the ranks
+    * (WindowGroupLimit doesn't apply — we need two interior ranks —
+    * but the frame is the group's (cents, id) pairs, never the wide
+    * row); bounds are a \|groups\|-row broadcast back into the scan.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = li
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("l_returnflag"))))
+    val bounds = ranked
+      .filter(col("rn") === expr("n div 100 + 1") ||
+        col("rn") === expr("n - n div 100"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"), min(col("hi_cents")).as("hi_cents"),
+        sum(col("cents")).as("sum_raw"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("sum_winsorized"))
+  }
+
+  /** Histogram-intersection overlap between two segments' price
+    * distributions — the bucketed companion to `ks_test` (KS is the
+    * worst-case CDF gap; intersection is the total shared mass).
+    * Overlap = Σ min(c₁/N₁, c₂/N₂) computed EXACTLY by clearing
+    * denominators: Σ min(c₁·N₂, c₂·N₁) is a BIGINT, one final
+    * division round(,6). Pure two-phase aggregate to the bucket
+    * frame — no window at all, the cheapest drift monitor here.
+    */
+  def histOverlap(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint) div 100000L")
+          .as("bucket"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("a"),
+        when(col("l_returnflag") === "N", 1L).otherwise(0L).as("b"))
+    val g = x.groupBy(col("bucket"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val totals = g.agg(sum(col("ca")).as("n_r"), sum(col("cb")).as("n_n"))
+    g.crossJoin(broadcast(totals))
+      .select(col("n_r"), col("n_n"),
+        least(col("ca") * col("n_n"), col("cb") * col("n_r")).as("__m"))
+      .groupBy(col("n_r"), col("n_n"))
+      .agg(sum(col("__m")).as("overlap_num"))
+      .select(col("n_r"), col("n_n"), col("overlap_num"),
+        round(col("overlap_num") / (col("n_r") * col("n_n")), 6).as("overlap"))
+  }
+
+  /** Cramér's V effect size for the region × order-priority
+    * contingency — the normalized companion to `chi_square` (χ² grows
+    * with N; V ∈ [0,1] is comparable across table sizes). The per-cell
+    * contributions are rounded to 6 and summed as DECIMAL(18,6) —
+    * order-independent, the suite's standard float-sum discipline —
+    * then V = √(χ² / (N·min(r−1, c−1))) is one IEEE sqrt/divide,
+    * round(,6). The exact-decimal χ² column is part of the output, so
+    * the gate pins the sum itself, not only V.
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = chiSquare(s, dir)
+    cells
+      .agg(
+        max(col("n_total")).as("n_total"),
+        countDistinct(col("r_name")).as("__r"),
+        countDistinct(col("o_orderpriority")).as("__c"),
+        sum(col("chi2_cell").cast("decimal(18,6)")).cast("double").as("chi2"))
+      .select(col("n_total"), col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n_total") * least(col("__r") - 1, col("__c") - 1))
+            .cast("double")), 6).as("v"))
+  }
+
   /** Per-group rank normalization: each document's percent_rank of
     * length within its source (ties broken by doc_id, so ranks are
     * total and the statistic is (rank−1)/(n−1) over exact integers —
@@ -537,6 +627,9 @@ object Analytics {
     "ols_by_group" -> (olsByGroup _),
     "source_overlap" -> (sourceOverlap _),
     "novelty_score" -> (noveltyScore _),
+    "winsorize" -> (winsorize _),
+    "hist_overlap" -> (histOverlap _),
+    "cramers_v" -> (cramersV _),
     "pagerank" -> (pagerank _),
     "assoc_rules" -> (assocRules _),
     "conversion_lag" -> (conversionLag _),
@@ -653,6 +746,77 @@ object Analytics {
         |FROM shared
         |JOIN sizes sa ON sa.source = src_a
         |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+    "winsorize" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |b AS (
+        |  SELECT l_returnflag, min(cents) AS lo_cents, max(cents) AS hi_cents
+        |  FROM r WHERE rn = n // 100 + 1 OR rn = n - n // 100
+        |  GROUP BY 1)
+        |SELECT li.l_returnflag, count(*) AS n,
+        |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_raw,
+        |  CAST(sum(greatest(least(cents, hi_cents), lo_cents)) AS BIGINT)
+        |    AS sum_winsorized
+        |FROM li JOIN b USING (l_returnflag)
+        |GROUP BY li.l_returnflag""".stripMargin,
+    "hist_overlap" ->
+      """WITH x AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100000
+        |      AS bucket,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS b
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |g AS (
+        |  SELECT bucket, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(sum(b) AS BIGINT) AS cb
+        |  FROM x GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_r, CAST(sum(cb) AS BIGINT) AS n_n
+        |  FROM g)
+        |SELECT n_r, n_n,
+        |  CAST(sum(least(ca * n_n, cb * n_r)) AS BIGINT) AS overlap_num,
+        |  round(CAST(sum(least(ca * n_n, cb * n_r)) AS BIGINT) /
+        |    (n_r * n_n), 6) AS overlap
+        |FROM g, t
+        |GROUP BY n_r, n_n""".stripMargin,
+    "cramers_v" ->
+      """WITH cells AS (
+        |  SELECT r_name, o_orderpriority, count(*) AS obs
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT r_name, o_orderpriority, obs,
+        |    CAST(sum(obs) OVER (PARTITION BY r_name) AS BIGINT) AS row_n,
+        |    CAST(sum(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS col_n,
+        |    CAST(sum(obs) OVER () AS BIGINT) AS n_total
+        |  FROM cells),
+        |chi AS (
+        |  SELECT r_name, o_orderpriority, n_total,
+        |    CAST(round(
+        |      (CAST(obs * n_total - row_n * col_n AS DOUBLE) *
+        |       CAST(obs * n_total - row_n * col_n AS DOUBLE)) /
+        |      CAST(n_total * row_n * col_n AS DOUBLE), 6) AS DECIMAL(18,6))
+        |      AS chi2_cell
+        |  FROM tot)
+        |SELECT n_total, CAST(sum(chi2_cell) AS DOUBLE) AS chi2,
+        |  round(sqrt(CAST(sum(chi2_cell) AS DOUBLE) /
+        |    (n_total * least(count(DISTINCT r_name) - 1,
+        |                     count(DISTINCT o_orderpriority) - 1))), 6) AS v
+        |FROM chi
+        |GROUP BY n_total""".stripMargin,
     // String shingles stand in for the engine's hashed shingles
     // exactly as in jaccard_pairs / containment_join.
     "novelty_score" ->

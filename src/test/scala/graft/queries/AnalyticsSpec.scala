@@ -213,6 +213,51 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum == singletons)
   }
 
+  test("winsorize matches a driver-side reference on the fixture") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val ref = li.groupBy(_._1).map { case (flag, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3, r._4)).map(_._2)
+      val n = sorted.length
+      val lo = sorted(n / 100 + 1 - 1)
+      val hi = sorted(n - n / 100 - 1)
+      flag -> (n.toLong, lo, hi, sorted.sum,
+        sorted.map(c => math.max(math.min(c, hi), lo)).sum)
+    }
+    Analytics.winsorize(spark, sf0001).collect().foreach { r =>
+      assert(ref(r.getString(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    }
+  }
+
+  test("hist_overlap: overlap in [0,1] and matches a driver-side reference") {
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint) div 100000L")
+          .as("bucket"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byBucket = rows.groupBy(_._1).map { case (b, rs) =>
+      b -> (rs.count(_._2 == "R").toLong, rs.count(_._2 == "N").toLong)
+    }
+    val n1 = rows.count(_._2 == "R").toLong
+    val n2 = rows.count(_._2 == "N").toLong
+    val num = byBucket.values.map { case (ca, cb) => math.min(ca * n2, cb * n1) }.sum
+    val got = Analytics.histOverlap(spark, sf0001).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((n1, n2, num)))
+    assert(got.getDouble(3) >= 0.0 && got.getDouble(3) <= 1.0)
+  }
+
+  test("cramers_v: v in [0,1] and chi2 equals the rounded-cell decimal sum") {
+    val got = Analytics.cramersV(spark, sf0001).head()
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= 1.0)
+    val cells = Analytics.chiSquare(spark, sf0001).collect()
+    val want = cells.map(r => BigDecimal(r.getDouble(6)).setScale(6)).sum.toDouble
+    assert(got.getDouble(1) == want)
+  }
+
   test("conversion_lag: buckets partition the converted-user count") {
     val hist = Analytics.conversionLag(spark, sf0001).collect()
     assert(hist.nonEmpty)
