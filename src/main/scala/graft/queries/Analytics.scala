@@ -605,6 +605,44 @@ object Analytics {
             .cast("double")), 6).as("v"))
   }
 
+  /** Hourly event-type drift gate — the batch registration of
+    * [[graft.stream.StreamDrift]] (integer-cleared windowed
+    * chi-square vs the uniform mix); the streaming twin reproduces
+    * this row-for-row (`StreamDriftSpec`).
+    */
+  def typeDrift(s: SparkSession, dir: String): DataFrame =
+    graft.stream.StreamDrift.driftByWindow(t(s, dir, "events"), "1 hour")
+
+  /** Foreign-key relationship discovery: for candidate (child →
+    * parent) column pairs, the fraction of distinct child values
+    * present in the parent key set — the data-discovery primitive
+    * that infers join topology from content (containment 1.0 = a
+    * clean FK; < 1 = orphans, quantified). All counts exact; one
+    * division round(,6) per pair.
+    *
+    * Scale shape per pair: the child collapses to its distinct-value
+    * frame in one partial-aggregated exchange; the parent key set
+    * joins semi (broadcast when dimension-sized). Output is
+    * \|pairs\| rows.
+    */
+  def fkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"))
+    pairs.map { case (ct, cc, pt, pc) =>
+      val child = t(s, dir, ct).select(col(cc).as("v")).distinct()
+      val parent = t(s, dir, pt).select(col(pc).as("v")).distinct()
+      val matched = child.join(parent, Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      child.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(broadcast(matched))
+        .select(lit(cc).as("child_col"), lit(pc).as("parent_col"),
+          col("n_child_distinct"), col("n_matched"),
+          round(col("n_matched") / col("n_child_distinct"), 6).as("containment"))
+    }.reduce(_.union(_))
+  }
+
   /** Per-group rank normalization: each document's percent_rank of
     * length within its source (ties broken by doc_id, so ranks are
     * total and the statistic is (rank−1)/(n−1) over exact integers —
@@ -630,6 +668,8 @@ object Analytics {
     "winsorize" -> (winsorize _),
     "hist_overlap" -> (histOverlap _),
     "cramers_v" -> (cramersV _),
+    "type_drift" -> (typeDrift _),
+    "fk_discovery" -> (fkDiscovery _),
     "pagerank" -> (pagerank _),
     "assoc_rules" -> (assocRules _),
     "conversion_lag" -> (conversionLag _),
@@ -746,6 +786,35 @@ object Analytics {
         |FROM shared
         |JOIN sizes sa ON sa.source = src_a
         |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+    "type_drift" -> {
+      val k = graft.stream.StreamDrift.Types.length
+      val cs = graft.stream.StreamDrift.Types.zipWithIndex.map { case (tp, i) =>
+        s"CAST(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+      }.mkString(",\n    ")
+      val nSum = graft.stream.StreamDrift.Types.indices.map(i => s"c$i").mkString(" + ")
+      val num = graft.stream.StreamDrift.Types.indices
+        .map(i => s"($k * c$i - n) * ($k * c$i - n)").mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         |    $cs
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT window_start, c0, c1, c2, c3, c4, $nSum AS n FROM c)
+         |SELECT window_start, n, $num AS chi2_num,
+         |  round(($num) / ($k * n), 6) AS chi2
+         |FROM t""".stripMargin
+    },
+    "fk_discovery" -> Seq(
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"))
+      .map { case (ct, cc, pt, pc) =>
+        s"""SELECT '$cc' AS child_col, '$pc' AS parent_col,
+           |  d.n AS n_child_distinct, m.n AS n_matched,
+           |  round(m.n / d.n, 6) AS containment
+           |FROM (SELECT count(DISTINCT $cc) AS n FROM $ct) d,
+           |  (SELECT count(DISTINCT $cc) AS n FROM $ct
+           |   WHERE $cc IN (SELECT $pc FROM $pt)) m""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "winsorize" ->
       """WITH li AS (
         |  SELECT l_returnflag,
