@@ -643,6 +643,81 @@ object Analytics {
     }.reduce(_.union(_))
   }
 
+  /** Quantized linear-classifier inference over embeddings — the
+    * model-scoring pipeline stage (a fastText-style quality classifier
+    * applied at corpus scale). Weights are a deterministic integer
+    * vector (wᵢ = (i·37 mod 21) − 10, the fixture stand-in for a
+    * trained model the oracle can rebuild); inputs are max-abs
+    * int8-quantized (the `sim_topk_q8` scheme), so the score is an
+    * INTEGER dot product — computed by the codegen'd `graft_dot` over
+    * integer-valued doubles, exact in both engines — and the
+    * keep/drop gate is a pure sign test. Map-only: weights broadcast
+    * as a literal, embeddings never shuffle.
+    */
+  def embedScore(s: SparkSession, dir: String): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(s)
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val sc = array_max(transform(d, x => abs(x))) / lit(127.0)
+    val q = when(sc === 0.0, transform(d, _ => lit(0.0)))
+      .otherwise(transform(d, x => floor(x / sc + lit(0.5))))
+    val w = array((0 until 64).map(i => lit(((i * 37) % 21 - 10).toDouble)): _*)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), ndot(q, w).cast("long").as("score"))
+      .select(col("vec_id"), col("score"),
+        when(col("score") > 0, "keep").otherwise("drop").as("label"))
+  }
+
+  /** Third-order path mining: per-user ordered event-type trigrams —
+    * the depth step past `event_transitions` (which prev-pair leads
+    * where?). Two lags over one per-user window pass, then a
+    * ≤ \|types\|³-row aggregate.
+    */
+  def eventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type").as("t3"),
+        lag(col("event_type"), 1).over(w).as("t2"),
+        lag(col("event_type"), 2).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Degree distribution of the co-purchase graph, log2-bucketed with
+    * the suite's integer-exact length(bin(·)) trick — the graph-
+    * observability summary (is the graph scale-free-ish? where does
+    * the skew-join risk live?). Output is ~⌈log₂ max-degree⌉ rows.
+    */
+  def degreeHist(s: SparkSession, dir: String): DataFrame = {
+    val p = ScaleOps.copurchasePairs(s, dir)
+      .select(col("part_a"), col("part_b"))
+    p.select(col("part_a").as("node"))
+      .union(p.select(col("part_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .select(length(bin(col("deg"))).cast("int").as("log2_bucket"), col("deg"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+  }
+
+  /** Session-duration distribution: the 30-min-gap sessions' lengths
+    * (micros, including the trailing gap `session_window` adds),
+    * log2-bucketed — the engagement-depth histogram on top of the
+    * sessionizer. Rides the shared session operator, so the three
+    * session encodings and this summary can never disagree.
+    */
+  def sessionLengths(s: SparkSession, dir: String): DataFrame =
+    graft.stream.EventWindows.sessionByUser(t(s, dir, "events"), "30 minutes")
+      .select((expr("unix_micros(session_end)") -
+        expr("unix_micros(session_start)")).as("dur_us"))
+      .select(length(bin(col("dur_us"))).cast("int").as("log2_bucket"),
+        col("dur_us"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("dur_us")).as("min_us"), max(col("dur_us")).as("max_us"))
+
   /** Per-group rank normalization: each document's percent_rank of
     * length within its source (ties broken by doc_id, so ranks are
     * total and the statistic is (rank−1)/(n−1) over exact integers —
@@ -670,6 +745,10 @@ object Analytics {
     "cramers_v" -> (cramersV _),
     "type_drift" -> (typeDrift _),
     "fk_discovery" -> (fkDiscovery _),
+    "embed_score" -> (embedScore _),
+    "event_trigrams" -> (eventTrigrams _),
+    "degree_hist" -> (degreeHist _),
+    "session_lengths" -> (sessionLengths _),
     "pagerank" -> (pagerank _),
     "assoc_rules" -> (assocRules _),
     "conversion_lag" -> (conversionLag _),
@@ -815,6 +894,67 @@ object Analytics {
            |  (SELECT count(DISTINCT $cc) AS n FROM $ct
            |   WHERE $cc IN (SELECT $pc FROM $pt)) m""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    "embed_score" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS s
+        |  FROM d),
+        |z AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS q
+        |  FROM sc),
+        |w AS (
+        |  SELECT [CAST((i * 37) % 21 - 10 AS DOUBLE) FOR i IN range(0, 64)]
+        |    AS wv)
+        |SELECT vec_id, CAST(list_dot_product(q, wv) AS BIGINT) AS score,
+        |  CASE WHEN list_dot_product(q, wv) > 0 THEN 'keep' ELSE 'drop' END
+        |    AS label
+        |FROM z, w""".stripMargin,
+    "event_trigrams" ->
+      """WITH q AS (
+        |  SELECT event_type AS t3,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    lag(event_type, 2) OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM q WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "degree_hist" ->
+      s"""$PairCtes,
+         |e AS (SELECT pa AS node FROM pr UNION ALL SELECT pb FROM pr),
+         |deg AS (SELECT node, count(*) AS deg FROM e GROUP BY 1)
+         |SELECT CAST(len(bin(deg)) AS INT) AS log2_bucket,
+         |  count(*) AS n_nodes,
+         |  CAST(min(deg) AS BIGINT) AS min_deg,
+         |  CAST(max(deg) AS BIGINT) AS max_deg
+         |FROM deg GROUP BY 1""".stripMargin,
+    "session_lengths" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |ses AS (
+        |  SELECT epoch_us(CAST(max(ts) AS TIMESTAMP))
+        |    - epoch_us(CAST(min(ts) AS TIMESTAMP)) + 1800000000 AS dur_us
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT CAST(len(bin(dur_us)) AS INT) AS log2_bucket,
+        |  count(*) AS n_sessions,
+        |  CAST(min(dur_us) AS BIGINT) AS min_us,
+        |  CAST(max(dur_us) AS BIGINT) AS max_us
+        |FROM ses GROUP BY 1""".stripMargin,
     "winsorize" ->
       """WITH li AS (
         |  SELECT l_returnflag,

@@ -258,6 +258,41 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.getDouble(1) == want)
   }
 
+  test("embed_score: integer dot matches a driver-side recompute; labels partition") {
+    val rows = Analytics.embedScore(spark, sf0001).collect()
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val w = (0 until 64).map(i => ((i * 37) % 21 - 10).toLong)
+    rows.take(20).foreach { r =>
+      val v = emb(r.getLong(0)).map(_.toDouble)
+      val s = v.map(math.abs).max / 127.0
+      val q = if (s == 0) v.map(_ => 0L)
+        else v.map(x => math.floor(x / s + 0.5).toLong)
+      val want = q.zip(w).map { case (a, b) => a * b }.sum
+      assert(r.getLong(1) == want)
+      assert(r.getString(2) == (if (want > 0) "keep" else "drop"))
+    }
+    assert(rows.length == emb.size)
+  }
+
+  test("event_trigrams: total trigram mass is conserved") {
+    val perUser = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("user_id").count()
+      .collect().map(r => math.max(0L, r.getLong(1) - 2)).sum
+    val got = Analytics.eventTrigrams(spark, sf0001).collect().map(_.getLong(3)).sum
+    assert(got == perUser)
+  }
+
+  test("degree_hist and session_lengths conserve node/session counts") {
+    val nodes = Analytics.pagerank(spark, sf0001).count()
+    assert(Analytics.degreeHist(spark, sf0001)
+      .collect().map(_.getLong(1)).sum == nodes)
+    val sessions = graft.stream.EventWindows.sessionByUser(
+      graft.Tables.t(spark, sf0001, "events"), "30 minutes").count()
+    assert(Analytics.sessionLengths(spark, sf0001)
+      .collect().map(_.getLong(1)).sum == sessions)
+  }
+
   test("conversion_lag: buckets partition the converted-user count") {
     val hist = Analytics.conversionLag(spark, sf0001).collect()
     assert(hist.nonEmpty)
