@@ -212,7 +212,15 @@ object Analytics {
     * one partial-aggregated exchange to the |splits × sources| frame.
     */
   def dataSplit(s: SparkSession, dir: String): DataFrame = {
-    val h = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    // doc_id is reduced mod 2^31 BEFORE the LCG multiply: the product
+    // then tops out at (2^31-1)·1103515245 ≈ 2.4e18 < 2^63, so the
+    // hash is overflow-free for any BIGINT doc_id (an unstaged
+    // doc_id·c wraps negative above ~8.4e9 in non-ANSI Spark, and
+    // the DuckDB oracle would error on the same product). The staged
+    // form is congruent to the unstaged one mod 2^31, so bucket
+    // assignments are unchanged.
+    val h = ((col("doc_id") % lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L)) % lit(2147483648L)
     val bucket = h % 10
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -397,14 +405,17 @@ object Analytics {
   /** Pearson correlation between quantity and price, EXACT-moment
     * formulation: all five sums (n, Σx, Σy, Σxy, Σx², Σy²) are
     * integer-exact — Σy² and the cross-products route through
-    * DECIMAL(38,0) because cents² overflows BIGINT at sf0.1 — and r
-    * falls out as one determin­istic IEEE sqrt/divide chain over the
-    * exact moments, rounded to 6. Spark's built-in `corr` is a
-    * running float whose value depends on partition association
-    * order — it can never hash-match an oracle; this formulation is
-    * order-independent by construction. The audit columns (num, the
-    * two variance factors) are exact decimals, so the gate pins the
-    * moments themselves, not just the rounded r.
+    * DECIMAL(38,0) because cents² overflows BIGINT at sf0.1. The
+    * hashed frame carries ONLY the exact moment polynomials
+    * (cov_num, var_x_num, var_y_num): r is a pure function of them,
+    * and the float itself cannot be in a cross-engine hash gate —
+    * the numerators exceed 2^53, and Spark's correctly-rounded
+    * DECIMAL(38,0)→DOUBLE cast vs DuckDB's two-step HUGEINT→DOUBLE
+    * conversion can differ by an ulp, which round(,6) amplifies
+    * into a different 6th digit. The derived r is verified in
+    * AnalyticsSpec against Spark's built-in `corr` at 1e-6 (built-in
+    * corr is a partition-order-dependent running float, so IT can
+    * never be the hashed value either).
     *
     * Scale: ONE map-side-combined aggregate over the scan — no
     * exchange carries more than a single moment row.
@@ -425,20 +436,28 @@ object Analytics {
       (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
       (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
       (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
-      .select(col("n"), col("cov_num"), col("var_x_num"), col("var_y_num"),
-        round(col("cov_num").cast("double") /
-          (sqrt(col("var_x_num").cast("double")) *
-            sqrt(col("var_y_num").cast("double"))), 6).as("r"))
   }
 
+  /** Derived Pearson r from [[corrExact]]'s exact moment columns —
+    * one IEEE sqrt/divide chain, driver-visible but NOT part of the
+    * hashed oracle frame (see the [[corrExact]] doc for why).
+    */
+  def corrDerived(moments: DataFrame): DataFrame =
+    moments.select(col("*"),
+      (col("cov_num").cast("double") /
+        (sqrt(col("var_x_num").cast("double")) *
+          sqrt(col("var_y_num").cast("double")))).as("r"))
+
   /** Per-group OLS regression (price on quantity per return flag):
-    * slope and intercept from the SAME exact-moment shape as
-    * [[corrExact]] — both are ratios of DECIMAL(38,0) polynomials in
-    * the integer sums (slope = cov/varx; intercept clears the
-    * denominator: (Σy·varx − cov·Σx) / (n·varx)), each realized as
-    * one IEEE division over exactly-computed numerators, round(,6).
-    * The audit columns pin the exact rationals. One map-side-combined
-    * aggregate; output is \|groups\| rows.
+    * the hashed frame carries the exact DECIMAL(38,0) moment
+    * polynomials (cov_num, var_x_num) plus the raw sums sx/sy —
+    * slope = cov/varx and intercept = (Σy·varx − cov·Σx)/(n·varx)
+    * are pure functions of these, derived via [[olsDerived]] and
+    * verified against Spark's built-in regr_slope/regr_intercept in
+    * AnalyticsSpec. The floats stay out of the hash gate for the
+    * same >2^53 cross-engine conversion hazard documented on
+    * [[corrExact]]. One map-side-combined aggregate; output is
+    * \|groups\| rows.
     */
   def olsByGroup(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -455,14 +474,20 @@ object Analytics {
         (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
         col("sx"), col("sy"))
-      .select(col("l_returnflag"), col("n"), col("cov_num"), col("var_x_num"),
-        round(col("cov_num").cast("double") / col("var_x_num").cast("double"), 6)
-          .as("slope"),
-        round((col("sy") * col("var_x_num") - col("cov_num") * col("sx"))
-            .cast("double") /
-          (col("n").cast("decimal(38,0)") * col("var_x_num")).cast("double"), 6)
-          .as("intercept"))
   }
+
+  /** Derived slope/intercept from [[olsByGroup]]'s exact moments —
+    * driver-visible floats, excluded from the hashed oracle frame
+    * (see [[corrExact]] doc).
+    */
+  def olsDerived(moments: DataFrame): DataFrame =
+    moments.select(col("*"),
+      (col("cov_num").cast("double") / col("var_x_num").cast("double"))
+        .as("slope"),
+      ((col("sy") * col("var_x_num") - col("cov_num") * col("sx"))
+        .cast("double") /
+        (col("n").cast("decimal(38,0)") * col("var_x_num")).cast("double"))
+        .as("intercept"))
 
   /** Cross-source vocabulary overlap: Jaccard between every pair of
     * sources' token vocabularies — the corpus-composition view (which
@@ -822,10 +847,7 @@ object Analytics {
         |SELECT CAST(n AS BIGINT) AS n,
         |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
         |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
-        |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+        |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num
         |FROM m""".stripMargin,
     "rank_normalize" ->
       """SELECT doc_id, source, n_chars,
@@ -844,11 +866,8 @@ object Analytics {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
         |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-        |  round(CAST(sy * (n * sxx - sx * sx) -
-        |             (n * sxy - sx * sy) * sx AS DOUBLE) /
-        |    CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS intercept
+        |  CAST(sx AS DECIMAL(38,0)) AS sx,
+        |  CAST(sy AS DECIMAL(38,0)) AS sy
         |FROM m""".stripMargin,
     "source_overlap" ->
       """WITH st AS (
@@ -1172,9 +1191,11 @@ object Analytics {
     "data_split" ->
       """WITH a AS (
         |  SELECT doc_id, source, n_chars,
-        |    CASE WHEN (doc_id * 1103515245 + 12345) % 2147483648 % 10 < 8
+        |    CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+        |             % 2147483648 % 10 < 8
         |           THEN 'train'
-        |         WHEN (doc_id * 1103515245 + 12345) % 2147483648 % 10 = 8
+        |         WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+        |             % 2147483648 % 10 = 8
         |           THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.SparkTestBase
 
@@ -150,14 +151,17 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.getDouble(3) >= 0.0 && got.getDouble(3) <= 1.0)
   }
 
-  test("corr_exact matches Spark's float corr to 1e-6 and pins exact moments") {
+  test("corr_exact: derived r matches Spark's float corr to 1e-6; moments exact") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_quantity").cast("long").as("x"),
         expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("y"))
     val floatR = li.agg(corr(col("x"), col("y"))).head().getDouble(0)
-    val got = Analytics.corrExact(spark, sf0001).head()
-    assert(math.abs(got.getDouble(4) - floatR) < 1e-6,
-      s"exact r ${got.getDouble(4)} vs float corr $floatR")
+    val moments = Analytics.corrExact(spark, sf0001)
+    // Hashed frame carries only the exact moments — no float column.
+    assert(moments.schema.fields.forall(_.dataType != DoubleType))
+    val got = Analytics.corrDerived(moments).head()
+    val r = got.getDouble(got.length - 1)
+    assert(math.abs(r - floatR) < 1e-6, s"derived r $r vs float corr $floatR")
     assert(got.getLong(0) == li.count())
   }
 
@@ -170,17 +174,20 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
-  test("ols_by_group matches Spark's built-in regr_slope/intercept to 1e-6") {
+  test("ols_by_group: derived slope/intercept match regr_slope/intercept") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
         expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("y"))
     val ref = li.groupBy("l_returnflag")
       .agg(expr("regr_slope(y, x)").as("s"), expr("regr_intercept(y, x)").as("i"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    Analytics.olsByGroup(spark, sf0001).collect().foreach { r =>
+    val moments = Analytics.olsByGroup(spark, sf0001)
+    assert(moments.schema.fields.forall(_.dataType != DoubleType))
+    Analytics.olsDerived(moments).collect().foreach { r =>
       val (s0, i0) = ref(r.getString(0))
-      assert(math.abs(r.getDouble(4) - s0) < 1e-6, s"slope ${r.getDouble(4)} vs $s0")
-      assert(math.abs(r.getDouble(5) - i0) < 1e-4, s"intercept ${r.getDouble(5)} vs $i0")
+      val (sl, ic) = (r.getDouble(r.length - 2), r.getDouble(r.length - 1))
+      assert(math.abs(sl - s0) < 1e-6, s"slope $sl vs $s0")
+      assert(math.abs(ic - i0) < 1e-4, s"intercept $ic vs $i0")
     }
   }
 
