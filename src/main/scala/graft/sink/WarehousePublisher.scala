@@ -13,10 +13,11 @@ import graft.config.WarehouseConfig
   * double rename has a reader-visible gap (no table exists between the
   * renames), so this engine uses a strictly stronger commit: each load
   * writes an immutable versioned physical table `<target>_vN`, and the
-  * commit point is a single `CREATE OR REPLACE VIEW <target>` pointer
-  * swap — readers of `<target>` see the old version or the new one,
-  * never a missing table or partial data. A failure before the view
-  * swap leaves the previous version fully intact.
+  * commit point is a single `ALTER VIEW <target> AS` pointer swap (one
+  * catalog.alterTable mutation; the view is created once on first
+  * publish) — readers of `<target>` see the old version or the new
+  * one, never a missing table or partial data. A failure before the
+  * view swap leaves the previous version fully intact.
   *
   * Retention keeps the latest two physical versions so readers that
   * resolved the previous pointer mid-swap finish their scan before the
@@ -29,6 +30,24 @@ object WarehousePublisher {
       table: String, rowsLoaded: Long, analyzed: Boolean, version: Long)
 
   private val VersionRe = """(?i)(.*)_v(\d+)""".r
+
+  /** The atomic pointer swap. `CREATE OR REPLACE VIEW` is NOT
+    * reader-atomic in Spark's session catalog — `CreateViewCommand`
+    * with replace=true executes dropTable THEN createTable, and a
+    * concurrent `spark.table(target)` resolving in that window gets
+    * TABLE_OR_VIEW_NOT_FOUND (observed: the PublisherSpec concurrent-
+    * reader hammer failing under a loaded JVM). `ALTER VIEW ... AS`
+    * instead runs AlterViewAsCommand → one `catalog.alterTable`
+    * mutation of an entry that never leaves the catalog, so readers
+    * see the old definition or the new one, never neither. The view
+    * is created once on first publish and only ever ALTERed after.
+    */
+  private[sink] def swapPointer(spark: SparkSession, target: String, phys: String): Unit = {
+    val isView = spark.catalog.tableExists(target) &&
+      spark.catalog.getTable(target).tableType == "VIEW"
+    if (isView) spark.sql(s"ALTER VIEW $target AS SELECT * FROM $phys")
+    else spark.sql(s"CREATE VIEW $target AS SELECT * FROM $phys")
+  }
 
   /** Physical versions of `target` only: names that are not exactly
     * `<target>_v<digits>` (views, sibling targets, backups) are
@@ -131,8 +150,8 @@ object WarehousePublisher {
         spark.sql(s"ALTER TABLE $phys SET TBLPROPERTIES($kvs)")
       }
       legacySlot.foreach(s => spark.sql(s"ALTER TABLE $target RENAME TO ${target}_v$s"))
-      // Commit point: one atomic pointer swap.
-      spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $phys")
+      // Commit point: one atomic pointer swap (see swapPointer).
+      swapPointer(spark, target, phys)
       // Retention: latest two versions stay readable — and whatever
       // version the pointer served immediately before this swap (equal
       // to the newest except after a rollback), for the same
@@ -183,7 +202,7 @@ object WarehousePublisher {
       val next = versionsOf(spark, target).map(_._2).max + 1L
       val nextPhys = s"${target}_v$next"
       compacted.write.mode(SaveMode.Overwrite).saveAsTable(nextPhys)
-      spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM $nextPhys")
+      swapPointer(spark, target, nextPhys)
       current = nextPhys
     } else if (cfg.vacuumStrategy == "delete") {
       // VACUUM DELETE ONLY analog: reclaim space now — drop every
@@ -319,7 +338,7 @@ object WarehousePublisher {
     val prev = versionsOf(spark, target).map(_._2).filter(_ < cur).maxOption
       .getOrElse(throw new IllegalStateException(
         s"no retained version below v$cur to roll $target back to"))
-    spark.sql(s"CREATE OR REPLACE VIEW $target AS SELECT * FROM ${target}_v$prev")
+    swapPointer(spark, target, s"${target}_v$prev")
     prev
   }
 

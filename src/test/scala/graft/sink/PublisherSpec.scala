@@ -16,28 +16,76 @@ class PublisherSpec extends SparkTestBase {
     WarehousePublisher.publish(spark, Seq.tabulate(1)(i => (i, "x")).toDF("k", "v"), cfg)
 
     @volatile var running = true
-    @volatile var failure: Option[Throwable] = None
+    // The K5 guarantee is about the VIEW pointer: it must never be
+    // missing or serve partial data. A reader that resolved the view
+    // to version N and is still scanning after N has aged out of the
+    // lag-by-one retention window can hit the dropped PHYSICAL table —
+    // that is the documented finish-your-scan retention boundary, not
+    // a swap-atomicity failure, and is distinguishable because the
+    // error names `<target>_v<N>`, never the view itself.
+    @volatile var swapFailure: Option[Throwable] = None
+    val staleScans = new java.util.concurrent.atomic.AtomicInteger
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val reader = new Thread(() => {
-      while (running && failure.isEmpty) {
+      while (running && swapFailure.isEmpty) {
         try seen.add(spark.table("pubspec_conc").count())
-        catch { case e: Throwable => failure = Some(e) }
+        catch {
+          case e: Throwable
+              if Option(e.getMessage).exists(_.matches("(?s).*pubspec_conc_v\\d+.*")) =>
+            staleScans.incrementAndGet()
+          case e: Throwable => swapFailure = Some(e)
+        }
       }
     })
     reader.start()
     try {
-      (2 to 6).foreach { n =>
+      // 50 consecutive publish+swap iterations under a hot reader.
+      (2 to 51).foreach { n =>
         WarehousePublisher.publish(spark, Seq.tabulate(n)(i => (i, "x")).toDF("k", "v"), cfg)
       }
     } finally {
       running = false
       reader.join(30000)
     }
-    assert(failure.isEmpty, s"reader failed mid-swap: $failure")
-    val valid = (1L to 6L).toSet
+    assert(swapFailure.isEmpty, s"reader failed mid-swap: $swapFailure")
+    val valid = (1L to 51L).toSet
     import scala.jdk.CollectionConverters._
     assert(seen.asScala.forall(valid.contains), s"reader saw partial data: $seen")
-    assert(spark.table("pubspec_conc").count() == 6)
+    assert(spark.table("pubspec_conc").count() == 51)
+  }
+
+  test("pointer swap is reader-atomic across 200 alternating swaps") {
+    // Pure swap hammer: no writes, no retention — two fixed physical
+    // versions and 200 ALTER VIEW pointer mutations while a reader
+    // resolves the view as fast as it can. Any drop-then-create window
+    // (the CREATE OR REPLACE VIEW behavior this spec pins against)
+    // surfaces as TABLE_OR_VIEW_NOT_FOUND on the view name.
+    Seq((1, "a")).toDF("k", "v").write.saveAsTable("pubspec_swap_a")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.saveAsTable("pubspec_swap_b")
+    WarehousePublisher.swapPointer(spark, "pubspec_swap", "pubspec_swap_a")
+
+    @volatile var running = true
+    @volatile var failure: Option[Throwable] = None
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val reader = new Thread(() => {
+      while (running && failure.isEmpty) {
+        try seen.add(spark.table("pubspec_swap").count())
+        catch { case e: Throwable => failure = Some(e) }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 200).foreach { i =>
+        val phys = if (i % 2 == 0) "pubspec_swap_a" else "pubspec_swap_b"
+        WarehousePublisher.swapPointer(spark, "pubspec_swap", phys)
+      }
+    } finally {
+      running = false
+      reader.join(30000)
+    }
+    assert(failure.isEmpty, s"reader failed mid-swap: $failure")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.subsetOf(Set(1L, 2L)), s"partial data: $seen")
   }
 
   test("retention keeps exactly the latest two physical versions") {
