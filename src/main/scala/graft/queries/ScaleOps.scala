@@ -366,18 +366,22 @@ object ScaleOps {
       t(s, dir, "events"), t(s, dir, "customer"),
       "user_id", "c_custkey", "c_mktsegment")
 
-  /** One-pass column profile of lineitem (ANALYZE-style quality
+  /** One-pass EXACT column profile of lineitem (ANALYZE-style quality
     * metrics): 4 aggregates per column in ONE job, unpivoted to long
     * format ([[graft.quality.Profiler]]). Columns restricted to
     * int/string: min/max surface through a string cast, and
-    * double/timestamp formatting differs between engines.
+    * double/timestamp formatting differs between engines. Registered
+    * as the OPT-IN `profile_table_exact`: exact count-DISTINCT
+    * compiles to Expand ×(cols+1), so the default `profile_table`
+    * routes to [[profileLineitemApprox]]'s no-Expand plan.
     */
   def profileLineitem(s: SparkSession, dir: String): DataFrame =
     graft.quality.Profiler.profile(t(s, dir, "lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
 
-  /** The scale-path profile: HLL cardinality instead of exact distinct
-    * — no Expand, map-side partials only (sketch-bounded like
+  /** The scale-path profile and the registered DEFAULT
+    * `profile_table`: HLL cardinality instead of exact distinct — no
+    * Expand, map-side partials only (sketch-bounded like
     * `approx_distinct`: rows-only driver check; `ProfilerSpec` bounds
     * it against the exact profile).
     */
@@ -544,8 +548,8 @@ object ScaleOps {
     "zorder_scan" -> (zorderScan _),
     "dedup_incremental" -> (dedupIncremental _),
     "stream_enrich" -> (streamEnrich _),
-    "profile_table" -> (profileLineitem _),
-    "profile_table_approx" -> (profileLineitemApprox _),
+    "profile_table" -> (profileLineitemApprox _),
+    "profile_table_exact" -> (profileLineitem _),
     "price_histogram" -> (priceHistogram _),
     "fuzzy_match" -> (fuzzyMatch _),
     "partition_scan" -> (partitionScan _),
@@ -720,7 +724,7 @@ object ScaleOps {
         |UNION ALL
         |SELECT CAST(c_custkey + 10000000 AS BIGINT), 'added'
         |FROM customer WHERE c_custkey % 13 = 0""".stripMargin,
-    "profile_table" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+    "profile_table_exact" -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
       .map(c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
            | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
