@@ -47,13 +47,20 @@ object Tables {
     // harness smoke session) without re-mutating conf on every read.
     if (spark.conf.get(NanosKey, "false") != "true") spark.conf.set(NanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // Integral `div`, NOT `/`: Column./ is double division, and at
       // ~1.7e18 nanos a double's ulp exceeds 1000, rounding some
       // timestamps up a microsecond (caught by the session-window
       // oracle, and enough to push boundary events across windows).
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+    else if (name == "events")
+      // Micros-precision fixtures arrive as TIMESTAMP_NTZ; normalize to
+      // TimestampType (sessions pin UTC, so the instant is unchanged) so
+      // every downstream plan sees the same type as the nanos path.
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     else df
   }
 }

@@ -384,6 +384,119 @@ object Multimodal {
       }
     }(Encoders.product[ImagePixelStats])
 
+  // ------------------------------------------------------------------
+  // REAL video codec — an MJPEG-style container (frame index + one
+  // independently-encoded image per frame) over the JDK-native image
+  // path above. No inter-frame prediction: that is exactly the MJPEG
+  // family's trade, and it is the only video shape decodable with zero
+  // external codec libs. Frames here are PNG (lossless) so the
+  // pixel-replay oracle can pin frame CONTENT, not just counts.
+  // ------------------------------------------------------------------
+
+  /** One decoded frame's content proof: dimensions + exact per-channel
+    * pixel sums read from the decoded raster.
+    */
+  final case class VideoFrameStats(
+      doc_id: Long, frame_no: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Frame-indexed container codec: magic "GVF1", big-endian i32 frame
+    * count, then per frame a big-endian i32 length + the encoded image
+    * bitstream. Decode REFUSES (None) on wrong magic, truncated index,
+    * truncated frame bytes, or any frame the image codec refuses — the
+    * quarantine contract of [[ImageCodec]] lifted to containers.
+    */
+  object VideoCodec {
+    private val Magic = Array[Byte]('G', 'V', 'F', '1')
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      out.write(Magic)
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush()
+      baos.toByteArray
+    }
+
+    /** Deterministic test-pattern video: frame f is
+      * [[ImageCodec.encodePng]] with seed = seed + 131·f, so an oracle
+      * replays every frame's pixels arithmetically.
+      */
+    def encodeVideo(nFrames: Int, width: Int, height: Int, seed: Long): Array[Byte] =
+      encode((0 until nFrames).map(f =>
+        ImageCodec.encodePng(width, height, seed + 131L * f)))
+
+    /** Parse the container and decode every frame; None = quarantine. */
+    def decodeFrames(payload: Array[Byte]): Option[Seq[(Int, ImageMeta, java.awt.image.BufferedImage)]] = {
+      if (payload == null || payload.length < 8 ||
+        !payload.take(4).sameElements(Magic)) return None
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload, 4, payload.length - 4))
+      try {
+        val n = in.readInt()
+        if (n < 0 || n > (1 << 20)) None
+        else {
+          val frames = Vector.newBuilder[(Int, ImageMeta, java.awt.image.BufferedImage)]
+          var f = 0
+          var bad = false
+          while (f < n && !bad) {
+            val len = in.readInt()
+            if (len < 0 || len > in.available()) bad = true
+            else {
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              ImageCodec.decodeImage(bytes) match {
+                case Some((meta, img)) => frames += ((f, meta, img))
+                case None => bad = true
+              }
+            }
+            f += 1
+          }
+          if (bad) None else Some(frames.result())
+        }
+      } catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
+
+  /** REAL per-frame video feature extraction: parse the container,
+    * decode every frame's bitstream, reduce each raster to exact
+    * per-channel pixel sums — the video analog of [[channelStats]].
+    * Map-only: payloads never shuffle; output is a few longs per
+    * frame. Refused containers are dropped here; [[quarantineVideos]]
+    * is their lane.
+    */
+  def videoFrameStats(docs: DataFrame, idCol: String, payloadCol: String): Dataset[VideoFrameStats] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        VideoCodec.decodeFrames(payload).toSeq.flatten.map { case (f, m, img) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < m.height) {
+            var x = 0
+            while (x < m.width) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrameStats(id, f, m.width, m.height, sr, sg, sb)
+        }
+      }
+    }(Encoders.product[VideoFrameStats])
+
+  /** Complement of [[videoFrameStats]]: containers the codec refused. */
+  def quarantineVideos(docs: DataFrame, idCol: String, payloadCol: String): Dataset[QuarantinedMedia] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.collect { case (id, payload) if VideoCodec.decodeFrames(payload).isEmpty =>
+        QuarantinedMedia(id, if (payload == null) 0L else payload.length.toLong)
+      }
+    }(Encoders.product[QuarantinedMedia])
+
   /** Complement of [[decodeImages]]: the payloads the codec refused. */
   def quarantineImages(docs: DataFrame, idCol: String, payloadCol: String): Dataset[QuarantinedMedia] =
     binaryRows(docs, idCol, payloadCol).mapPartitions { it =>

@@ -54,7 +54,7 @@ object Analytics {
     * persisted partitioning.
     */
   def pagerank(s: SparkSession, dir: String): DataFrame =
-    pagerankOnPairs(ScaleOps.copurchasePairs(s, dir)
+    pagerankOnPairs(ScaleOps.copurchaseEdges(s, dir)
       .select(col("part_a"), col("part_b")))
 
   /** The recurrence over an arbitrary undirected pair list — split out
@@ -99,7 +99,7 @@ object Analytics {
     val nOrders = p.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val item = p.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val pairs = ScaleOps.copurchasePairs(s, dir)
+    val pairs = ScaleOps.copurchaseEdges(s, dir)
     val directed = pairs
       .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
         col("support"))
@@ -431,11 +431,19 @@ object Analytics {
       sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
       sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
       sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    // The moment polynomials ship as STRINGS: they are integer-exact
+    // (DECIMAL(38,0) internally) but a decimal column in the hashed
+    // frame is representation-fragile across the two engines' client
+    // paths (HUGEINT vs decimal128 vs float64 renderings), while the
+    // digit string is identical by construction.
     m.select(
       col("n").cast("long").as("n"),
-      (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
-      (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
-      (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"))
+      (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("string").as("cov_num"),
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("string").as("var_x_num"),
+      (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("string").as("var_y_num"))
   }
 
   /** Derived Pearson r from [[corrExact]]'s exact moment columns —
@@ -444,9 +452,10 @@ object Analytics {
     */
   def corrDerived(moments: DataFrame): DataFrame =
     moments.select(col("*"),
-      (col("cov_num").cast("double") /
-        (sqrt(col("var_x_num").cast("double")) *
-          sqrt(col("var_y_num").cast("double")))).as("r"))
+      (col("cov_num").cast("decimal(38,0)").cast("double") /
+        (sqrt(col("var_x_num").cast("decimal(38,0)").cast("double")) *
+          sqrt(col("var_y_num").cast("decimal(38,0)").cast("double"))))
+        .as("r"))
 
   /** Per-group OLS regression (price on quantity per return flag):
     * the hashed frame carries the exact DECIMAL(38,0) moment
@@ -471,23 +480,27 @@ object Analytics {
         sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
         sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
       .select(col("l_returnflag"), col("n").cast("long").as("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
-        col("sx"), col("sy"))
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("string").as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("string").as("var_x_num"),
+        col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"))
   }
 
   /** Derived slope/intercept from [[olsByGroup]]'s exact moments —
     * driver-visible floats, excluded from the hashed oracle frame
     * (see [[corrExact]] doc).
     */
-  def olsDerived(moments: DataFrame): DataFrame =
+  def olsDerived(moments: DataFrame): DataFrame = {
+    val cov = col("cov_num").cast("decimal(38,0)")
+    val varx = col("var_x_num").cast("decimal(38,0)")
     moments.select(col("*"),
-      (col("cov_num").cast("double") / col("var_x_num").cast("double"))
-        .as("slope"),
-      ((col("sy") * col("var_x_num") - col("cov_num") * col("sx"))
-        .cast("double") /
-        (col("n").cast("decimal(38,0)") * col("var_x_num")).cast("double"))
+      (cov.cast("double") / varx.cast("double")).as("slope"),
+      ((col("sy").cast("decimal(38,0)") * varx -
+        cov * col("sx").cast("decimal(38,0)")).cast("double") /
+        (col("n").cast("decimal(38,0)") * varx).cast("double"))
         .as("intercept"))
+  }
 
   /** Cross-source vocabulary overlap: Jaccard between every pair of
     * sources' token vocabularies — the corpus-composition view (which
@@ -716,7 +729,7 @@ object Analytics {
     * the skew-join risk live?). Output is ~⌈log₂ max-degree⌉ rows.
     */
   def degreeHist(s: SparkSession, dir: String): DataFrame = {
-    val p = ScaleOps.copurchasePairs(s, dir)
+    val p = ScaleOps.copurchaseEdges(s, dir)
       .select(col("part_a"), col("part_b"))
     p.select(col("part_a").as("node"))
       .union(p.select(col("part_b").as("node")))
@@ -845,9 +858,9 @@ object Analytics {
         |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
         |  FROM li)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
-        |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
-        |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num
+        |  CAST(n * sxy - sx * sy AS VARCHAR) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS VARCHAR) AS var_x_num,
+        |  CAST(n * syy - sy * sy AS VARCHAR) AS var_y_num
         |FROM m""".stripMargin,
     "rank_normalize" ->
       """SELECT doc_id, source, n_chars,
@@ -864,10 +877,10 @@ object Analytics {
         |    sum(x * y) AS sxy, sum(x * x) AS sxx
         |  FROM li GROUP BY 1)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
-        |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
-        |  CAST(sx AS DECIMAL(38,0)) AS sx,
-        |  CAST(sy AS DECIMAL(38,0)) AS sy
+        |  CAST(n * sxy - sx * sy AS VARCHAR) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS VARCHAR) AS var_x_num,
+        |  CAST(sx AS BIGINT) AS sx,
+        |  CAST(sy AS BIGINT) AS sy
         |FROM m""".stripMargin,
     "source_overlap" ->
       """WITH st AS (

@@ -682,6 +682,43 @@ object NorthStar {
   def imageFeatures(s: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.channelStats(imageDocs(s, dir), "doc_id", "payload").toDF()
 
+  /** Real frame-indexed video container per document ([[graft.ext.Multimodal.VideoCodec]]):
+    * doc_id % 5 + 1 PNG frames of doc_id-arithmetic dimensions, frame f
+    * seeded doc_id + 131·f — so the oracle replays every frame's exact
+    * pixels without a video decoder (same contract as [[imageDocs]]).
+    */
+  private def videoDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val nf = (id % 5 + 1).toInt
+        val w = (id % 21 + 6).toInt
+        val h = (id % 17 + 6).toInt
+        (id, graft.ext.Multimodal.VideoCodec.encodeVideo(nf, w, h, id))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
+  }
+
+  /** REAL video frame extraction: parse the container, decode every
+    * PNG frame bitstream, reduce each raster to exact per-channel
+    * sums — the oracle pins frame CONTENT (pixel replay), not counts.
+    */
+  def videoFrames(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.videoFrameStats(videoDocs(s, dir), "doc_id", "payload").toDF()
+
+  /** The video quarantine lane: every doc_id % 9 == 0 container is
+    * truncated mid-frame-index before decode; the parser must refuse
+    * exactly those (bad magic/truncation) and decode everything else.
+    */
+  def videoQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = videoDocs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, substring(col("payload"), 1, 6))
+        .otherwise(col("payload")).as("payload"))
+    graft.ext.Multimodal.quarantineVideos(corrupted, "doc_id", "payload").toDF()
+  }
+
   /** Real encoded-WAV payload per document: deterministic PCM16 whose
     * length and samples are arithmetic in doc_id (same contract as
     * [[imageDocs]] for the audio modality).
@@ -773,6 +810,8 @@ object NorthStar {
     "bm25_topk" -> (bm25Q _),
     "image_features" -> (imageFeatures _),
     "audio_decode" -> (audioDecode _),
+    "video_frames" -> (videoFrames _),
+    "video_quarantine" -> (videoQuarantine _),
     "vocab_build" -> (vocabBuild _))
 
   /** Shared oracle building blocks for the near-dup family — the
@@ -1066,6 +1105,31 @@ object NorthStar {
         |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
         |  CAST(sum(v) AS BIGINT) AS sum_amp, CAST(max(abs(v)) AS INT) AS max_amp
         |FROM s GROUP BY doc_id, n""".stripMargin,
+    // Pixel replay of every FRAME of the GVF1 container (frame f's PNG
+    // is seeded doc_id + 131·f): proves the container parse AND each
+    // frame's bitstream decode recovered exact pixels.
+    "video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id % 5 + 1 AS nf,
+        |    CAST(doc_id % 21 + 6 AS INT) AS width,
+        |    CAST(doc_id % 17 + 6 AS INT) AS height
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, width, height, uf.f AS frame_no,
+        |    doc_id + 131 * uf.f AS seed
+        |  FROM v, UNNEST(range(nf)) AS uf(f)),
+        |e AS (
+        |  SELECT doc_id, frame_no, width, height, seed, ux.x AS x, uy.y AS y
+        |  FROM f, UNNEST(range(width)) AS ux(x), UNNEST(range(height)) AS uy(y))
+        |SELECT doc_id, CAST(frame_no AS INT) AS frame_no, width, height,
+        |  CAST(sum((x*31 + y*17 + seed) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x*7 + y*13 + seed // 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x*3 + y*29 + seed // 65536) % 256) AS BIGINT) AS sum_b
+        |FROM e GROUP BY 1, 2, 3, 4""".stripMargin,
+    // The parser must refuse exactly the mid-index-truncated containers.
+    "video_quarantine" ->
+      """SELECT doc_id, CAST(6 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 9 = 0""".stripMargin,
     // Pixel replay of ImageCodec.encodePng's (x, y, seed) pattern:
     // proves the decode recovered exact bytes, not just dimensions.
     "image_features" ->
