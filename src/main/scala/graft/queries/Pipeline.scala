@@ -40,8 +40,107 @@ object Pipeline {
     TransformPipeline.compile(ordersSchema, "orders", pinnedStart,
       partitionBy = Seq("year", "month", "day"))(t(s, dir, "orders"))
 
+  /** The WHOLE declared product path as ONE oracle-gated behavior —
+    * O1–O7 composed, not seven isolated specs: a hermetic stub REST
+    * API (offset pagination) → [[graft.ingest.ApiSource]] fetch → raw
+    * zone landing → config-compiled transform (mapping, casts, trim,
+    * datetime, required-filter, metadata, partition derivation) →
+    * partitioned processed-zone write → quality checks → threshold
+    * monitors (error_count deliberately BREACHES: the required filter
+    * drops the 11 null-customer records, 11 > 5) → warehouse publish.
+    * The hashed frame is the PUBLISHED table crossed with the run
+    * report's deterministic fields, so the gate pins data content,
+    * filter/metadata semantics, counts, quality verdict, and monitor
+    * evaluation in one row-set. The stub serves arithmetic-derived
+    * records so DuckDB replays the full pipeline from `range(300)`.
+    *
+    * Run once per fixture dir (landOnce); re-invocations read the
+    * published table + landed report, like every other landed fixture.
+    */
+  def pipelineReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tag = graft.Tables.pathTag(dir)
+    val base = s"/tmp/graft_pipe/$tag"
+    val wh = graft.config.WarehouseConfig(
+      schema = "graft_pipe", table = tag, analyze = false)
+    graft.Tables.landOnce(s"pipe_$tag") {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      try {
+        val total = 300
+        def rec(i: Int): String = {
+          val cust = if (i % 29 == 0) "null" else (i % 50).toString
+          f"""{"id":$i,"customer":$cust,"cents":${(i * 37) % 10000},""" +
+            f""""state":" S${i % 3} ","event_date":"2026-01-${i % 28 + 1}%02d"}"""
+        }
+        server.createContext("/records", { ex =>
+          val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            .split('&').filter(_.nonEmpty)
+            .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }.toMap
+          val off = q.getOrElse("offset", "0").toInt
+          val lim = q.getOrElse("limit", "100").toInt
+          val body = (off until math.min(off + lim, total)).map(rec)
+            .mkString("""{"results":[""", ",", "]}")
+          val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+        server.start()
+        val api = graft.config.ApiConfig(
+          endpoint = s"http://localhost:${server.getAddress.getPort}/records",
+          parameters = Map("limit" -> "64"),
+          pagination = Some(graft.config.PaginationConfig(style = "offset")))
+        graft.ingest.ApiSource.fetch(s, api)
+          .write.mode("overwrite").json(s"$base/raw")
+        val cfg = graft.config.SourceConfig(
+          name = "api_records",
+          sourceType = graft.config.SourceType.RestApi,
+          api = Some(api),
+          schema = SchemaConfig(
+            inputFormat = "json",
+            mapping = Seq(
+              "rec_id" -> MappingTarget.Path("id"),
+              "cust" -> MappingTarget.Path("customer"),
+              "amount" -> MappingTarget.Path("cents"),
+              "status" -> MappingTarget.Path("state"),
+              "event_date" -> MappingTarget.Path("event_date")),
+            required = Seq("rec_id", "cust"),
+            transformations = Seq(
+              TransformSpec("amount", "double"),
+              TransformSpec("status", "trim"),
+              TransformSpec("event_date", "datetime", format = Some("yyyy-MM-dd")))),
+          destination = graft.config.Destination(processed = Some(
+            graft.config.DestinationZone(prefix = s"$base/processed",
+              partitionBy = Seq("year", "month", "day")))),
+          warehouse = Some(wh),
+          qualityChecks = Seq(
+            graft.config.QualityCheck("not_null", Seq("rec_id")),
+            graft.config.QualityCheck("unique", Seq("rec_id"))),
+          monitoring = graft.config.Monitoring(metrics = Seq(
+            graft.config.MetricSpec("error_count", threshold = 5.0),
+            graft.config.MetricSpec("record_count", threshold = 1000.0))))
+        val report = graft.orchestrate.PipelineRunner.run(
+          s, cfg, s"$base/raw", s"$base/processed", "json",
+          publish = true, startTime = pinnedStart)
+        import s.implicits._
+        Seq((report.inputCount, report.outputCount, report.qualityPassed,
+            report.breachedMonitors.sorted.mkString(","), report.quarantinedCount))
+          .toDF("n_in", "n_out", "quality_passed", "breached_monitors",
+            "n_quarantined")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/report")
+      } finally server.stop(0)
+    }
+    s.table(wh.qualified)
+      .select(col("rec_id"), col("cust"), col("amount"), col("status"),
+        col("event_date"), col("source_name"), col("processed_timestamp"),
+        col("year"), col("month"), col("day"))
+      .crossJoin(broadcast(s.read.parquet(s"$base/report")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cfg_pipeline" -> (cfgPipeline _))
+    "cfg_pipeline" -> (cfgPipeline _),
+    "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
     "cfg_pipeline" ->
@@ -56,5 +155,28 @@ object Pipeline {
         | CAST(month(o_orderdate) AS INTEGER) AS month,
         | CAST(day(o_orderdate) AS INTEGER) AS day
         |FROM orders
-        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin)
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin,
+    // Full-pipeline replay from range(300): the stub API's records are
+    // arithmetic in i, so every stage (mapping, casts, trim, datetime,
+    // required-filter, metadata, partition derivation) and the report
+    // constants (counts, quality verdict, breached monitor) are
+    // predictable without HTTP.
+    "pipeline_report" ->
+      """WITH r AS (SELECT ui.i AS i FROM UNNEST(range(300)) AS ui(i)),
+        |rec AS (
+        |  SELECT i AS rec_id,
+        |    CASE WHEN i % 29 = 0 THEN NULL ELSE i % 50 END AS cust,
+        |    CAST((i * 37) % 10000 AS DOUBLE) AS amount,
+        |    'S' || CAST(i % 3 AS VARCHAR) AS status,
+        |    DATE '2026-01-01' + CAST(i % 28 AS INTEGER) AS event_date
+        |  FROM r)
+        |SELECT rec_id, cust, amount, status, event_date,
+        |  'api_records' AS source_name,
+        |  TIMESTAMP '2026-01-01 00:00:00' AS processed_timestamp,
+        |  CAST(2026 AS INT) AS year, CAST(1 AS INT) AS month,
+        |  CAST(day(event_date) AS INT) AS day,
+        |  CAST(300 AS BIGINT) AS n_in, CAST(289 AS BIGINT) AS n_out,
+        |  TRUE AS quality_passed, 'error_count' AS breached_monitors,
+        |  CAST(0 AS BIGINT) AS n_quarantined
+        |FROM rec WHERE cust IS NOT NULL""".stripMargin)
 }

@@ -427,17 +427,43 @@ object ScaleOps {
     * the same pairs but scans and shuffles lineitem twice; the DuckDB
     * oracle deliberately IS that other formulation.
     */
-  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val arr = t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-    arr.select(explode(expr(
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    minePairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      fixedFloor = 2, floorFrac = None)
+
+  /** The pair miner over any (basket, item) frame. `fixedFloor` is the
+    * absolute co-occurrence floor (the oracle contract above);
+    * `floorFrac` additionally demands support ≥ ceil(frac · #baskets) —
+    * the density-NORMALIZED knob. The fixed floor is density-relative
+    * in disguise: at 100 TB a ≥2 floor saturates (PLANS_r06 measured
+    * 61 → 1.88M triangles at 10× because every pair eventually
+    * co-occurs twice), while a fractional floor keeps the graph sparse
+    * under any scale-up since true association frequencies, not raw
+    * counts, gate the edge. The basket count rides a broadcast 1-row
+    * cross join — no collect, no extra pass over the pair list.
+    */
+  def minePairs(
+      baskets: DataFrame, orderCol: String, itemCol: String,
+      fixedFloor: Int, floorFrac: Option[Double]): DataFrame = {
+    val arr = baskets
+      .groupBy(col(orderCol))
+      .agg(array_sort(collect_set(col(itemCol))).as("parts"))
+    val pairs = arr.select(explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+    floorFrac match {
+      case None => pairs.filter(col("support") >= fixedFloor)
+      case Some(frac) =>
+        val n = baskets.select(col(orderCol)).distinct()
+          .agg(count(lit(1)).as("__n_baskets"))
+        pairs.crossJoin(broadcast(n))
+          .filter(col("support") >=
+            greatest(lit(fixedFloor), ceil(lit(frac) * col("__n_baskets"))))
+          .drop("__n_baskets")
+    }
   }
 
   /** The support-filtered co-purchase pair list, landed as parquet

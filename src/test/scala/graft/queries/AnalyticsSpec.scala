@@ -31,6 +31,30 @@ class AnalyticsSpec extends SparkTestBase {
     r
   }
 
+  test("density-normalized support floor keeps the pair graph sparse under scale-up") {
+    // Base baskets: pair (1,2) in 3/10 baskets, (1,3) in 1/10, plus
+    // per-basket noise items. A 10x "scale-up" replays every basket 10
+    // times under fresh ids — the saturation model: raw co-occurrence
+    // counts grow with data volume, association FREQUENCIES don't.
+    val base = (0 until 10).flatMap { o =>
+      val items = Seq(100L + o) ++ (if (o < 3) Seq(1L, 2L) else Nil) ++
+        (if (o == 5) Seq(1L, 3L) else Nil)
+      items.map(i => (o.toLong, i))
+    }
+    val scaled = (0 until 10).flatMap(k =>
+      base.map { case (o, i) => (o + 100L * k, i) })
+    def mine(rows: Seq[(Long, Long)], frac: Option[Double]) =
+      ScaleOps.minePairs(rows.toDF("o", "i"), "o", "i", 2, frac)
+        .select("part_a", "part_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Fixed >=2 floor: exact at 1x, saturates at 10x — the (1,3)
+    // one-off association now "co-occurs" 10 times and pollutes the graph.
+    assert(mine(base, None) == Set((1L, 2L)))
+    assert(mine(scaled, None).contains((1L, 3L)), "fixed floor saturates by design")
+    // Normalized >=20% floor: the SAME sparse edge set at both scales.
+    assert(mine(base, Some(0.2)) == Set((1L, 2L)))
+    assert(mine(scaled, Some(0.2)) == Set((1L, 2L)))
+  }
+
   test("pagerank matches the in-driver integer reference on a hand graph") {
     // Star (hub 1) + triangle (4,5,6) + bridge 1-4: asymmetric degrees
     // so floor division and damping actually discriminate.
