@@ -179,7 +179,8 @@ object ConfigLoader {
       destination = dest,
       warehouse = wh,
       qualityChecks = qcs,
-      monitoring = mon)
+      monitoring = mon,
+      schedule = optStr(cfgM, "schedule").orElse(optStr(src, "schedule")))
   }
 
   // ---- untyped-tree helpers (snakeyaml gives LinkedHashMap/ArrayList) ----

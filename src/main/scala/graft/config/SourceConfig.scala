@@ -20,7 +20,10 @@ final case class SourceConfig(
     destination: Destination = Destination(),
     warehouse: Option[WarehouseConfig] = None,
     qualityChecks: Seq[QualityCheck] = Nil,
-    monitoring: Monitoring = Monitoring())
+    monitoring: Monitoring = Monitoring(),
+    // O8: scheduler expression (sample_source.yaml:26, "rate(1 hour)");
+    // evaluated by graft.orchestrate.Scheduler, not by the pipeline run.
+    schedule: Option[String] = None)
 
 /** Pipeline branch discriminator (workflow_definition.json:15-45). */
 sealed trait SourceType

@@ -15,6 +15,7 @@ class ConfigSpec extends AnyFunSuite {
     val cfg = load("orders_basic", env = Map("GRAFT_TEST_OUT" -> "/tmp/graft_test"))
     assert(cfg.name == "orders_basic")
     assert(cfg.sourceType == SourceType.File)
+    assert(cfg.schedule.contains("rate(1 hour)")) // O8: top-level schedule
     assert(cfg.schema.mapping.map(_._1) ==
       Seq("orderKey", "custKey", "status", "totalPrice", "orderDate", "priority"))
     assert(cfg.schema.mapping.head._2 == MappingTarget.Path("o_orderkey"))
