@@ -289,48 +289,89 @@ object Multimodal {
     val SampleRate = 8000f
 
     /** Deterministic PCM16 mono WAV: sample i = ((i*31 + seed*17) mod
-      * 65536) − 32768.
+      * 65536) − 32768. The container is written directly (canonical
+      * 44-byte RIFF/WAVE header + data chunk — byte-identical to what
+      * `javax.sound.sampled.AudioSystem` emits for this format, which
+      * `AudioCodecSpec` cross-checks): `AudioSystem`'s provider
+      * registry takes a GLOBAL lock per call, which serialized 32
+      * executor threads and made the audio lane the slowest multimodal
+      * query at 10× scale; the manual writer/parser is lock-free.
       */
     def encodeWavPcm16(nSamples: Int, seed: Long): Array[Byte] = {
-      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
-      val bytes = new Array[Byte](nSamples * 2)
+      val dataLen = nSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(1)                       // mono
+        .putInt(SampleRate.toInt)
+        .putInt(SampleRate.toInt * 2)      // byte rate
+        .putShort(2)                       // block align
+        .putShort(16)                      // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
       while (i < nSamples) {
-        val s = (((i.toLong * 31 + seed * 17) % 65536) - 32768).toInt
-        bytes(2 * i) = (s & 0xff).toByte
-        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        buf.putShort((((i.toLong * 31 + seed * 17) % 65536) - 32768).toShort)
         i += 1
       }
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-      baos.toByteArray
+      buf.array()
     }
 
     /** Decode a WAV payload: (n_samples, sample_rate_hz, channels,
       * sum of samples, max |sample|) — None for refused payloads
-      * (wrong container, truncated, not PCM16 mono).
+      * (wrong container, truncated, not PCM16 mono). Chunk-walking
+      * RIFF parser: skips unknown chunks (odd sizes padded per spec),
+      * requires a PCM16-mono `fmt ` chunk before `data`.
       */
     def decodeWav(payload: Array[Byte]): Option[(Long, Int, Int, Long, Int)] =
       try {
-        if (payload == null) return None
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-          fmt.isBigEndian) return None
-        val data = ais.readAllBytes()
-        if (data.length % 2 != 0) return None
-        var (i, sum, maxAbs) = (0, 0L, 0)
-        while (i < data.length) {
-          val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
-          sum += s
-          if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
-          i += 2
+        if (payload == null || payload.length < 44) return None
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
         }
-        Some((data.length / 2L, fmt.getSampleRate.toInt, fmt.getChannels, sum, maxAbs))
+        if (tag() != "RIFF") return None
+        buf.getInt // declared riff size; trust actual bounds instead
+        if (tag() != "WAVE") return None
+        var sampleRate = -1
+        while (buf.remaining() >= 8) {
+          val id = tag()
+          val size = buf.getInt
+          if (size < 0 || size > buf.remaining()) return None
+          id match {
+            case "fmt " =>
+              if (size < 16) return None
+              val fmtStart = buf.position()
+              val audioFormat = buf.getShort
+              val channels = buf.getShort
+              val rate = buf.getInt
+              // PCM16 mono only — anything else is refused, matching
+              // the previous AudioSystem-based gate.
+              if (audioFormat != 1 || channels != 1) return None
+              // bits-per-sample sits after byteRate(4) + blockAlign(2).
+              buf.position(fmtStart + 14)
+              if (buf.getShort != 16) return None
+              sampleRate = rate
+              buf.position(fmtStart + size + (size & 1))
+            case "data" =>
+              if (sampleRate < 0 || size % 2 != 0) return None
+              var (i, sum, maxAbs) = (0, 0L, 0)
+              val base = buf.position()
+              while (i < size) {
+                val s = buf.getShort(base + i).toInt
+                sum += s
+                if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+                i += 2
+              }
+              return Some((size / 2L, sampleRate, 1, sum, maxAbs))
+            case _ =>
+              buf.position(buf.position() + size + (size & 1))
+          }
+        }
+        None
       } catch { case _: Exception => None }
   }
 

@@ -16,6 +16,23 @@ class AudioCodecSpec extends SparkTestBase {
     assert(mx == samples.map(math.abs).max)
   }
 
+  test("manual RIFF writer emits bytes the JDK's own audio stack decodes") {
+    // The hot path avoids AudioSystem (its provider registry takes a
+    // global lock that serialized executor threads); this cross-check
+    // proves the manual container is REAL WAV, not a private format.
+    val wav = AudioCodec.encodeWavPcm16(123, seed = 7L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getSampleRate == 8000f)
+    val data = ais.readAllBytes()
+    assert(data.length == 246)
+    // First sample decoded by the JDK equals the generator's arithmetic.
+    val s0 = ((data(0) & 0xff) | (data(1) << 8)).toShort.toInt
+    assert(s0 == ((7L * 17) % 65536 - 32768).toInt)
+  }
+
   test("refuses truncated, garbage, and null payloads") {
     val wav = AudioCodec.encodeWavPcm16(100, seed = 1L)
     assert(AudioCodec.decodeWav(wav.take(11)).isEmpty)
