@@ -326,6 +326,33 @@ object Multimodal {
       * requires a PCM16-mono `fmt ` chunk before `data`.
       */
     def decodeWav(payload: Array[Byte]): Option[(Long, Int, Int, Long, Int)] =
+      dataChunk(payload).map { case (buf, base, size, sampleRate) =>
+        var (i, sum, maxAbs) = (0, 0L, 0)
+        while (i < size) {
+          val s = buf.getShort(base + i).toInt
+          sum += s
+          if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+          i += 2
+        }
+        (size / 2L, sampleRate, 1, sum, maxAbs)
+      }
+
+    /** The decoded waveform itself — for stages that reduce windows or
+      * transform samples rather than whole-file aggregates.
+      */
+    def decodeSamples(payload: Array[Byte]): Option[Array[Short]] =
+      dataChunk(payload).map { case (buf, base, size, _) =>
+        val out = new Array[Short](size / 2)
+        var i = 0
+        while (i < out.length) { out(i) = buf.getShort(base + 2 * i); i += 1 }
+        out
+      }
+
+    /** Chunk-walking RIFF parse up to the data chunk: (buffer, data
+      * offset, data byte length, sample rate), or None for refused
+      * payloads (wrong container, truncated, not PCM16 mono).
+      */
+    private def dataChunk(payload: Array[Byte]): Option[(java.nio.ByteBuffer, Int, Int, Int)] =
       try {
         if (payload == null || payload.length < 44) return None
         val buf = java.nio.ByteBuffer.wrap(payload)
@@ -358,15 +385,7 @@ object Multimodal {
               buf.position(fmtStart + size + (size & 1))
             case "data" =>
               if (sampleRate < 0 || size % 2 != 0) return None
-              var (i, sum, maxAbs) = (0, 0L, 0)
-              val base = buf.position()
-              while (i < size) {
-                val s = buf.getShort(base + i).toInt
-                sum += s
-                if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
-                i += 2
-              }
-              return Some((size / 2L, sampleRate, 1, sum, maxAbs))
+              return Some((buf, buf.position(), size, sampleRate))
             case _ =>
               buf.position(buf.position() + size + (size & 1))
           }
@@ -374,6 +393,38 @@ object Multimodal {
         None
       } catch { case _: Exception => None }
   }
+
+  /** One fixed-size analysis window of decoded audio: exact integer
+    * energy (Σ sample²) and peak — the primitives under silence
+    * trimming / voice-activity gating in an ASR data pipeline.
+    */
+  final case class AudioWindow(
+      doc_id: Long, win_no: Int, n_samples: Long, sum_sq: Long, max_abs: Int)
+
+  /** Windowed audio feature extraction: decode the WAV, reduce each
+    * `windowSize`-sample window to exact integer energy/peak — the
+    * audio analog of [[videoFrameStats]] (fan-out to typed sub-units
+    * with content-pinning arithmetic). Map-only; sample² ≤ 2³⁰ and
+    * windows are small, so Σ sample² stays far from Long overflow.
+    */
+  def audioWindows(docs: DataFrame, idCol: String, payloadCol: String,
+      windowSize: Int): Dataset[AudioWindow] =
+    binaryRows(docs, idCol, payloadCol).mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        AudioCodec.decodeSamples(payload).toSeq.flatMap { samples =>
+          samples.grouped(windowSize).zipWithIndex.map { case (w, wi) =>
+            var (i, sq, mx) = (0, 0L, 0)
+            while (i < w.length) {
+              val s = w(i)
+              sq += s.toLong * s
+              if (math.abs(s) > mx) mx = math.abs(s)
+              i += 1
+            }
+            AudioWindow(id, wi, w.length.toLong, sq, mx)
+          }
+        }
+      }
+    }(Encoders.product[AudioWindow])
 
   /** Decoded audio features for (doc_id, payload) rows. */
   final case class AudioFeatures(

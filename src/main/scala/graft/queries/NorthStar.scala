@@ -719,6 +719,34 @@ object NorthStar {
     graft.ext.Multimodal.quarantineVideos(corrupted, "doc_id", "payload").toDF()
   }
 
+  /** Windowed audio energy over the REAL decoded waveform: 64-sample
+    * windows reduced to exact Σ sample² and peak — the silence-trim /
+    * voice-activity primitive of an ASR data pipeline. The oracle
+    * replays the per-window integer arithmetic from `range`.
+    */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.audioWindows(audioDocs(s, dir), "doc_id", "payload", 64).toDF()
+
+  /** Shot-boundary detection on the decoded video frames: consecutive-
+    * frame L1 delta of the exact per-channel pixel sums, flagged
+    * against a fixed threshold — the scene-segmentation primitive
+    * (sample one frame per shot, not per fixed stride). One window
+    * exchange on (doc, frame order); the per-frame sums come from the
+    * REAL decode, so the oracle pins the whole chain pixel-first.
+    */
+  def videoShots(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    videoFrames(s, dir)
+      .withColumn("delta",
+        abs(col("sum_r") - lag(col("sum_r"), 1).over(w)) +
+          abs(col("sum_g") - lag(col("sum_g"), 1).over(w)) +
+          abs(col("sum_b") - lag(col("sum_b"), 1).over(w)))
+      .select(col("doc_id"), col("frame_no"),
+        coalesce(col("delta"), lit(-1L)).as("delta"),
+        (col("frame_no") === 0 || col("delta") > 700).as("is_shot"))
+  }
+
   /** Real encoded-WAV payload per document: deterministic PCM16 whose
     * length and samples are arithmetic in doc_id (same contract as
     * [[imageDocs]] for the audio modality).
@@ -812,6 +840,8 @@ object NorthStar {
     "audio_decode" -> (audioDecode _),
     "video_frames" -> (videoFrames _),
     "video_quarantine" -> (videoQuarantine _),
+    "video_shots" -> (videoShots _),
+    "audio_features" -> (audioFeatures _),
     "vocab_build" -> (vocabBuild _))
 
   /** Shared oracle building blocks for the near-dup family — the
@@ -1130,6 +1160,49 @@ object NorthStar {
     "video_quarantine" ->
       """SELECT doc_id, CAST(6 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 9 = 0""".stripMargin,
+    // Pixel-replayed frame sums -> lag delta -> threshold: the whole
+    // shot-detection chain replayed without a decoder.
+    "video_shots" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id % 5 + 1 AS nf,
+        |    CAST(doc_id % 21 + 6 AS INT) AS width,
+        |    CAST(doc_id % 17 + 6 AS INT) AS height
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, width, height, uf.f AS frame_no,
+        |    doc_id + 131 * uf.f AS seed
+        |  FROM v, UNNEST(range(nf)) AS uf(f)),
+        |e AS (
+        |  SELECT doc_id, frame_no, seed, ux.x AS x, uy.y AS y
+        |  FROM f, UNNEST(range(width)) AS ux(x), UNNEST(range(height)) AS uy(y)),
+        |vf AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(sum((x*31 + y*17 + seed) % 256) AS BIGINT) AS sum_r,
+        |    CAST(sum((x*7 + y*13 + seed // 256) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((x*3 + y*29 + seed // 65536) % 256) AS BIGINT) AS sum_b
+        |  FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, frame_no,
+        |    abs(sum_r - lag(sum_r) OVER w) + abs(sum_g - lag(sum_g) OVER w)
+        |      + abs(sum_b - lag(sum_b) OVER w) AS delta
+        |  FROM vf WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no))
+        |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        |  CAST(coalesce(delta, -1) AS BIGINT) AS delta,
+        |  (frame_no = 0 OR delta > 700) AS is_shot
+        |FROM d""".stripMargin,
+    // Per-window integer energy replay of the decoded waveform.
+    "audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(doc_id % 500 + 100 AS INT) AS n FROM documents),
+        |e AS (SELECT doc_id, ui.i AS i FROM a, UNNEST(range(n)) AS ui(i)),
+        |s AS (
+        |  SELECT doc_id, CAST(i // 64 AS INT) AS win_no,
+        |    (i*31 + doc_id*17) % 65536 - 32768 AS v
+        |  FROM e)
+        |SELECT doc_id, win_no, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS INT) AS max_abs
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // Pixel replay of ImageCodec.encodePng's (x, y, seed) pattern:
     // proves the decode recovered exact bytes, not just dimensions.
     "image_features" ->

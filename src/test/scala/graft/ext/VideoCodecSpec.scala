@@ -67,5 +67,10 @@ class VideoCodecSpec extends SparkTestBase {
     val quarantined = Multimodal.quarantineVideos(rows, "doc_id", "payload")
       .collect().map(_.doc_id).sorted
     assert(quarantined.toSeq == Seq(2L, 4L))
+    // Map-only contract: payload bytes never shuffle — decode runs
+    // where the scan read them (the property that matters at 100 TB).
+    val plan = Multimodal.videoFrameStats(rows, "doc_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
   }
 }
