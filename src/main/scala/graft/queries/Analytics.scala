@@ -407,15 +407,17 @@ object Analytics {
     * integer-exact — Σy² and the cross-products route through
     * DECIMAL(38,0) because cents² overflows BIGINT at sf0.1. The
     * hashed frame carries ONLY the exact moment polynomials
-    * (cov_num, var_x_num, var_y_num): r is a pure function of them,
-    * and the float itself cannot be in a cross-engine hash gate —
-    * the numerators exceed 2^53, and Spark's correctly-rounded
-    * DECIMAL(38,0)→DOUBLE cast vs DuckDB's two-step HUGEINT→DOUBLE
-    * conversion can differ by an ulp, which round(,6) amplifies
-    * into a different 6th digit. The derived r is verified in
-    * AnalyticsSpec against Spark's built-in `corr` at 1e-6 (built-in
-    * corr is a partition-order-dependent running float, so IT can
-    * never be the hashed value either).
+    * (cov_num, var_x_num, var_y_num) — as digit STRINGS: r is a pure
+    * function of them, and neither a float NOR a decimal column can
+    * sit in a cross-engine hash gate. The float because the
+    * numerators exceed 2^53 (a one-ulp conversion difference is
+    * amplified by round(,6)); the decimal because r7 proved the gate
+    * mangles DECIMAL renderings even when both engines' values are
+    * byte-identical locally (HUGEINT vs decimal128 vs float64 client
+    * paths). The digit string is identical by construction. The
+    * derived r is verified in AnalyticsSpec against Spark's built-in
+    * `corr` at 1e-6 (built-in corr is a partition-order-dependent
+    * running float, so IT can never be the hashed value either).
     *
     * Scale: ONE map-side-combined aggregate over the scan — no
     * exchange carries more than a single moment row.
