@@ -747,6 +747,47 @@ object NorthStar {
         (col("frame_no") === 0 || col("delta") > 700).as("is_shot"))
   }
 
+  /** The cross-modal capstone: one manifest row per document gating on
+    * ALL FOUR modality lanes — text token budget, image decodability
+    * (the %7-corrupted payloads must fail), mean audio energy over the
+    * REAL decoded waveform (integer cross-multiply, no float in the
+    * gate: total_sq > T · total_n), and a minimum decoded video frame
+    * count. This is the multimodal training-set selection shape: each
+    * lane is a map-only decode over its own payloads reduced to a
+    * doc-keyed signal, then doc_id-keyed equi-joins (co-partitioned on
+    * a real cluster — no lane ever shuffles payload bytes, only the
+    * few-longs-per-doc signals). The oracle replays every lane
+    * arithmetically and re-derives the same joins.
+    */
+  def multimodalManifest(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.ext.Multimodal
+    val text = t(s, dir, "documents").select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val corrupted = imageDocs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, substring(col("payload"), 1, 10))
+        .otherwise(col("payload")).as("payload"))
+    val image = mm.decodeImages(corrupted, "doc_id", "payload").toDF()
+      .select(col("doc_id"), lit(true).as("image_ok"))
+    val audio = mm.audioWindows(audioDocs(s, dir), "doc_id", "payload", 64).toDF()
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sum_sq")).as("total_sq"), sum(col("n_samples")).as("total_n"))
+    val video = mm.videoFrameStats(videoDocs(s, dir), "doc_id", "payload").toDF()
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_frames"))
+    val textOk = col("n_tok").between(10, 5000)
+    val audioOk = col("total_sq") > lit(500000000L) * col("total_n")
+    val videoOk = col("n_frames") >= 3
+    text
+      .join(image, Seq("doc_id"), "left")
+      .join(audio, Seq("doc_id"))
+      .join(video, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), textOk.as("text_ok"),
+        coalesce(col("image_ok"), lit(false)).as("image_ok"),
+        col("total_sq"), col("total_n"), audioOk.as("audio_ok"),
+        col("n_frames"), videoOk.as("video_ok"),
+        (textOk && coalesce(col("image_ok"), lit(false)) && audioOk && videoOk)
+          .as("keep"))
+  }
+
   /** Real encoded-WAV payload per document: deterministic PCM16 whose
     * length and samples are arithmetic in doc_id (same contract as
     * [[imageDocs]] for the audio modality).
@@ -842,6 +883,7 @@ object NorthStar {
     "video_quarantine" -> (videoQuarantine _),
     "video_shots" -> (videoShots _),
     "audio_features" -> (audioFeatures _),
+    "multimodal_manifest" -> (multimodalManifest _),
     "vocab_build" -> (vocabBuild _))
 
   /** Shared oracle building blocks for the near-dup family — the
@@ -1190,6 +1232,33 @@ object NorthStar {
         |  CAST(coalesce(delta, -1) AS BIGINT) AS delta,
         |  (frame_no = 0 OR delta > 700) AS is_shot
         |FROM d""".stripMargin,
+    // Every modality lane replayed arithmetically, then the same
+    // doc-keyed joins and the integer-exact keep gate.
+    "multimodal_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |a AS (SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS total_n
+        |  FROM documents),
+        |e AS (SELECT a.doc_id, a.total_n, ui.i AS i
+        |  FROM a, UNNEST(range(a.total_n)) AS ui(i)),
+        |ae AS (
+        |  SELECT doc_id, any_value(total_n) AS total_n,
+        |    CAST(sum(((i*31 + doc_id*17) % 65536 - 32768)
+        |           * ((i*31 + doc_id*17) % 65536 - 32768)) AS BIGINT) AS total_sq
+        |  FROM e GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tok,
+        |  (t.n_tok BETWEEN 10 AND 5000) AS text_ok,
+        |  (t.doc_id % 7 <> 0) AS image_ok,
+        |  ae.total_sq, ae.total_n,
+        |  (ae.total_sq > 500000000 * ae.total_n) AS audio_ok,
+        |  CAST(t.doc_id % 5 + 1 AS INT) AS n_frames,
+        |  (t.doc_id % 5 + 1 >= 3) AS video_ok,
+        |  (t.n_tok BETWEEN 10 AND 5000 AND t.doc_id % 7 <> 0
+        |    AND ae.total_sq > 500000000 * ae.total_n
+        |    AND t.doc_id % 5 + 1 >= 3) AS keep
+        |FROM t JOIN ae USING (doc_id)""".stripMargin,
     // Per-window integer energy replay of the decoded waveform.
     "audio_features" ->
       """WITH a AS (
