@@ -773,7 +773,7 @@ object NorthStar {
       .agg(sum(col("sum_sq")).as("total_sq"), sum(col("n_samples")).as("total_n"))
     val video = mm.videoFrameStats(videoDocs(s, dir), "doc_id", "payload").toDF()
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_frames"))
-    val textOk = col("n_tok").between(10, 5000)
+    val textOk = col("n_tok").between(40, 5000)
     val audioOk = col("total_sq") > lit(500000000L) * col("total_n")
     val videoOk = col("n_frames") >= 3
     text
@@ -1249,13 +1249,13 @@ object NorthStar {
         |           * ((i*31 + doc_id*17) % 65536 - 32768)) AS BIGINT) AS total_sq
         |  FROM e GROUP BY doc_id)
         |SELECT t.doc_id, t.n_tok,
-        |  (t.n_tok BETWEEN 10 AND 5000) AS text_ok,
+        |  (t.n_tok BETWEEN 40 AND 5000) AS text_ok,
         |  (t.doc_id % 7 <> 0) AS image_ok,
         |  ae.total_sq, ae.total_n,
         |  (ae.total_sq > 500000000 * ae.total_n) AS audio_ok,
         |  CAST(t.doc_id % 5 + 1 AS INT) AS n_frames,
         |  (t.doc_id % 5 + 1 >= 3) AS video_ok,
-        |  (t.n_tok BETWEEN 10 AND 5000 AND t.doc_id % 7 <> 0
+        |  (t.n_tok BETWEEN 40 AND 5000 AND t.doc_id % 7 <> 0
         |    AND ae.total_sq > 500000000 * ae.total_n
         |    AND t.doc_id % 5 + 1 >= 3) AS keep
         |FROM t JOIN ae USING (doc_id)""".stripMargin,
