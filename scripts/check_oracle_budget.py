@@ -30,6 +30,8 @@ def canon(rows, cols):
 
 
 def values_eq(a, b):
+    # Same comparison discipline as check_oracle.py: floats compare at
+    # relative tolerance, everything else exactly.
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -37,7 +39,7 @@ def values_eq(a, b):
             return False
         if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 
 
@@ -63,7 +65,19 @@ def main():
         if name not in oracle:
             n_norac += 1
             continue
-        timer = threading.Timer(budget, con.interrupt)
+        # The timer callback checks a per-query "still running" flag
+        # under a lock so a query finishing right at the budget boundary
+        # cannot leave a stale interrupt on the shared connection (which
+        # would cancel — and mislabel — the NEXT query).
+        running = {"v": True}
+        lock = threading.Lock()
+
+        def _interrupt():
+            with lock:
+                if running["v"]:
+                    con.interrupt()
+
+        timer = threading.Timer(budget, _interrupt)
         timer.start()
         try:
             res = con.execute(oracle[name])
@@ -79,6 +93,8 @@ def main():
                 print(f"  [ORACLE-ERR] {name}: {e}")
             continue
         finally:
+            with lock:
+                running["v"] = False
             timer.cancel()
         tbl = pq.read_table(str(d))
         gc, gr = canon([tuple(r.values()) for r in tbl.to_pylist()], tbl.column_names)

@@ -381,6 +381,10 @@ object Multimodal {
               // bits-per-sample sits after byteRate(4) + blockAlign(2).
               buf.position(fmtStart + 14)
               if (buf.getShort != 16) return None
+              // A declared rate ≤ 0 is a malformed header: refuse, so
+              // decode-or-quarantine stays exhaustive (the old
+              // AudioSystem path also rejected these).
+              if (rate <= 0) return None
               sampleRate = rate
               buf.position(fmtStart + size + (size & 1))
             case "data" =>

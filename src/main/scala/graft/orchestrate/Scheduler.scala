@@ -54,26 +54,39 @@ object Schedule {
       minute: CronField, hour: CronField, dayOfMonth: CronField,
       month: CronField, dayOfWeek: CronField, year: CronField) extends Schedule {
 
-    private def matches(t: ZonedDateTime): Boolean =
-      minute.matches(t.getMinute) && hour.matches(t.getHour) &&
-        dayOfMonth.matches(t.getDayOfMonth) && month.matches(t.getMonthValue) &&
+    private def dateMatches(t: ZonedDateTime): Boolean =
+      dayOfMonth.matches(t.getDayOfMonth) && month.matches(t.getMonthValue) &&
         // Cron day-of-week: 1 = Sunday … 7 = Saturday (EventBridge
         // numbering); java.time: 1 = Monday … 7 = Sunday.
         dayOfWeek.matches(t.getDayOfWeek.getValue % 7 + 1) &&
         year.matches(t.getYear)
 
     def nextFire(anchor: Instant, after: Instant): Instant = {
-      // Minute-resolution scan — schedules are minute-grained by
-      // construction. Bounded to 500 days: a valid schedule in this
-      // grammar fires at least yearly within any such window unless
-      // the year field excludes it entirely, which we surface loudly.
+      // Day-granular walk with field-wise pruning: non-matching days
+      // cost one probe each (not 1,440 minute probes), and within a
+      // matching day only the allowed hour×minute grid is enumerated —
+      // so even a single-year-constrained schedule decades out
+      // resolves in at most ~84k cheap probes. Exhausting the year
+      // range means the schedule can never fire again; surface loudly.
       var t = after.atZone(ZoneOffset.UTC).withSecond(0).withNano(0).plusMinutes(1)
-      val limit = t.plusDays(500)
-      while (t.isBefore(limit)) {
-        if (matches(t)) return t.toInstant
-        t = t.plusMinutes(1)
+      while (t.getYear <= YearMax) {
+        if (dateMatches(t)) {
+          var h = t.getHour
+          while (h <= 23) {
+            if (hour.matches(h)) {
+              var m = if (h == t.getHour) t.getMinute else 0
+              while (m <= 59) {
+                if (minute.matches(m)) return t.withHour(h).withMinute(m).toInstant
+                m += 1
+              }
+            }
+            h += 1
+          }
+        }
+        t = t.toLocalDate.plusDays(1).atStartOfDay(ZoneOffset.UTC)
       }
-      throw new IllegalStateException(s"cron schedule has no fire time within 500 days of $after")
+      throw new IllegalStateException(
+        s"cron schedule has no fire time after $after within the supported year range (≤ $YearMax)")
     }
   }
 
@@ -93,19 +106,30 @@ object Schedule {
       val fields = body.trim.split("\\s+")
       require(fields.length == 5 || fields.length == 6,
         s"cron() takes 5 or 6 fields, got ${fields.length}: $expr")
-      def field(i: Int): CronField =
-        if (i >= fields.length) CronField(None) else parseField(fields(i))
-      Cron(field(0), field(1), field(2), field(3), field(4), field(5))
+      def field(i: Int, min: Int, max: Int): CronField =
+        if (i >= fields.length) CronField(None) else parseField(fields(i), min, max)
+      Cron(
+        field(0, 0, 59), field(1, 0, 23), field(2, 1, 31),
+        field(3, 1, 12), field(4, 1, 7), field(5, YearMin, YearMax))
     case other =>
       throw new IllegalArgumentException(s"Unsupported schedule expression: $other")
   }
 
-  private def parseField(f: String): CronField = f match {
+  // EventBridge's documented year range; also bounds the nextFire scan.
+  private val YearMin = 1970
+  private val YearMax = 2199
+
+  /** Steps expand over the FIELD's own range starting at its minimum —
+    * `*\/5` in day-of-month is days 1,6,11,…, month `*\/3` is
+    * Jan/Apr/Jul/Oct — matching standard cron/EventBridge semantics
+    * (a step is shorthand for `min-max/n`), not multiples of n.
+    */
+  private def parseField(f: String, min: Int, max: Int): CronField = f match {
     case "*" | "?" => CronField(None)
     case s if s.startsWith("*/") =>
       val step = s.drop(2).toInt
       require(step > 0, s"cron step must be positive: $f")
-      CronField(Some((0 to 59).filter(_ % step == 0).toSet))
+      CronField(Some((min to max by step).toSet))
     case s =>
       CronField(Some(s.split(',').flatMap { part =>
         part.split('-') match {

@@ -774,12 +774,17 @@ object NorthStar {
     val video = mm.videoFrameStats(videoDocs(s, dir), "doc_id", "payload").toDF()
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_frames"))
     val textOk = col("n_tok").between(40, 5000)
-    val audioOk = col("total_sq") > lit(500000000L) * col("total_n")
-    val videoOk = col("n_frames") >= 3
+    // Every non-text lane LEFT-joins and coalesces its gate to false:
+    // a payload the codec refuses (or a lane with no rows at all)
+    // degrades to keep=false, never to row loss — the one-row-per-
+    // document contract holds even if a lane starts quarantining.
+    val audioOk = coalesce(
+      col("total_sq") > lit(500000000L) * col("total_n"), lit(false))
+    val videoOk = coalesce(col("n_frames") >= 3, lit(false))
     text
       .join(image, Seq("doc_id"), "left")
-      .join(audio, Seq("doc_id"))
-      .join(video, Seq("doc_id"))
+      .join(audio, Seq("doc_id"), "left")
+      .join(video, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"), textOk.as("text_ok"),
         coalesce(col("image_ok"), lit(false)).as("image_ok"),
         col("total_sq"), col("total_n"), audioOk.as("audio_ok"),

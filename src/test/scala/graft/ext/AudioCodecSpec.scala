@@ -40,6 +40,21 @@ class AudioCodecSpec extends SparkTestBase {
     assert(AudioCodec.decodeWav(null).isEmpty)
   }
 
+  test("refuses a crafted fmt chunk declaring a non-positive sample rate") {
+    // A malformed header the AudioSystem path would also have refused:
+    // decode-or-quarantine must stay exhaustive over header fields.
+    val wav = AudioCodec.encodeWavPcm16(100, seed = 1L)
+    def withRate(rate: Int): Array[Byte] = {
+      val b = wav.clone()
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(24, rate) // fmt chunk sample-rate slot in the canonical layout
+      b
+    }
+    assert(AudioCodec.decodeWav(withRate(0)).isEmpty)
+    assert(AudioCodec.decodeWav(withRate(-8000)).isEmpty)
+    assert(AudioCodec.decodeWav(withRate(8000)).nonEmpty, "control: valid rate decodes")
+  }
+
   test("decodeAudio is map-only over a binary column") {
     val s = spark; import s.implicits._
     val docs = Seq(1L, 2L).map(id =>

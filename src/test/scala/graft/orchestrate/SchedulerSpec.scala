@@ -54,6 +54,26 @@ class SchedulerSpec extends AnyFunSuite {
       Instant.parse("2026-01-02T09:00:00Z"))
   }
 
+  test("cron steps expand from each field's own minimum (standard cron semantics)") {
+    // Day-of-month */5 = days 1,6,11,… (not multiples of 5).
+    val dom = Schedule.parse("cron(0 0 */5 * ? *)")
+    assert(dom.nextFire(t0, t0) == Instant.parse("2026-01-06T00:00:00Z"))
+    // Month */3 = Jan,Apr,Jul,Oct (not Mar,Jun,Sep,Dec).
+    val mon = Schedule.parse("cron(0 0 1 */3 ? *)")
+    assert(mon.nextFire(t0, Instant.parse("2026-01-15T00:00:00Z")) ==
+      Instant.parse("2026-04-01T00:00:00Z"))
+    // Day-of-week */2 = Sun,Tue,Thu,Sat (cron 1,3,5,7). 2026-01-02 is
+    // a Friday, so the next match is Saturday the 3rd.
+    val dow = Schedule.parse("cron(0 0 ? * */2 *)")
+    assert(dow.nextFire(t0, Instant.parse("2026-01-02T01:00:00Z")) ==
+      Instant.parse("2026-01-03T00:00:00Z"))
+    // Year steps expand over the real year range — */4 from 1970 lands
+    // on 2026 (1970 + 14·4), so this fires rather than scanning 500
+    // days of minutes and throwing.
+    val yr = Schedule.parse("cron(0 0 1 1 ? */4)")
+    assert(yr.nextFire(t0, t0) == Instant.parse("2030-01-01T00:00:00Z"))
+  }
+
   test("tick fires due sources once, skips unscheduled, keeps per-source state") {
     val sources = Seq(cfg("fast", "rate(15 minutes)"), cfg("slow", "rate(1 hour)"),
       SourceConfig(name = "unscheduled", sourceType = SourceType.File))
