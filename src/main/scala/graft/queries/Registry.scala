@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   private val sources = Seq(
     Relational.queries, Scalar.queries, NorthStar.queries, Pipeline.queries,
-    ScaleOps.queries, Temporal.queries, Analytics.queries)
+    ScaleOps.queries, Temporal.queries, Analytics.queries, Broker.queries)
 
   // ++ would silently keep the last duplicate — fail loudly instead.
   require(sources.map(_.keySet.size).sum == sources.flatMap(_.keySet).distinct.size, {
@@ -26,7 +26,7 @@ object Registry {
 
   val oracle: Map[String, String] =
     Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle ++ Pipeline.oracle ++
-      ScaleOps.oracle ++ Temporal.oracle ++ Analytics.oracle
+      ScaleOps.oracle ++ Temporal.oracle ++ Analytics.oracle ++ Broker.oracle
 
   require(oracle.keySet.subsetOf(queries.keySet),
     s"oracle entries without a query: ${oracle.keySet -- queries.keySet}")

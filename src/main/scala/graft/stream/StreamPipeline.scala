@@ -34,6 +34,11 @@ object StreamPipeline {
       case "kafka" =>
         val schema = graft.sources.SourceReader.read(spark, "json", st.landingPath).schema
         StreamSource.readKafka(spark, st.brokers, st.topic, schema)
+      case "broker" | "graft-broker" =>
+        // The executed in-engine transport: `topic` is the broker log
+        // directory; value schema from the landing samples like kafka.
+        val schema = graft.sources.SourceReader.read(spark, "json", st.landingPath).schema
+        StreamSource.readBroker(spark, st.topic, schema)
       case "kinesis" =>
         val schema = graft.sources.SourceReader.read(spark, "json", st.landingPath).schema
         StreamSource.readKinesis(spark, st.streamName, st.region, schema)

@@ -47,6 +47,26 @@ object StreamSource {
       .select(from_json(col(byteCol).cast("string"), schema).as("payload"))
       .select(col("payload.*"))
 
+  /** The executed broker path: subscribe to a [[BrokerLog]] directory
+    * topic via the custom DataSource V2 [[BrokerLogMicroBatchStream]]
+    * and parse record values exactly like Kafka's — same schema shape
+    * (partition/offset/ts/value), same [[parseJsonPayload]], same
+    * downstream operators. This is the in-sandbox proof of the
+    * engine-side streaming contract (offset tracking, micro-batch
+    * planning, checkpointed restart); [[readKafka]]/[[readKinesis]]
+    * swap only the transport line.
+    */
+  def readBroker(
+      spark: SparkSession,
+      brokerDir: String,
+      schema: StructType): DataFrame =
+    parseJsonPayload(
+      spark.readStream
+        .format("graft-broker")
+        .option("path", brokerDir)
+        .load(),
+      "value", schema)
+
   /** Kafka-shaped stream: subscribe to a topic, parse JSON values into
     * the declared schema. Requires the spark-sql-kafka connector on the
     * cluster classpath (standard deploy; not part of this repo's
