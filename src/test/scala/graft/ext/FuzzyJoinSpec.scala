@@ -49,4 +49,47 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  /** One pathological blocking key (everyone named SMITH) must not
+    * serialize into a single quadratic task: with cap c the block
+    * splits into id-ordered chunks of ≤ c rows, cells distribute, and
+    * the PAIR SET is bit-identical to the uncapped join.
+    */
+  test("planted hot block: salted cells reproduce the uncapped result exactly") {
+    val s = spark; import s.implicits._
+    // 120 SMITH-block rows with planted near-dups + a control block.
+    val hot = (0 until 120).map { i =>
+      val name = if (i % 10 == 0) "SMITH ENTERPRISES LLC" else f"SMITH HOLDING $i%03d"
+      (i.toLong, name)
+    }
+    val df = (hot ++ Seq((900L, "Widgets Ltd"), (901L, "Widgets Ltc"))).toDF("id", "name")
+    val blockOn = substring(col("name"), 1, 5)
+    def pairs(cap: Int) = FuzzyJoin.blockedPairs(df, "id", "name", blockOn,
+        maxDist = 2, blockCap = cap)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    // The 12 identical "SMITH ENTERPRISES LLC" rows alone give 66 pairs.
+    assert(uncapped.size >= 66 && uncapped.contains((900L, 901L, 1)))
+    assert(pairs(16) == uncapped, "cap=16 (8 chunks) must not change the result")
+    assert(pairs(7) == uncapped, "cap=7 (18 chunks) must not change the result")
+  }
+
+  test("chunk assignment bounds per-cell work and respects id order") {
+    val s = spark; import s.implicits._
+    val keyed = ((0 until 100).map(i => (i.toLong, s"n$i", "HOT")) ++
+      Seq((500L, "x", "COLD"))).toDF("id", "name", "blk")
+    val assigned = FuzzyJoin.chunked(keyed, cap = 30).collect()
+    val hot = assigned.filter(_.getAs[String]("blk") == "HOT")
+    val byChunk = hot.groupBy(_.getAs[Int]("chunk")).view.mapValues(_.map(_.getLong(0)))
+    // ⌈100/30⌉ = 4 chunks, each ≤ 30 rows, contiguous in id order.
+    assert(byChunk.keySet == Set(0, 1, 2, 3))
+    assert(byChunk.values.forall(_.length <= 30))
+    val maxOf = byChunk.mapValues(_.max).toMap
+    val minOf = byChunk.mapValues(_.min).toMap
+    (0 until 3).foreach(k => assert(maxOf(k) < minOf(k + 1), "chunks must be id-ordered"))
+    // Small blocks stay single-chunk.
+    assert(assigned.filter(_.getAs[String]("blk") == "COLD")
+      .forall(r => r.getAs[Int]("chunk") == 0 && r.getAs[Int]("nchunks") == 1))
+  }
 }
