@@ -138,6 +138,27 @@ object ConfigLoader {
         maxFilesPerTrigger = int(st, "max_files_per_trigger", 100))
     }
 
+    val curation = obj(src, "curation").map { c =>
+      val q = obj(c, "quality").getOrElse(Map.empty)
+      val ch = obj(c, "chunk").getOrElse(Map.empty)
+      val sh = obj(c, "shard").getOrElse(Map.empty)
+      def long(m: Map[String, Any], k: String, default: Long): Long =
+        m.get(k).map(v => String.valueOf(v).toDouble.toLong).getOrElse(default)
+      CurationConfig(
+        idField = str(c, "id_field", "doc_id"),
+        textField = str(c, "text_field", "text"),
+        stratumField = str(c, "stratum_field", "lang"),
+        minTokens = long(q, "min_tokens", 10),
+        maxTokens = long(q, "max_tokens", 5000),
+        minStopRatio = q.get("min_stop_ratio").map(v => String.valueOf(v).toDouble).getOrElse(0.01),
+        dedup = str(c, "dedup", "exact"),
+        mix = bool(c, "mix", default = true),
+        chunkTokens = int(ch, "tokens", 32),
+        chunkOverlap = int(ch, "overlap", 8),
+        shardBudget = long(sh, "budget", 2048),
+        shardBucketWidth = long(sh, "bucket_width", 64L << 20))
+    }
+
     val wh = obj(src, "redshift").orElse(obj(src, "warehouse")).map { w =>
       WarehouseConfig(
         schema = str(w, "schema"),
@@ -180,7 +201,8 @@ object ConfigLoader {
       warehouse = wh,
       qualityChecks = qcs,
       monitoring = mon,
-      schedule = optStr(cfgM, "schedule").orElse(optStr(src, "schedule")))
+      schedule = optStr(cfgM, "schedule").orElse(optStr(src, "schedule")),
+      curation = curation)
   }
 
   // ---- untyped-tree helpers (snakeyaml gives LinkedHashMap/ArrayList) ----

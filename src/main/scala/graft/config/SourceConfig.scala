@@ -23,7 +23,11 @@ final case class SourceConfig(
     monitoring: Monitoring = Monitoring(),
     // O8: scheduler expression (sample_source.yaml:26, "rate(1 hour)");
     // evaluated by graft.orchestrate.Scheduler, not by the pipeline run.
-    schedule: Option[String] = None)
+    schedule: Option[String] = None,
+    // North-star curation pipeline declared in config, compiled onto
+    // the corpus operators by graft.transform.CurationCompiler —
+    // mirrors how `transformations:` compiles onto T1–T6.
+    curation: Option[CurationConfig] = None)
 
 /** Pipeline branch discriminator (workflow_definition.json:15-45). */
 sealed trait SourceType
@@ -148,6 +152,27 @@ final case class StreamConfig(
     checkpointDir: String = "",
     outputPath: String = "",
     maxFilesPerTrigger: Int = 100)
+
+/** Declarative training-data curation (the LLM-pipeline extension of
+  * the reference's config DSL): quality gate → dedup → temperature mix
+  * → context-window chunking → token-budget sharding, each stage an
+  * existing library operator with its parameters lifted into config.
+  * `dedup`: "exact" | "none"; `mix`: temperature-flatten the stratum
+  * distribution before chunking.
+  */
+final case class CurationConfig(
+    idField: String = "doc_id",
+    textField: String = "text",
+    stratumField: String = "lang",
+    minTokens: Long = 10,
+    maxTokens: Long = 5000,
+    minStopRatio: Double = 0.01,
+    dedup: String = "exact",
+    mix: Boolean = true,
+    chunkTokens: Int = 32,
+    chunkOverlap: Int = 8,
+    shardBudget: Long = 2048,
+    shardBucketWidth: Long = 64L << 20)
 
 /** Email-attachment source (email_processor/handler.py:26-58,165-169). */
 final case class EmailConfig(

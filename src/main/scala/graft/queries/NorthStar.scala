@@ -62,24 +62,18 @@ object NorthStar {
     * feed BOTH the scorer (text_quality) and the gate (quality_filter)
     * so they can never silently diverge.
     */
-  private val QualityStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val QualityStopwords = graft.ext.TextAnalysis.QualityStopwords
   private def qToks = split(trim(org.apache.spark.sql.functions.col("text")), "\\s+")
-  private def qTok = size(qToks)
+  private def qTok = graft.ext.TextAnalysis
+    .qualityTokenCount(org.apache.spark.sql.functions.col("text"))
   private def qStop = size(filter(qToks, c => c.isInCollection(QualityStopwords)))
 
-  /** Stopword count as a single codegen'd regex pass — provably equal
-    * to [[qStop]] (count of split-on-\s+ tokens IN the stopword set):
-    * a token equals a stopword iff that stopword occurs bounded by
-    * whitespace or string edges, and stopwords contain no whitespace,
-    * so occurrences and matching tokens are 1:1. The lookahead keeps
-    * the trailing boundary unconsumed so adjacent stopword tokens
-    * ("of the") both match. The HOF form ([[qStop]]) knocks its
-    * operator out of whole-stage codegen and runs interpreted —
-    * measured 12× slower in the quality-gate filter.
+  /** Codegen'd regex stopword count — shared with the curation
+    * compiler via [[graft.ext.TextAnalysis.qualityStopwordCount]]
+    * (equality proof in its Scaladoc).
     */
-  private def qStopFast = regexp_count(
-    org.apache.spark.sql.functions.col("text"),
-    lit(s"(?:^|\\s)(?:${QualityStopwords.mkString("|")})(?=\\s|$$)"))
+  private def qStopFast = graft.ext.TextAnalysis
+    .qualityStopwordCount(org.apache.spark.sql.functions.col("text"))
 
   /** Text-quality scoring: stopword ratio, mean token length,
     * type-token ratio — the length/punct/stopword heuristics of a

@@ -138,11 +138,52 @@ object Pipeline {
       .crossJoin(broadcast(s.read.parquet(s"$base/report")))
   }
 
+  /** The north-star pipeline declared in PURE CONFIG: a YAML
+    * `curation:` section (the reference DSL's shape extended with the
+    * LLM-pipeline stages) parsed by [[graft.config.ConfigLoader]] and
+    * compiled by [[graft.transform.CurationCompiler]] onto the same
+    * operators `training_manifest` composes in Scala. Parameters match
+    * the defaults, so the frame hashes against the SAME oracle —
+    * config-reachability itself is the gated behavior.
+    */
+  private val curationYaml =
+    """source:
+      |  name: corpus_curation
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    stratum_field: lang
+      |    quality:
+      |      min_tokens: 10
+      |      max_tokens: 5000
+      |      min_stop_ratio: 0.01
+      |    dedup: exact
+      |    mix: true
+      |    chunk:
+      |      tokens: 32
+      |      overlap: 8
+      |    shard:
+      |      budget: 2048
+      |      bucket_width: 67108864
+      |""".stripMargin
+
+  def cfgCuration(s: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.config.ConfigLoader.fromYaml(curationYaml)
+    val cu = cfg.curation.getOrElse(
+      throw new IllegalStateException("curation section failed to parse"))
+    graft.transform.CurationCompiler.compile(cu)(t(s, dir, "documents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
+    "cfg_curation" -> (cfgCuration _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
+    // Same truth as training_manifest: the config-compiled plan must
+    // reproduce the Scala-composed plan bit-for-bit.
+    "cfg_curation" -> NorthStar.oracle("training_manifest"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

@@ -1,0 +1,72 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.CurationConfig
+import graft.ext.{SeqPack, TextAnalysis}
+
+/** Compiles a `curation:` config section onto the corpus operators —
+  * the LLM-pipeline analog of how `transformations:` compiles onto the
+  * scalar transform dispatcher ([[Transforms]]): the reference's YAML
+  * config is the product's query language, so the north-star pipeline
+  * (quality gate → dedup → temperature mix → context-window chunking →
+  * token-budget sharding) must be reachable from pure config, not only
+  * from Scala.
+  *
+  * Every stage is the SAME library operator the standalone registered
+  * queries gate ([[TextAnalysis.qualityTokenCount]] /
+  * [[TextAnalysis.qualityStopwordCount]], md5 exact dedup,
+  * [[TextAnalysis.temperatureMix]], [[TextAnalysis.docChunks]],
+  * [[SeqPack.tokenShards]]) — at default parameters the compiled plan
+  * is the `training_manifest` plan, and the `cfg_curation` registered
+  * query hashes against the same oracle to prove it.
+  *
+  * Scale shape (unchanged from training_manifest): the gate is
+  * map-only codegen'd regex work; dedup shuffles fixed-width digests;
+  * the mix is a broadcast gate; chunking is map-only; sharding is the
+  * two-level prefix sum. No stage materializes between stages.
+  */
+object CurationCompiler {
+
+  def compile(cu: CurationConfig)(docs: DataFrame): DataFrame = {
+    val id = col(cu.idField)
+    val text = col(cu.textField)
+
+    val gated = docs
+      .withColumn("__ntok", TextAnalysis.qualityTokenCount(text).cast("long"))
+      .withColumn("__nstop", TextAnalysis.qualityStopwordCount(text).cast("double"))
+      // Nondeterministic barrier: keeps the tokenize in ONE codegen'd
+      // Project instead of being re-inlined into the Filter twice.
+      .withColumn("__barrier", monotonically_increasing_id())
+      .filter(col("__ntok") >= cu.minTokens && col("__ntok") <= cu.maxTokens &&
+        col("__nstop") / col("__ntok") >= cu.minStopRatio && col("__barrier") >= 0)
+      .select(id, text, col(cu.stratumField))
+
+    val survivors = cu.dedup match {
+      case "exact" =>
+        val hashed = gated.withColumn("__h", md5(text.cast("binary")))
+        val keep = hashed.groupBy(col("__h")).agg(min(id).as(cu.idField))
+        hashed.join(keep, Seq("__h", cu.idField)).drop("__h")
+      case "none" => gated
+      case other => throw new IllegalArgumentException(
+        s"curation.dedup must be 'exact' or 'none', got '$other'")
+    }
+
+    val mixed =
+      if (cu.mix) TextAnalysis.temperatureMix(survivors, cu.idField, cu.stratumField)
+      else survivors
+
+    val chunks = TextAnalysis.docChunks(
+      mixed, cu.idField, cu.textField, cu.chunkTokens, cu.chunkOverlap)
+    // Composite (doc, chunk) order key — chunk_id < 2^20 by
+    // construction at any realistic chunk count per document.
+    val keyed = chunks.withColumn("__key", id * (1L << 20) + col("chunk_id"))
+    val shards = SeqPack.tokenShards(
+      keyed.select(col("__key"), col("n_chunk_tokens")),
+      "__key", "n_chunk_tokens", cu.shardBudget, cu.shardBucketWidth)
+    keyed.join(shards.select(col("__key"), col("shard_id")), "__key")
+      .select(id, col("chunk_id"), col("n_chunk_tokens"), col("chunk_hash"),
+        col("shard_id"))
+  }
+}
