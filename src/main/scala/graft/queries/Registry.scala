@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   private val sources = Seq(
     Relational.queries, Scalar.queries, NorthStar.queries, Pipeline.queries,
-    ScaleOps.queries, Temporal.queries, Analytics.queries, Broker.queries)
+    ScaleOps.queries, Temporal.queries, Analytics.queries, Broker.queries,
+    Tokenizer.queries)
 
   // ++ would silently keep the last duplicate — fail loudly instead.
   require(sources.map(_.keySet.size).sum == sources.flatMap(_.keySet).distinct.size, {
@@ -26,7 +27,8 @@ object Registry {
 
   val oracle: Map[String, String] =
     Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle ++ Pipeline.oracle ++
-      ScaleOps.oracle ++ Temporal.oracle ++ Analytics.oracle ++ Broker.oracle
+      ScaleOps.oracle ++ Temporal.oracle ++ Analytics.oracle ++ Broker.oracle ++
+      Tokenizer.oracle
 
   require(oracle.keySet.subsetOf(queries.keySet),
     s"oracle entries without a query: ${oracle.keySet -- queries.keySet}")

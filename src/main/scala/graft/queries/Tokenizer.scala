@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** BPE tokenizer training as oracle-gated queries: the merge table
+  * ([[graft.ext.BpeTrain.learnMerges]]) and the trained segmentation
+  * of the whole vocabulary, both replayed round-for-round by DuckDB —
+  * the oracle SQL unrolls every merge round (pair count → argmax with
+  * the same (count desc, lhs, rhs) tie-break → literal-replace
+  * application), the same unrolled-iteration discipline as the
+  * pagerank and trained-IVF oracles. Training runs once per fixture
+  * dir (landOnce) and both queries read the landed artifacts.
+  */
+object Tokenizer {
+
+  private[queries] val NumMerges = 20
+
+  private def landBpe(s: SparkSession, dir: String): String = {
+    val tag = graft.Tables.pathTag(dir)
+    val base = s"/tmp/graft_bpe/$tag"
+    graft.Tables.landOnce(s"bpe_$tag") {
+      val (merges, vocab) = graft.ext.BpeTrain.learnMerges(
+        s, t(s, dir, "documents"), "text", NumMerges)
+      graft.ext.BpeTrain.mergeTable(s, merges)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/merges")
+      vocab
+        .withColumn("n_pieces",
+          size(array_remove(split(col("enc"), "\\|"), "")).cast("long"))
+        .write.mode("overwrite").parquet(s"$base/vocab")
+    }
+    base
+  }
+
+  /** The learned merge table: rank, pair, merged symbol, and the pair
+    * frequency that won the round.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${landBpe(s, dir)}/merges")
+
+  /** The trained tokenizer applied to every distinct word — the
+    * word → pieces lookup table a production tokenizer materializes
+    * (the final state of the training loop).
+    */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${landBpe(s, dir)}/vocab")
+
+  // ---- oracle generation: the training loop unrolled in SQL ----
+
+  /** Shared CTE chain: r0 = word frequencies with per-symbol-wrapped
+    * encoding; then per round i: pair counts (pc_i), the argmax with
+    * deterministic tie-break (p_i), and the applied merge (r_i).
+    * MATERIALIZED keeps DuckDB's work linear in rounds (each CTE is
+    * referenced more than once).
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH r0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+      |    regexp_replace(word, '(.)', '|\1|', 'g') AS enc
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0 AND word NOT LIKE '%|%'
+      |  GROUP BY word)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |pc$i AS MATERIALIZED (
+        |  SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT ss[j] AS a, ss[j + 1] AS b, n FROM (
+        |      SELECT n, ss, unnest(range(1, len(ss))) AS j FROM (
+        |        SELECT n, list_filter(string_split(enc, '|'), x -> x <> '') AS ss
+        |        FROM r${i - 1})))
+        |  GROUP BY a, b),
+        |p$i AS MATERIALIZED (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+        |r$i AS MATERIALIZED (SELECT word, n,
+        |  replace(enc, '|' || (SELECT a FROM p$i) || '||' || (SELECT b FROM p$i) || '|',
+        |    '|' || (SELECT a FROM p$i) || (SELECT b FROM p$i) || '|') AS enc
+        |  FROM r${i - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def bpeMergesSql(rounds: Int): String =
+    bpeCtes(rounds) + "\n" +
+      (1 to rounds).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+          s"a || b AS merged, cnt AS pair_n FROM p$i"
+      }.mkString("", "\nUNION ALL\n", "")
+
+  private def bpeVocabSql(rounds: Int): String =
+    bpeCtes(rounds) + s"""
+      |SELECT word, n, enc,
+      |  CAST(len(list_filter(string_split(enc, '|'), x -> x <> '')) AS BIGINT)
+      |    AS n_pieces
+      |FROM r$rounds""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
+    "bpe_vocab" -> (bpeVocab _))
+
+  val oracle: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesSql(NumMerges),
+    "bpe_vocab" -> bpeVocabSql(NumMerges))
+}
