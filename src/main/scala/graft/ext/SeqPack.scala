@@ -74,4 +74,88 @@ object SeqPack {
       .select(col(idCol), col(tokCol).cast("long").as(tokCol),
         expr(s"__start div ${budget}L").as("shard_id"))
   }
+
+  /** Best-fit sequence PACKING (vs [[tokenShards]]' offset sharding,
+    * which lets a document straddle a boundary): bin-pack whole
+    * documents into fixed-`budget` training sequences to minimize
+    * padding — the packer a real pretraining pipeline runs before
+    * writing sequence files. Deterministic, distributed, class-
+    * decomposed first-fit-decreasing:
+    *
+    *  1. documents group into EXACT-LENGTH classes; within a class all
+    *     items are interchangeable, so packing is pure integer
+    *     arithmetic: k = ⌊budget/len⌋ docs per sequence, the class's
+    *     id-ordered rank divides into local sequences — fully parallel
+    *     (one window partitioned by length), no greedy state at all;
+    *  2. each class leaves at most ONE partial sequence, so the
+    *     residual frame is bounded by the number of distinct lengths
+    *     (≤ budget rows — output-sized, NOT corpus-sized); those
+    *     partials merge by next-fit-decreasing over (tokens desc) — a
+    *     sequential fold, deliberately quarantined to the tiny frame
+    *     (same justification as the vocab-rank windows);
+    *  3. sequences get stable dense ids by one output-sized global
+    *     window over (full-before-residual, length desc, position).
+    *
+    * Documents longer than the budget get k = 1: their own (overfull)
+    * sequence, surfaced rather than dropped. Waste per residual bin is
+    * < the largest item packed after it (next-fit bound); per full
+    * class sequence it is budget mod len < len. The whole assignment
+    * — including the greedy fold — replays in the DuckDB oracle (the
+    * fold as a linear recursive CTE).
+    */
+  def ffdPack(docs: DataFrame, idCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      col(idCol).cast("long").as("id"), col(tokCol).cast("long").as("len"))
+    val wClass = Window.partitionBy(col("len")).orderBy(col("id"))
+    val ranked = base
+      .withColumn("k", expr(s"greatest(${budget}L DIV len, 1L)"))
+      .withColumn("rn", (row_number().over(wClass) - 1).cast("long"))
+      .withColumn("local_seq", expr("rn DIV k"))
+    val seqs = ranked.groupBy(col("len"), col("local_seq"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n"))
+      .withColumn("toks", col("n") * col("len"))
+    val fullSeqs = seqs.where(col("n") === col("k"))
+    // Next-fit-decreasing fold over the ≤ one-partial-per-length frame.
+    // repartition(1) + sortWithinPartitions pins a deterministic scan
+    // order; (toks, len) is unique across partials (one per length).
+    val folded = seqs.where(col("n") < col("k"))
+      .select(col("len"), col("local_seq"), col("toks"))
+      .repartition(1).sortWithinPartitions(col("toks").desc, col("len").desc)
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var fill = -1L
+        var bin = -1L
+        it.map { case (len, localSeq, toks) =>
+          if (fill < 0 || fill + toks > budget) { bin += 1; fill = toks }
+          else fill += toks
+          (len, localSeq, toks, bin)
+        }
+      }.toDF("len", "local_seq", "toks", "bin")
+    // Stable dense sequence ids: full sequences first (length desc,
+    // position), then residual bins — one window over #sequences rows.
+    val entries = fullSeqs
+      .select(lit(0L).as("grp"), (-col("len")).as("k1"), col("local_seq").as("k2"))
+      .unionByName(folded.select(col("bin")).distinct()
+        .select(lit(1L).as("grp"), col("bin").as("k1"), lit(0L).as("k2")))
+    val ids = entries.withColumn("seq_id",
+      (row_number().over(Window.orderBy(col("grp"), col("k1"), col("k2"))) - 1)
+        .cast("long"))
+    val fullAssign = fullSeqs
+      .select(col("len"), col("local_seq"), lit(0L).as("grp"),
+        (-col("len")).as("k1"), col("local_seq").as("k2"))
+      .join(ids, Seq("grp", "k1", "k2"))
+      .select(col("len"), col("local_seq"), col("seq_id"))
+    val partAssign = folded
+      .select(col("len"), col("local_seq"), lit(1L).as("grp"),
+        col("bin").as("k1"), lit(0L).as("k2"))
+      .join(ids, Seq("grp", "k1", "k2"))
+      .select(col("len"), col("local_seq"), col("seq_id"))
+    ranked
+      .join(fullAssign.unionByName(partAssign), Seq("len", "local_seq"))
+      .select(col("id").as(idCol), col("len").as(tokCol), col("seq_id"))
+  }
 }

@@ -96,11 +96,70 @@ object Tokenizer {
       |    AS n_pieces
       |FROM r$rounds""".stripMargin
 
+  private val PackBudget = 256L
+
+  /** Best-fit sequence packing ([[graft.ext.SeqPack.ffdPack]]): whole
+    * documents bin-packed into fixed-256-token training sequences —
+    * class-decomposed FFD with the next-fit-decreasing residual fold,
+    * every assignment (including the fold) replayed by the oracle's
+    * recursive CTE.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SeqPack.ffdPack(
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", PackBudget)
+
+  private def seqPackSql(budget: Long): String =
+    s"""WITH RECURSIVE docs AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS len
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT id, len, greatest($budget // len, 1) AS k,
+      |    CAST(row_number() OVER (PARTITION BY len ORDER BY id) - 1 AS BIGINT) AS rn
+      |  FROM docs),
+      |a AS (SELECT id, len, k, rn // k AS local_seq FROM ranked),
+      |s AS (SELECT len, local_seq, max(k) AS k, count(*) AS n,
+      |    CAST(count(*) * len AS BIGINT) AS toks
+      |  FROM a GROUP BY len, local_seq),
+      |fullseq AS (SELECT len, local_seq FROM s WHERE n = k),
+      |part AS (SELECT len, local_seq, toks,
+      |    CAST(row_number() OVER (ORDER BY toks DESC, len DESC) AS BIGINT) AS prn
+      |  FROM s WHERE n < k),
+      |fold AS (
+      |  SELECT prn, len, local_seq, toks AS fill, CAST(0 AS BIGINT) AS bin
+      |  FROM part WHERE prn = 1
+      |  UNION ALL
+      |  SELECT p.prn, p.len, p.local_seq,
+      |    CASE WHEN f.fill + p.toks <= $budget THEN f.fill + p.toks ELSE p.toks END,
+      |    CASE WHEN f.fill + p.toks <= $budget THEN f.bin ELSE f.bin + 1 END
+      |  FROM fold f JOIN part p ON p.prn = f.prn + 1),
+      |entries AS (
+      |  SELECT CAST(0 AS BIGINT) AS grp, -len AS k1, local_seq AS k2 FROM fullseq
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), bin, CAST(0 AS BIGINT)
+      |  FROM (SELECT DISTINCT bin FROM fold)),
+      |ids AS (SELECT grp, k1, k2,
+      |    CAST(row_number() OVER (ORDER BY grp, k1, k2) - 1 AS BIGINT) AS seq_id
+      |  FROM entries),
+      |assign AS (
+      |  SELECT f2.len, f2.local_seq, i.seq_id FROM fullseq f2
+      |    JOIN ids i ON i.grp = 0 AND i.k1 = -f2.len AND i.k2 = f2.local_seq
+      |  UNION ALL
+      |  SELECT fo.len, fo.local_seq, i.seq_id FROM fold fo
+      |    JOIN ids i ON i.grp = 1 AND i.k1 = fo.bin)
+      |SELECT a.id AS doc_id, a.len AS n_tokens, asg.seq_id
+      |FROM a JOIN assign asg ON asg.len = a.len AND asg.local_seq = a.local_seq"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
-    "bpe_vocab" -> (bpeVocab _))
+    "bpe_vocab" -> (bpeVocab _),
+    "seq_pack" -> (seqPack _))
 
   val oracle: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql(NumMerges),
-    "bpe_vocab" -> bpeVocabSql(NumMerges))
+    "bpe_vocab" -> bpeVocabSql(NumMerges),
+    "seq_pack" -> seqPackSql(PackBudget))
 }
