@@ -824,7 +824,18 @@ object NorthStar {
     graft.ext.Multimodal.quarantineImages(corrupted, "doc_id", "payload").toDF()
   }
 
+  /** Corpus-level duplicate-segment removal ([[graft.ext.LineDedup]]):
+    * 3-word segments recurring ≥3 times anywhere in the corpus are
+    * boilerplate and are struck from EVERY document; survivors
+    * reassemble in original order, fully-boilerplate documents survive
+    * with empty text (no silent row loss).
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LineDedup.dedupSegments(
+      t(s, dir, "documents"), "doc_id", "text", segWords = 3, minCount = 3L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "line_dedup" -> (lineDedup _),
     "lang_id" -> (langId _),
     "tok_bpe" -> (tokBpe _),
     "simhash" -> (simhashQ _),
@@ -912,6 +923,8 @@ object NorthStar {
       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "line_dedup" ->
+      graft.ext.LineDedup.oracleSql("documents", "doc_id", "text", 3, 3L),
     "lang_id" -> graft.ext.TextAnalysis.langIdOracleSql("documents", "text", "doc_id"),
     "temperature_mix" ->
       graft.ext.TextAnalysis.temperatureOracleSql("documents", "doc_id", "lang", DocCols),

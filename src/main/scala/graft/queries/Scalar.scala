@@ -57,6 +57,20 @@ object Scalar {
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
 
+  /** S4 extension: ORC scan through format dispatch — the second
+    * Spark-native columnar format; round-trip via the engine's ORC
+    * writer (predicate pushdown and column pruning work as for
+    * parquet).
+    */
+  def orcScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = scratch("orc_scan", dir) { path =>
+      t(s, dir, "nation").write.mode("overwrite").orc(path)
+    }
+    graft.sources.SourceReader.read(s, "orc", p)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+  }
+
   /** P1: flat column rename via config-style mapping. */
   def rename(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -188,6 +202,7 @@ object Scalar {
     "json_scan" -> (jsonScan _),
     "csv_scan" -> (csvScan _),
     "parquet_scan" -> (parquetScan _),
+    "orc_scan" -> (orcScan _),
     "rename" -> (rename _),
     "nested_extract" -> (nestedExtract _),
     "nested_target" -> (nestedTarget _),
@@ -208,6 +223,7 @@ object Scalar {
     "parquet_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity < 10""".stripMargin,
+    "orc_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "rename" ->
       """SELECT c_custkey AS customer_id, c_name AS customer_name,
         | c_mktsegment AS segment, c_acctbal AS balance FROM customer""".stripMargin,

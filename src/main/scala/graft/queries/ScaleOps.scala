@@ -571,7 +571,49 @@ object ScaleOps {
     graft.ext.TextAnalysis.redactPii(withPii, "doc_id", "text")
   }
 
+  /** Runtime Bloom-pruned fact ⋈ dim join ([[graft.ext.BloomJoin]]):
+    * the filter built over the selective customer subset's keys drops
+    * ~91 % of orders BEFORE the join's exchange; the join removes the
+    * filter's bounded false positives, so the composition is exactly
+    * the plain join the oracle runs.
+    */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
+    graft.ext.BloomJoin.prunedEquiJoin(
+        t(s, dir, "orders"), "o_custkey", dim, "c_custkey",
+        expectedItems = 100000L, fpp = 0.01)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("c_name"))
+  }
+
+  /** File-level zone-map data skipping ([[graft.ext.ZoneMap]]):
+    * lineitem landed range-clustered on l_shipdate with a landed
+    * min/max-per-file index; a 3-month predicate resolves against the
+    * index to the 1-2 intersecting files of 16, which are the only
+    * ones opened. The residual filter keeps the result exactly equal
+    * to the plain scan the oracle runs.
+    */
+  def zonemapScan(s: SparkSession, dir: String): DataFrame = {
+    val tag = graft.Tables.pathTag(dir)
+    val data = s"/tmp/graft_zonemap/$tag/data"
+    val idx = s"/tmp/graft_zonemap/$tag/index"
+    graft.Tables.landOnce(data) {
+      graft.ext.ZoneMap.landClustered(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity")),
+        data, "l_shipdate", numFiles = 16)
+      graft.ext.ZoneMap.buildIndex(s, data, "l_shipdate")
+        .write.mode("overwrite").parquet(idx)
+    }
+    graft.ext.ZoneMap.prunedRangeScan(s, data, s.read.parquet(idx),
+      "l_shipdate",
+      java.sql.Timestamp.valueOf("1997-06-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1997-08-31 00:00:00"))._1
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zonemap_scan" -> (zonemapScan _),
+    "bloom_join" -> (bloomJoin _),
     "interval_join" -> (intervalJoin _),
     "interval_join_left" -> (intervalJoinLeft _),
     "bucketed_join" -> (bucketedJoin _),
@@ -601,6 +643,15 @@ object ScaleOps {
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
+    "zonemap_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-06-01 00:00:00'
+        |                     AND TIMESTAMP '1997-08-31 00:00:00'""".stripMargin,
+    "bloom_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000""".stripMargin,
     "interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
         | round(p.value, 2) AS purchase_value

@@ -96,6 +96,42 @@ object Tokenizer {
       |    AS n_pieces
       |FROM r$rounds""".stripMargin
 
+  /** The trained tokenizer applied to the CORPUS: every document's
+    * token stream looked up through the landed word → pieces table
+    * (broadcast — the vocabulary is corpus-distinct words, orders of
+    * magnitude smaller than the token stream), reduced to per-document
+    * word and piece counts. This is the production shape: train once,
+    * tokenize everywhere as a map-side broadcast join — the token
+    * stream itself never shuffles.
+    */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val vocab = s.read.parquet(s"${landBpe(s, dir)}/vocab")
+      .select(col("word"), col("n_pieces"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains("|"))
+      .join(broadcast(vocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"))
+  }
+
+  private def bpeTokenizeSql(rounds: Int): String =
+    bpeCtes(rounds) + s""",
+      |v AS (SELECT word,
+      |  CAST(len(list_filter(string_split(enc, '|'), x -> x <> '')) AS BIGINT)
+      |    AS n_pieces
+      |  FROM r$rounds),
+      |wd AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      |  FROM documents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+      |FROM wd JOIN v USING (word)
+      |WHERE length(word) > 0 AND word NOT LIKE '%|%'
+      |GROUP BY doc_id""".stripMargin
+
   private val PackBudget = 256L
 
   /** Best-fit sequence packing ([[graft.ext.SeqPack.ffdPack]]): whole
@@ -156,10 +192,12 @@ object Tokenizer {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_vocab" -> (bpeVocab _),
+    "bpe_tokenize" -> (bpeTokenize _),
     "seq_pack" -> (seqPack _))
 
   val oracle: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql(NumMerges),
     "bpe_vocab" -> bpeVocabSql(NumMerges),
+    "bpe_tokenize" -> bpeTokenizeSql(NumMerges),
     "seq_pack" -> seqPackSql(PackBudget))
 }

@@ -19,6 +19,7 @@ object SourceReader {
       case "json"    => spark.read.json(path)
       case "csv"     => spark.read.option("header", "true").csv(path)
       case "parquet" => spark.read.parquet(path)
+      case "orc"     => spark.read.orc(path)
       case other =>
         throw new IllegalArgumentException(s"Unsupported data format: $other")
     }

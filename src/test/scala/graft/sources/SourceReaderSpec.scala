@@ -69,6 +69,18 @@ class SourceReaderSpec extends SparkTestBase {
     assert(q.select("raw_record").head().getString(0) == "garbage line")
   }
 
+  test("orc format dispatch round-trips typed columns") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").orc(dir)
+    val back = SourceReader.read(spark, "orc", dir)
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)).toSet ==
+      Set(("id", "long"), ("name", "string"), ("score", "double")))
+    assert(back.orderBy($"id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
   test("parquet mergeSchema unions columns added over time") {
     val s = spark
     import s.implicits._
