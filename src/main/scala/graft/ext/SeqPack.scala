@@ -60,6 +60,70 @@ object SeqPack {
         expr(s"__start div ${budget}L").as("shard_id"))
   }
 
+  /** Exclusive corpus start-offset per document — the two-level prefix
+    * sum of [[tokenShards]] steps 1-4, exposed on its own: (idCol,
+    * wCol, start) where `start` is the sum of `wCol` over all ids
+    * before this one. Bit-identical to the global window for any
+    * bucketWidth.
+    */
+  def startOffsets(docs: DataFrame, idCol: String, wCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val bucketed = docs.withColumn("__bucket",
+      floor(col(idCol) / bucketWidth).cast("long"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+    val inBucket = bucketed.withColumn("__run",
+      sum(col(wCol).cast("long")).over(wIn))
+    val wOff = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(wCol).cast("long")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    inBucket.join(broadcast(offsets), "__bucket")
+      .select(col(idCol), col(wCol).cast("long").as(wCol),
+        (col("__off") + col("__run") - col(wCol).cast("long")).as("start"))
+  }
+
+  /** Systematic probability-proportional-to-size sampling: lay the
+    * documents' weights end to end on the integer line (deterministic
+    * id order) and select every document whose interval
+    * [start, start+w) covers a multiple of `step` — each document's
+    * selection probability is min(1, w/step), the classic
+    * systematic-PPS estimator, with ZERO randomness state: the sample
+    * is a pure function of (corpus, step), so two runs — or two
+    * engines — agree exactly.
+    *
+    * The only corpus-sized work is the two-level prefix sum
+    * ([[startOffsets]]); selection is a map-side predicate. pick_idx
+    * (which multiple of step the interval covers first) gives the
+    * sample a stable dense ordering.
+    */
+  def ppsSample(docs: DataFrame, idCol: String, wCol: String,
+      step: Long, bucketWidth: Long): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    startOffsets(docs, idCol, wCol, bucketWidth)
+      // smallest multiple of step >= start, inside the interval?
+      .withColumn("__pick", expr(s"(start + ${step - 1}L) div ${step}L"))
+      .filter(col("__pick") * step < col("start") + col(wCol))
+      .select(col(idCol), col(wCol), col("start"), col("__pick").as("pick_idx"))
+  }
+
+  /** DuckDB replay of [[ppsSample]]: the single global window the
+    * two-level sum must match, plus the same integer selection rule.
+    */
+  def ppsOracleSql(table: String, idCol: String, wExpr: String,
+      wName: String, step: Long): String =
+    s"""WITH q AS (SELECT $idCol, CAST($wExpr AS BIGINT) AS $wName FROM $table),
+       |r AS (
+       |  SELECT $idCol, $wName,
+       |    coalesce(sum($wName) OVER (ORDER BY $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+       |  FROM q)
+       |SELECT $idCol, $wName, start, (start + ${step - 1}) // $step AS pick_idx
+       |FROM r
+       |WHERE ((start + ${step - 1}) // $step) * $step < start + $wName""".stripMargin
+
   /** Reference single-window encoding (the shape the two-level version
     * must reproduce bit-for-bit) — test/oracle use only: one global
     * sort, fine at fixture scale, wrong at corpus scale.

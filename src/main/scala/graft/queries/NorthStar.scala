@@ -834,7 +834,28 @@ object NorthStar {
     graft.ext.LineDedup.dedupSegments(
       t(s, dir, "documents"), "doc_id", "text", segWords = 3, minCount = 3L)
 
+  /** Content-defined chunking ([[graft.ext.CdcChunk]]): boundaries
+    * where the 4-word rolling hash ≡ 0 (mod 8) — shift-resistant
+    * chunks whose hashes survive upstream edits (unlike fixed-stride
+    * `doc_chunks`).
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.ext.CdcChunk.chunks(t(s, dir, "documents"), "doc_id", "text",
+      window = 4, modulus = 8)
+
+  /** Systematic PPS sample ([[graft.ext.SeqPack.ppsSample]]): documents
+    * selected where their n_chars interval on the corpus line covers a
+    * multiple of 4096 — weight-proportional, zero randomness state,
+    * prefix sum two-level (never a global sort).
+    */
+  def ppsSample(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SeqPack.ppsSample(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", step = 4096L, bucketWidth = 64L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_chunks" -> (cdcChunks _),
+    "pps_sample" -> (ppsSample _),
     "line_dedup" -> (lineDedup _),
     "lang_id" -> (langId _),
     "tok_bpe" -> (tokBpe _),
@@ -923,6 +944,11 @@ object NorthStar {
       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "cdc_chunks" ->
+      graft.ext.CdcChunk.oracleSql("documents", "doc_id", "text", 4, 8),
+    "pps_sample" ->
+      graft.ext.SeqPack.ppsOracleSql("documents", "doc_id", "n_chars",
+        "n_chars", 4096L),
     "line_dedup" ->
       graft.ext.LineDedup.oracleSql("documents", "doc_id", "text", 3, 3L),
     "lang_id" -> graft.ext.TextAnalysis.langIdOracleSql("documents", "text", "doc_id"),
