@@ -12,7 +12,7 @@ object Registry {
   private val sources = Seq(
     Relational.queries, Scalar.queries, NorthStar.queries, Pipeline.queries,
     ScaleOps.queries, Temporal.queries, Analytics.queries, Broker.queries,
-    Tokenizer.queries)
+    Tokenizer.queries, Tpch.queries)
 
   // ++ would silently keep the last duplicate — fail loudly instead.
   require(sources.map(_.keySet.size).sum == sources.flatMap(_.keySet).distinct.size, {
@@ -28,7 +28,7 @@ object Registry {
   val oracle: Map[String, String] =
     Relational.oracle ++ Scalar.oracle ++ NorthStar.oracle ++ Pipeline.oracle ++
       ScaleOps.oracle ++ Temporal.oracle ++ Analytics.oracle ++ Broker.oracle ++
-      Tokenizer.oracle
+      Tokenizer.oracle ++ Tpch.oracle
 
   require(oracle.keySet.subsetOf(queries.keySet),
     s"oracle entries without a query: ${oracle.keySet -- queries.keySet}")
