@@ -41,26 +41,53 @@ object CdcChunk {
     * words [i-window+1 .. i] ≡ 0 (mod `modulus`); the final word never
     * cuts (a trailing empty chunk would be degenerate). Expected chunk
     * length ≈ `modulus` words beyond the window warm-up.
+    *
+    * The boundary scan is ONE `aggregate` pass that carries the last
+    * `window` word hashes as a ring in its accumulator — O(n·window)
+    * integer ops with the md5 array evaluated once per document. The
+    * tempting direct form, `filter(positions, i => poly(wh, i))` with
+    * `wh = transform(words, md5…)`, inlines the transform into every
+    * element_at probe and re-hashes the WHOLE document per position —
+    * O(n²·window) md5s/doc; measured 57 s for the sf0.1 corpus vs
+    * ~1 s for this shape.
     */
   def chunks(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, modulus: Int = 8): DataFrame = {
     require(window >= 1 && modulus >= 1, s"window/modulus must be >= 1")
     val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
-    val wh = transform(words, w => wordHash(w))
-    val n = size(words)
-    def poly(whc: Column, i: Column): Column =
-      (0 until window).foldLeft(lit(0L)) { (acc, k) =>
-        (acc * B + element_at(whc, i - (window - 1 - k))) % P
-      }
-    // Cut positions i in [window, n-1]: guard the empty range (Spark's
-    // sequence(a, b) with a > b DESCENDS instead of emitting empty).
-    val cuts = when(n > window,
-      filter(sequence(lit(window), n - 1), i => poly(wh, i) % modulus === 0))
-      .otherwise(array().cast("array<int>"))
-    val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
-    val ends = concat(cuts, array(n))
+    // Rolling pass over the hash array: acc = (buf = last <=window
+    // hashes, pos = 1-based position, cuts). The window polynomial is
+    // refolded over the ≤window-long buffer each step (window is tiny);
+    // before the buffer fills, element_at past its end yields NULL →
+    // the cut predicate is null → no cut, which matches the
+    // [window, n-1] position gate.
+    def cutsOf(w: Column): Column = aggregate(
+      transform(w, wordHash(_)),
+      struct(
+        array().cast("array<long>").as("buf"),
+        lit(0).as("pos"),
+        array().cast("array<int>").as("cuts")),
+      (acc, h) => {
+        val pos = acc("pos") + 1
+        val nb = when(size(acc("buf")) < window, concat(acc("buf"), array(h)))
+          .otherwise(concat(slice(acc("buf"), 2, window - 1), array(h)))
+        val p = (0 until window).foldLeft(lit(0L)) { (a, k) =>
+          (a * B + element_at(nb, k + 1)) % P
+        }
+        struct(nb.as("buf"), pos.as("pos"),
+          when(pos >= window && pos < size(w) && p % modulus === 0,
+            concat(acc("cuts"), array(pos))).otherwise(acc("cuts")).as("cuts"))
+      },
+      acc => acc("cuts"))
+    // __cuts is materialized in its own projection and referenced twice
+    // below; CollapseProject keeps the boundary (non-cheap expression
+    // used more than once), so the aggregate runs once per document.
     docs
-      .select(col(idCol), words.as("__w"), starts.as("__s"), ends.as("__e"))
+      .select(col(idCol), words.as("__w"))
+      .select(col(idCol), col("__w"), cutsOf(col("__w")).as("__cuts"))
+      .select(col(idCol), col("__w"),
+        concat(array(lit(1)), transform(col("__cuts"), c => c + 1)).as("__s"),
+        concat(col("__cuts"), array(size(col("__w")))).as("__e"))
       .select(col(idCol),
         posexplode(sequence(lit(0), size(col("__s")) - 1)).as(Seq("chunk_id", "__k")),
         col("__w"), col("__s"), col("__e"))
