@@ -542,6 +542,65 @@ object SimSearch {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic dedup: within each locked-centroid
+    * cluster, a vector is DROPPED when a smaller-id cluster-mate sits
+    * within `threshold` cosine of it; survivors are the min-id
+    * representatives of every near-duplicate neighborhood. This is the
+    * embedding-space answer to MinHash dedup — it removes paraphrases
+    * and re-encodings that share no shingles at all, which is why
+    * LLM corpus pipelines run it AFTER lexical dedup.
+    *
+    * Scale shape: the candidate set is cluster-scoped (one
+    * co-partitioned self-join on cell id — the [[knnGraph]] plan, never
+    * corpus²). Per-cell work is quadratic BY DESIGN — the SemDeDup
+    * contract is that K grows with the corpus so cells stay ~constant
+    *-sized; the fixture locks K, and a skewed real-world cell would get
+    * the `SkewJoin` salted sub-cell treatment before this shape ships
+    * against a pathological corpus. The drop set is output-sized; raw
+    * vectors cross the exchange once each.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      cents: DataFrame): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val cells = clusterAssignWithCentroids(emb, cents)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+      .join(cells, "vec_id")
+    val a = vecs.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = vecs.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        round(ndot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b")).distinct()
+    cells.join(dropped, cells("vec_id") === dropped("id_b"), "left_anti")
+      .select(col("vec_id"), col("cell").as("cluster_id"))
+  }
+
+  /** DuckDB oracle for [[semanticDedup]]: training replay + cell
+    * assignment + the min-id dominance rule.
+    */
+  def semanticDedupOracleSql(threshold: Double, kCents: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(kCents, iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id, cent_id AS cell FROM r WHERE crn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN d da ON da.vec_id = a.vec_id
+       |  JOIN d db ON db.vec_id = b.vec_id
+       |  WHERE round(list_cosine_similarity(da.v, db.v), 6) >= $threshold)
+       |SELECT c.vec_id, c.cell AS cluster_id FROM cell c
+       |WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   /** DuckDB oracle for [[knnGraph]]: training replay + cell-bounded
     * top-k.
     */

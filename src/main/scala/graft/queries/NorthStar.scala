@@ -186,6 +186,36 @@ object NorthStar {
   def knnGraphQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.knnGraph(t(s, dir, "embeddings"), 3, trainedCents(s, dir))
 
+  /** Cosine threshold for [[semanticDedupQ]] — shared with its oracle
+    * constructor so retuning cannot drift the two sides.
+    */
+  private val SemDedupTau = 0.4
+
+  /** SRP output dimensionality (64 → 16: 4× cheaper distances). */
+  private val SrpDim = 16
+
+  /** Signed-random-projection reduced corpus, long format — the
+    * integer-exact 4×-compressed embedding index
+    * ([[graft.ext.RandomProjection]]).
+    */
+  def srpReduceQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.RandomProjection.reduce(t(s, dir, "embeddings"), EmbDim, SrpDim)
+
+  /** Brute cosine top-1 in SRP-reduced space — the cheap first-pass
+    * ANN over the compressed index.
+    */
+  def simTopKSrp(s: SparkSession, dir: String): DataFrame =
+    graft.ext.RandomProjection.topK(t(s, dir, "embeddings"), EmbDim, SrpDim, 100)
+
+  /** SemDeDup-style semantic dedup survivors: cluster-scoped cosine
+    * dominance over the landed locked centroids — the embedding-space
+    * dedup pass that catches paraphrases lexical MinHash can't.
+    * Oracle replays training, assignment, and the min-id rule.
+    */
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.semanticDedup(t(s, dir, "embeddings"), SemDedupTau,
+      trainedCents(s, dir))
+
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
@@ -885,6 +915,9 @@ object NorthStar {
     "sim_topk_ivf_trained" -> (simTopKIvfTrained _),
     "doc_clusters" -> (docClusters _),
     "knn_graph" -> (knnGraphQ _),
+    "semantic_dedup" -> (semanticDedupQ _),
+    "srp_reduce" -> (srpReduceQ _),
+    "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
@@ -1110,6 +1143,11 @@ object NorthStar {
       LockedK, LockedIters, EmbDim),
     "knn_graph" -> graft.ext.SimSearch.knnGraphOracleSql(
       3, LockedK, LockedIters, EmbDim),
+    "semantic_dedup" -> graft.ext.SimSearch.semanticDedupOracleSql(
+      SemDedupTau, LockedK, LockedIters, EmbDim),
+    "srp_reduce" -> graft.ext.RandomProjection.reduceOracleSql(EmbDim, SrpDim),
+    "sim_topk_srp" -> graft.ext.RandomProjection.topKOracleSql(
+      EmbDim, SrpDim, 100),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "dedup_near" ->
       s"""WITH $ShingleCtes

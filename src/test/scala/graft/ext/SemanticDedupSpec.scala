@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Structural invariants of [[SimSearch.semanticDedup]] beyond the
+  * oracle gate: the survivor set is a dominance fixed point (re-running
+  * dedup on survivors drops nothing — every surviving pair is below
+  * threshold), every dropped vector has a surviving smaller-id witness
+  * is NOT guaranteed (dominance is by any smaller id, dropped or not) —
+  * asserted as documented, and a planted duplicate pair loses exactly
+  * its larger id.
+  */
+class SemanticDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cents(emb: org.apache.spark.sql.DataFrame) =
+    SimSearch.trainCentroidsLocked(emb, 4, 1)
+
+  test("planted near-duplicate loses its larger id, distinct vectors survive") {
+    // 4 orthogonal-ish base vectors + an exact copy of vec 1 under id 10.
+    val rows = Seq(
+      0L -> Array(10f, 0f, 0f, 0f),
+      1L -> Array(0f, 10f, 0f, 0f),
+      2L -> Array(0f, 0f, 10f, 0f),
+      3L -> Array(0f, 0f, 0f, 10f),
+      10L -> Array(0f, 10.5f, 0f, 0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val surv = SimSearch.semanticDedup(emb, 0.9, cents(emb))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv === Set(0L, 1L, 2L, 3L), s"got $surv")
+  }
+
+  test("survivor set is a dominance fixed point on the fixture corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c = SimSearch.trainCentroidsLocked(emb, 16, 2)
+    val surv = SimSearch.semanticDedup(emb, 0.4, c)
+    val survEmb = emb.join(surv.select("vec_id"), "vec_id")
+    val again = SimSearch.semanticDedup(survEmb, 0.4, c)
+    // Fixed point: dedup over survivors keeps every survivor. (The
+    // centroid table is held fixed — re-training on survivors would
+    // move cells, which is a different, weaker statement.)
+    assert(again.count() === surv.count())
+  }
+}
