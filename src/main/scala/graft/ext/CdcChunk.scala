@@ -42,43 +42,41 @@ object CdcChunk {
     * cuts (a trailing empty chunk would be degenerate). Expected chunk
     * length ≈ `modulus` words beyond the window warm-up.
     *
-    * The boundary scan is ONE `aggregate` pass that carries the last
-    * `window` word hashes as a ring in its accumulator — O(n·window)
-    * integer ops with the md5 array evaluated once per document. The
-    * tempting direct form, `filter(positions, i => poly(wh, i))` with
-    * `wh = transform(words, md5…)`, inlines the transform into every
-    * element_at probe and re-hashes the WHOLE document per position —
-    * O(n²·window) md5s/doc; measured 57 s for the sf0.1 corpus vs
-    * ~1 s for this shape.
+    * The boundary scan is a TRUE Rabin rolling hash: the hash array is
+    * bound once as a lambda variable and one `aggregate` over positions
+    * maintains h_i = (h_{i-1}·B + wh[i] − wh[i−window]·B^window) mod P —
+    * O(1) integer ops per word, zero per-word allocations. The two
+    * rejected shapes, with measurements: `filter(positions,
+    * i => poly(wh, i))` re-hashes the whole document per position
+    * (O(n²·window) md5s — 57 s at sf0.1); a ring-buffer accumulator is
+    * O(n·window) but allocates two arrays per word, and the allocation
+    * pressure turned 10× data into 14.6× wall at sf1.
     */
   def chunks(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, modulus: Int = 8): DataFrame = {
     require(window >= 1 && modulus >= 1, s"window/modulus must be >= 1")
     val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
-    // Rolling pass over the hash array: acc = (buf = last <=window
-    // hashes, pos = 1-based position, cuts). The window polynomial is
-    // refolded over the ≤window-long buffer each step (window is tiny);
-    // before the buffer fills, element_at past its end yields NULL →
-    // the cut predicate is null → no cut, which matches the
-    // [window, n-1] position gate.
-    def cutsOf(w: Column): Column = aggregate(
-      transform(w, wordHash(_)),
-      struct(
-        array().cast("array<long>").as("buf"),
-        lit(0).as("pos"),
-        array().cast("array<int>").as("cuts")),
-      (acc, h) => {
-        val pos = acc("pos") + 1
-        val nb = when(size(acc("buf")) < window, concat(acc("buf"), array(h)))
-          .otherwise(concat(slice(acc("buf"), 2, window - 1), array(h)))
-        val p = (0 until window).foldLeft(lit(0L)) { (a, k) =>
-          (a * B + element_at(nb, k + 1)) % P
-        }
-        struct(nb.as("buf"), pos.as("pos"),
-          when(pos >= window && pos < size(w) && p % modulus === 0,
-            concat(acc("cuts"), array(pos))).otherwise(acc("cuts")).as("cuts"))
-      },
-      acc => acc("cuts"))
+    // B^window mod P for the drop-term (driver-side constant).
+    val bw = lit((1 to window).foldLeft(1L)((a, _) => a * B % P))
+    // For i <= window the hash accumulates the full prefix [1..i] (no
+    // subtraction) — cuts only start at i >= window, where the rolling
+    // identity already covers exactly [i-window+1 .. i].
+    def cutsOf(w: Column): Column =
+      element_at(transform(array(transform(w, wordHash(_))), wh =>
+        aggregate(
+          sequence(lit(1), size(wh)),
+          struct(lit(0L).as("h"), array().cast("array<int>").as("cuts")),
+          (acc, i) => {
+            val h1 = (acc("h") * B + element_at(wh, i)) % P
+            val h2 = when(i > window,
+              ((h1 - element_at(wh, i - window) * bw % P) % P + P) % P)
+              .otherwise(h1)
+            struct(h2.as("h"),
+              when(i >= window && i < size(wh) && h2 % modulus === 0,
+                concat(acc("cuts"), array(i))).otherwise(acc("cuts"))
+                .as("cuts"))
+          },
+          acc => acc("cuts"))), 1)
     // __cuts is materialized in its own projection and referenced twice
     // below; CollapseProject keeps the boundary (non-cheap expression
     // used more than once), so the aggregate runs once per document.
