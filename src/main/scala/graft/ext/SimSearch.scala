@@ -582,6 +582,61 @@ object SimSearch {
       .select(col("vec_id"), col("cell").as("cluster_id"))
   }
 
+  /** Quality-weighted [[semanticDedup]]: within a near-duplicate
+    * neighborhood the KEPT representative is the highest-quality one
+    * (ties → smallest id), not the smallest id — the policy real
+    * curation runs (keep the longest / best-scored paraphrase, drop
+    * the rest). A vector is dropped when any cluster-mate within
+    * `threshold` cosine strictly dominates it under
+    * (quality DESC, vec_id ASC). Same cluster-scoped candidate plan
+    * as [[semanticDedup]].
+    */
+  def semanticDedupBest(emb: DataFrame, threshold: Double,
+      cents: DataFrame, qualityCol: String): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val cells = clusterAssignWithCentroids(emb, cents)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+        col(qualityCol).as("q"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+      .join(cells, "vec_id")
+    val a = vecs.select(col("cell"), col("vec_id").as("id_a"),
+      col("q").as("q_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = vecs.select(col("cell"), col("vec_id").as("id_b"),
+      col("q").as("q_b"), col("v").as("v_b"), col("n").as("n_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("q_a") > col("q_b") ||
+        (col("q_a") === col("q_b") && col("id_a") < col("id_b")))
+      .select(col("id_b"),
+        round(ndot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b")).distinct()
+    vecs.join(dropped, vecs("vec_id") === dropped("id_b"), "left_anti")
+      .select(col("vec_id"), col("cell").as("cluster_id"),
+        col("q").as(qualityCol))
+  }
+
+  /** DuckDB oracle for [[semanticDedupBest]]. */
+  def semanticDedupBestOracleSql(threshold: Double, kCents: Int,
+      iters: Int, dim: Int, qualityCol: String): String =
+    s"""WITH ${trainedCentroidCtes(kCents, iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT e.vec_id, cent_id AS cell, e.$qualityCol AS q
+       |         FROM r JOIN embeddings e USING (vec_id) WHERE crn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM cell a JOIN cell b ON a.cell = b.cell
+       |    AND (a.q > b.q OR (a.q = b.q AND a.vec_id < b.vec_id))
+       |  JOIN d da ON da.vec_id = a.vec_id
+       |  JOIN d db ON db.vec_id = b.vec_id
+       |  WHERE round(list_cosine_similarity(da.v, db.v), 6) >= $threshold)
+       |SELECT c.vec_id, c.cell AS cluster_id, c.q AS $qualityCol
+       |FROM cell c
+       |WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   /** DuckDB oracle for [[semanticDedup]]: training replay + cell
     * assignment + the min-id dominance rule.
     */

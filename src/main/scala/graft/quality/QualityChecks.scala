@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.config.{MetricSpec, QualityCheck}
@@ -96,6 +96,31 @@ object QualityChecks {
       .join(parent.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
       .crossJoin(child.agg(count(lit(1)).as("n_rows")))
+  }
+
+  /** F15: k-anonymity audit — the privacy gate a pipeline runs before
+    * publishing a table as training data: every row must share its
+    * quasi-identifier combination with at least k−1 others, else the
+    * combination re-identifies. Reports the violating-group count,
+    * the rows they expose, and the group-size extremes (min < k is
+    * the one-glance verdict).
+    *
+    * Scale shape: one partial-aggregated exchange keyed on the QI
+    * tuple (group count ≪ rows), then a scalar fold over the group
+    * frame — the same two-level shape as every counting audit here;
+    * QI payloads never shuffle, only the tuple + count.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("grp_n"))
+      .agg(
+        count(when(col("grp_n") < k, 1)).as("violating_groups"),
+        coalesce(sum(when(col("grp_n") < k, col("grp_n"))), lit(0))
+          .cast("long").as("violating_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("grp_n")).as("min_group"),
+        max(col("grp_n")).as("max_group"))
   }
 
   /** F6: threshold monitors — compare a named metric against its

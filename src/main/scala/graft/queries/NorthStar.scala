@@ -216,6 +216,15 @@ object NorthStar {
     graft.ext.SimSearch.semanticDedup(t(s, dir, "embeddings"), SemDedupTau,
       trainedCents(s, dir))
 
+  /** Quality-weighted SemDeDup: the kept representative of each
+    * near-duplicate neighborhood is the best-labeled one (ties →
+    * smallest id) — the keep-the-best curation policy, with `label`
+    * standing in for the quality score.
+    */
+  def semanticDedupBestQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.semanticDedupBest(t(s, dir, "embeddings"),
+      SemDedupTau, trainedCents(s, dir), "label")
+
   /** MinHash-LSH near-duplicate pairs over documents at Jaccard ≥ 0.5:
     * banded candidate generation + exact verification
     * ([[graft.ext.NearDup]]). The oracle computes exact all-pairs
@@ -916,6 +925,7 @@ object NorthStar {
     "doc_clusters" -> (docClusters _),
     "knn_graph" -> (knnGraphQ _),
     "semantic_dedup" -> (semanticDedupQ _),
+    "semantic_dedup_best" -> (semanticDedupBestQ _),
     "srp_reduce" -> (srpReduceQ _),
     "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
@@ -1145,6 +1155,8 @@ object NorthStar {
       3, LockedK, LockedIters, EmbDim),
     "semantic_dedup" -> graft.ext.SimSearch.semanticDedupOracleSql(
       SemDedupTau, LockedK, LockedIters, EmbDim),
+    "semantic_dedup_best" -> graft.ext.SimSearch.semanticDedupBestOracleSql(
+      SemDedupTau, LockedK, LockedIters, EmbDim, "label"),
     "srp_reduce" -> graft.ext.RandomProjection.reduceOracleSql(EmbDim, SrpDim),
     "sim_topk_srp" -> graft.ext.RandomProjection.topKOracleSql(
       EmbDim, SrpDim, 100),

@@ -198,6 +198,22 @@ object Scalar {
     graft.quality.QualityChecks.referentialViolations(
       t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")
 
+  /** F15: k-anonymity audit over customer quasi-identifiers (nation ×
+    * segment × balance-kilobucket) at k=5 — the privacy gate before a
+    * table ships as training data
+    * ([[graft.quality.QualityChecks.kAnonymity]]). floor() on the
+    * bucket division (not integer div): both engines floor negatives
+    * down, where div/`//` disagree on truncation direction.
+    */
+  def qcKAnon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.quality.QualityChecks.kAnonymity(
+      t(s, dir, "customer"),
+      Seq($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("int").as("bal_kb")),
+      5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_scan" -> (jsonScan _),
     "csv_scan" -> (csvScan _),
@@ -215,7 +231,8 @@ object Scalar {
     "qc_not_null" -> (qcNotNull _),
     "qc_unique" -> (qcUnique _),
     "qc_regex" -> (qcRegex _),
-    "qc_ref" -> (qcRef _))
+    "qc_ref" -> (qcRef _),
+    "qc_k_anon" -> (qcKAnon _))
 
   val oracle: Map[String, String] = Map(
     "json_scan" -> "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
@@ -279,5 +296,19 @@ object Scalar {
         |        WHERE l_orderkey IS NOT NULL
         |          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
         |                                 WHERE o_orderkey IS NOT NULL)) AS n_orphans,
-        |       (SELECT count(*) FROM lineitem) AS n_rows""".stripMargin)
+        |       (SELECT count(*) FROM lineitem) AS n_rows""".stripMargin,
+    "qc_k_anon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS INT) AS bal_kb,
+        |    count(*) AS grp_n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT
+        |  count(CASE WHEN grp_n < 5 THEN 1 END) AS violating_groups,
+        |  CAST(coalesce(sum(CASE WHEN grp_n < 5 THEN grp_n END), 0) AS BIGINT)
+        |    AS violating_rows,
+        |  count(*) AS n_groups,
+        |  min(grp_n) AS min_group,
+        |  max(grp_n) AS max_group
+        |FROM g""".stripMargin)
 }

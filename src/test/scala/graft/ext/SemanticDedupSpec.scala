@@ -32,6 +32,23 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(surv === Set(0L, 1L, 2L, 3L), s"got $surv")
   }
 
+  test("quality-weighted variant keeps the best, not the smallest id") {
+    // Same geometry as the planted case, but vec 10 (the near-dup of
+    // vec 1) carries the HIGHER quality: min-id policy would keep 1,
+    // the best-policy must keep 10.
+    val rows = Seq(
+      (0L, Array(10f, 0f, 0f, 0f), 5),
+      (1L, Array(0f, 10f, 0f, 0f), 1),
+      (2L, Array(0f, 0f, 10f, 0f), 5),
+      (3L, Array(0f, 0f, 0f, 10f), 5),
+      (10L, Array(0f, 10.5f, 0f, 0f), 9))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val surv = SimSearch.semanticDedupBest(emb, 0.9,
+        cents(emb.select("vec_id", "embedding")), "label")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv === Set(0L, 2L, 3L, 10L), s"got $surv")
+  }
+
   test("survivor set is a dominance fixed point on the fixture corpus") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val c = SimSearch.trainCentroidsLocked(emb, 16, 2)
