@@ -611,7 +611,40 @@ object ScaleOps {
       java.sql.Timestamp.valueOf("1997-08-31 00:00:00"))._1
   }
 
+  /** File-level Bloom data skipping ([[graft.ext.BloomSkip]]): lineitem
+    * landed clustered on l_orderkey with a per-file Bloom index; an
+    * IN-list probe of 5 scattered orderkeys consults the index and
+    * opens only might-contain files (clustering puts each key in one
+    * file, so ~≤5 of 16 open; false positives cost an extra open,
+    * never correctness). Residual IN filter keeps the result exactly
+    * the plain scan the oracle runs.
+    */
+  def bloomskipScan(s: SparkSession, dir: String): DataFrame = {
+    val tag = graft.Tables.pathTag(dir)
+    val data = s"/tmp/graft_bloomskip/$tag/data"
+    val idx = s"/tmp/graft_bloomskip/$tag/index"
+    graft.Tables.landOnce(data) {
+      graft.ext.ZoneMap.landClustered(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        data, "l_orderkey", numFiles = 16)
+      graft.ext.BloomSkip.buildIndex(s, data, "l_orderkey", 100000L, 0.01)
+        .write.mode("overwrite").parquet(idx)
+    }
+    graft.ext.BloomSkip.prunedInScan(s, data, s.read.parquet(idx),
+      "l_orderkey", BloomSkipProbeKeys)._1
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"))
+  }
+
+  /** Probe keys for [[bloomskipScan]] — spread across the key range so
+    * several distinct files qualify; shared with the oracle below.
+    */
+  private val BloomSkipProbeKeys: Seq[Long] = Seq(1L, 977L, 5003L, 10007L, 14009L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloomskip_scan" -> (bloomskipScan _),
     "zonemap_scan" -> (zonemapScan _),
     "bloom_join" -> (bloomJoin _),
     "interval_join" -> (intervalJoin _),
@@ -643,6 +676,12 @@ object ScaleOps {
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
+    "bloomskip_scan" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity, 2) AS l_quantity,
+        | round(l_extendedprice, 2) AS l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN (1, 977, 5003, 10007, 14009)""".stripMargin,
     "zonemap_scan" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
         |FROM lineitem
