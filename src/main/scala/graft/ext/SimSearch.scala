@@ -675,6 +675,24 @@ object SimSearch {
        |       FROM p)
        |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM rr WHERE rn <= $k""".stripMargin
 
+  /** DuckDB oracle for the leakage-safe cluster-level split: training
+    * replay + argmax assignment + the staged-LCG bucket of cluster_id.
+    */
+  def leakageSafeSplitOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(k, iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id, cent_id AS cluster_id FROM r WHERE crn = 1)
+       |SELECT vec_id, cluster_id,
+       |  CASE WHEN ((cluster_id % 2147483648) * 1103515245 + 12345)
+       |           % 2147483648 % 10 < 8 THEN 'train'
+       |       WHEN ((cluster_id % 2147483648) * 1103515245 + 12345)
+       |           % 2147483648 % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cell""".stripMargin
+
   /** DuckDB oracle for [[clusterAssign]]: training replay + argmax. */
   def clusterAssignOracleSql(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${trainedCentroidCtes(k, iters, dim)},

@@ -194,6 +194,27 @@ object NorthStar {
   /** SRP output dimensionality (64 → 16: 4× cheaper distances). */
   private val SrpDim = 16
 
+  /** Leakage-safe train/val/test split: the whole semantic cluster —
+    * not the document — is the unit of assignment, so near-duplicate
+    * neighborhoods can never straddle the train/eval boundary (the
+    * subtle leak a doc-level hash split permits: a paraphrase of a
+    * test document lands in train and the eval is contaminated).
+    * Split = the suite's staged-LCG bucket of cluster_id (8/1/1);
+    * every member inherits its cluster's split. Map-only on top of the
+    * assignment; the structural guarantee (one split per cluster) is
+    * spec-asserted.
+    */
+  def splitLeakageSafeQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.ext.SimSearch.clusterAssignWithCentroids(
+      t(s, dir, "embeddings"), trainedCents(s, dir))
+    val h = ((col("cluster_id") % lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L)) % lit(2147483648L)
+    val bucket = h % 10
+    cells.select(col("vec_id"), col("cluster_id"),
+      when(bucket < 8, "train").when(bucket === 8, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Signed-random-projection reduced corpus, long format — the
     * integer-exact 4×-compressed embedding index
     * ([[graft.ext.RandomProjection]]).
@@ -926,6 +947,7 @@ object NorthStar {
     "knn_graph" -> (knnGraphQ _),
     "semantic_dedup" -> (semanticDedupQ _),
     "semantic_dedup_best" -> (semanticDedupBestQ _),
+    "split_leakage_safe" -> (splitLeakageSafeQ _),
     "srp_reduce" -> (srpReduceQ _),
     "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
@@ -1157,6 +1179,8 @@ object NorthStar {
       SemDedupTau, LockedK, LockedIters, EmbDim),
     "semantic_dedup_best" -> graft.ext.SimSearch.semanticDedupBestOracleSql(
       SemDedupTau, LockedK, LockedIters, EmbDim, "label"),
+    "split_leakage_safe" -> graft.ext.SimSearch.leakageSafeSplitOracleSql(
+      LockedK, LockedIters, EmbDim),
     "srp_reduce" -> graft.ext.RandomProjection.reduceOracleSql(EmbDim, SrpDim),
     "sim_topk_srp" -> graft.ext.RandomProjection.topKOracleSql(
       EmbDim, SrpDim, 100),

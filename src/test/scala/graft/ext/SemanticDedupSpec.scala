@@ -49,6 +49,17 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(surv === Set(0L, 2L, 3L, 10L), s"got $surv")
   }
 
+  test("leakage-safe split never splits a cluster across the eval boundary") {
+    val r = graft.queries.NorthStar.splitLeakageSafeQ(spark, sf0001)
+    val perCluster = r.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .agg(max("n_splits")).head().getLong(0)
+    assert(perCluster === 1L, "a cluster straddles splits")
+    val splits = r.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+  }
+
   test("survivor set is a dominance fixed point on the fixture corpus") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val c = SimSearch.trainCentroidsLocked(emb, 16, 2)
