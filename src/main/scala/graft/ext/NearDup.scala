@@ -192,17 +192,28 @@ object NearDup {
         throw new IllegalStateException(
           s"label propagation did not converge in $MaxPropagationRounds rounds: " +
             "component diameter is pathological for near-dup clustering")
-      // One shuffle join + one min-aggregate per round: each node takes
-      // the min label over itself and its neighbors. (The previous
-      // shape used join + agg + left-join — one extra wide join per
-      // round for the same fixed point.)
+      // Neighbor-min + POINTER JUMP per round. The min step alone
+      // converges in O(diameter) rounds — fine for pair/triple
+      // clusters, but chain-shaped dup families (doc → near-dup →
+      // near-dup …, the structure the round-9 fixture regeneration
+      // produced) make diameter the wall-clock knob. Compressing
+      // l(u) ← l(l(u)) after each min step halves the remaining path
+      // every round → O(log diameter) rounds for one extra join on the
+      // NODE-sized label table (labels are member ids, so the lookup
+      // is a self-join that never touches edges). Fixed point and
+      // final labeling are unchanged: labels stay member ids, stay
+      // monotonically non-increasing, and the component min still maps
+      // to itself.
       val obs = new Observation(s"graft_cc_round_$round")
       val prev = labels
+      val nm = edges.join(labels, edges("dst") === labels("node"))
+        .select(col("src").as("node"), col("cluster_id"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+      val lookup = nm.select(col("node").as("__ln"), col("cluster_id").as("__lc"))
       val next = labelSum(
-        edges.join(labels, edges("dst") === labels("node"))
-          .select(col("src").as("node"), col("cluster_id"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id")),
+        nm.join(lookup, nm("cluster_id") === col("__ln"))
+          .select(nm("node"), col("__lc").as("cluster_id")),
         obs).persist()
       next.count() // materializes the cache AND fires the observation
       val newSum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]

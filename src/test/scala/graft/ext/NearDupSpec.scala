@@ -36,6 +36,25 @@ class NearDupSpec extends SparkTestBase {
     assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
   }
 
+  test("a 50-deep chain collapses in far fewer rounds than its diameter") {
+    val s = spark
+    import s.implicits._
+    // Sliding 40-word windows over one word stream: consecutive docs
+    // share most shingles (an edge), distant docs share none — a
+    // 50-node path whose diameter (49) exceeds MaxPropagationRounds
+    // headroom for plain neighbor-min. Only the pointer-jumped loop
+    // (O(log diameter) rounds) can collapse it to the global min.
+    val stream = (0 until 140).map(i => f"w$i%03d")
+    val docs = (0 until 50).map { i =>
+      (i.toLong + 1, stream.slice(i * 2, i * 2 + 40).mkString(" "))
+    }.toDF("doc_id", "text")
+    val clusters = NearDup.nearDuplicateClusters(docs, "doc_id", "text", 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === 50)
+    assert(clusters.values.toSet === Set(1L),
+      s"chain did not collapse to the min id: ${clusters.values.toSet}")
+  }
+
   test("clusters are transitive: chained pairs collapse through the bridge doc") {
     val s = spark
     import s.implicits._
