@@ -643,7 +643,32 @@ object ScaleOps {
     */
   private val BloomSkipProbeKeys: Seq[Long] = Seq(1L, 977L, 5003L, 10007L, 14009L)
 
+  /** Materialized-rollup query routing ([[graft.plans.RollupRewrite]]):
+    * a landed (returnflag, linestatus) rollup of lineitem + the
+    * session-installed Catalyst rule; the registered query is the
+    * PLAIN aggregate over the base scan — the optimizer reroutes it to
+    * the KB-scale rollup (spec-asserted), and the oracle's direct
+    * GROUP BY proves the rewrite is semantically invisible.
+    */
+  def mvRewriteScan(s: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/lineitem.parquet"
+    val rollupPath = s"/tmp/graft_mv/${graft.Tables.pathTag(dir)}"
+    graft.Tables.landOnce(rollupPath) {
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .write.mode("overwrite").parquet(rollupPath)
+    }
+    graft.plans.RollupRewrite.install(s, graft.plans.RollupTarget(
+      base, rollupPath, Seq("l_returnflag", "l_linestatus"), "n_rows",
+      Map("l_quantity" -> "sum_qty")))
+    s.read.parquet(base)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rewrite" -> (mvRewriteScan _),
     "bloomskip_scan" -> (bloomskipScan _),
     "zonemap_scan" -> (zonemapScan _),
     "bloom_join" -> (bloomJoin _),
@@ -676,6 +701,10 @@ object ScaleOps {
     "schema_merge" -> (schemaMerge _))
 
   val oracle: Map[String, String] = Map(
+    "mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "bloomskip_scan" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_quantity, 2) AS l_quantity,

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The MV-routing contract: a covered aggregate's optimized plan reads
+  * the ROLLUP (plan-asserted, not inferred from results), the results
+  * are bit-identical to the unrewritten computation, and any
+  * non-covered shape (extra measure, filter, distinct) leaves the base
+  * scan in place.
+  */
+class RollupRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+
+  private def landed(): (String, String, RollupTarget) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    val base = s"$dir/base.parquet"
+    val rollup = s"$dir/rollup.parquet"
+    (0 until 1000).map(i => (s"g${i % 3}", s"h${i % 2}", (i % 7).toDouble, i.toLong))
+      .toDF("g", "h", "m", "extra")
+      .write.parquet(base)
+    spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(count(lit(1)).as("n_rows"), sum($"m").as("sum_m"))
+      .write.parquet(rollup)
+    (base, rollup,
+      RollupTarget(base, rollup, Seq("g", "h"), "n_rows", Map("m" -> "sum_m")))
+  }
+
+  test("covered aggregate is routed to the rollup and stays exact") {
+    val (base, rollup, target) = landed()
+    // Expected BEFORE installing the rule, from the same plan shape.
+    val q = () => spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(count(lit(1)).as("n"), sum($"m").as("s"))
+    val expect = q().collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    RollupRewrite.install(spark, target)
+    val routed = q()
+    val paths = scanPaths(routed)
+    assert(paths.exists(_.endsWith("rollup.parquet")),
+      s"rewrite did not fire; scans: $paths")
+    assert(!paths.exists(_.endsWith("base.parquet")))
+    val got = routed.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expect)
+  }
+
+  test("non-covered shapes keep the base scan") {
+    val (base, _, target) = landed()
+    RollupRewrite.install(spark, target)
+    val extraMeasure = spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(sum($"m").as("s"), sum($"extra").as("x"))
+    assert(scanPaths(extraMeasure).exists(_.endsWith("base.parquet")))
+    val filtered = spark.read.parquet(base).filter($"extra" > 10)
+      .groupBy($"g", $"h").agg(sum($"m").as("s"))
+    assert(scanPaths(filtered).exists(_.endsWith("base.parquet")))
+    val distinctAgg = spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(countDistinct($"m").as("d"))
+    assert(scanPaths(distinctAgg).exists(_.endsWith("base.parquet")))
+    val wrongGroups = spark.read.parquet(base).groupBy($"g")
+      .agg(sum($"m").as("s"))
+    assert(scanPaths(wrongGroups).exists(_.endsWith("base.parquet")))
+  }
+
+  test("install is idempotent per target") {
+    val (_, _, target) = landed()
+    RollupRewrite.install(spark, target)
+    RollupRewrite.install(spark, target)
+    val n = spark.experimental.extraOptimizations.count {
+      case RollupRewrite(_, t) => t == target
+      case _ => false
+    }
+    assert(n === 1)
+  }
+}
