@@ -844,6 +844,55 @@ object SimSearch {
        |      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
        |SELECT id_a, id_b, sim FROM p WHERE sim >= $threshold""".stripMargin
 
+  /** Contrastive (anchor, positive, negative) triplet mining — the
+    * training-data prep for embedding/retrieval models: each near-dup
+    * pair contributes its members as anchor/positive, and the negative
+    * is drawn DETERMINISTICALLY from the pair list itself (the member
+    * of the pair half the list away, in (id_a, id_b) order) — no
+    * randomness state, exact across engines. A triplet is dropped if
+    * the drawn negative collides with its own anchor/positive
+    * (only possible at tiny pair counts).
+    *
+    * Scale shape: the only new work on top of the pair mining is a
+    * row_number + self-join over the PAIR list — output-sized, the
+    * suite's sanctioned no-partition-window case; the corpus is never
+    * touched again. Caveat (documented, fixture-acceptable): a drawn
+    * negative from a chained dup family could share the anchor's
+    * cluster; a production variant adds a cluster-disjointness filter.
+    */
+  def contrastiveTriplets(emb: DataFrame, threshold: Double,
+      p: LshParams): DataFrame = {
+    val pairs = nearDupPairs(emb, threshold, p)
+    val w = Window.orderBy(col("id_a"), col("id_b"))
+    val pr = pairs.withColumn("prn", row_number().over(w) - 1)
+    val cnt = pairs.agg(count(lit(1)).as("np"))
+    val withNeg = pr.crossJoin(broadcast(cnt))
+      .withColumn("nrn", (col("prn") + expr("np div 2")) % col("np"))
+    val negSide = pr.select(col("prn").as("nrn"), col("id_a").as("negative"))
+    withNeg.join(negSide, "nrn")
+      .filter(col("negative") =!= col("id_a") &&
+        col("negative") =!= col("id_b"))
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        col("negative"), col("sim"))
+  }
+
+  /** DuckDB oracle for [[contrastiveTriplets]]. */
+  def contrastiveTripletsOracleSql(threshold: Double, p: LshParams): String =
+    s"""WITH ${bucketCtes(p)},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |         FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
+       |         WHERE a.vec_id < c.vec_id),
+       |pp AS (SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+       |       FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b),
+       |pq AS (SELECT id_a, id_b, sim FROM pp WHERE sim >= $threshold),
+       |pr AS (SELECT id_a, id_b, sim,
+       |         row_number() OVER (ORDER BY id_a, id_b) - 1 AS prn FROM pq),
+       |c AS (SELECT count(*) AS np FROM pr)
+       |SELECT a.id_a AS anchor, a.id_b AS positive, n.id_a AS negative, a.sim
+       |FROM pr a CROSS JOIN c
+       |JOIN pr n ON n.prn = (a.prn + np // 2) % np
+       |WHERE n.id_a <> a.id_a AND n.id_a <> a.id_b""".stripMargin
+
   /** Symmetric int8 quantization: per-vector scale = max|v|/127, code_i
     * = floor(v_i/scale + 0.5) stored as TINYINT — 4× smaller than
     * float32 at rest, in shuffles, and in broadcast variables, which is

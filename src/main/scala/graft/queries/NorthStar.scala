@@ -549,6 +549,14 @@ object NorthStar {
     graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4,
       graft.ext.SimSearch.LshParams.fixture)
 
+  /** Contrastive triplet mining over the embedding near-dup pairs —
+    * (anchor, positive, deterministic negative) training rows for
+    * embedding/retrieval models.
+    */
+  def contrastiveTripletsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.contrastiveTriplets(t(s, dir, "embeddings"), 0.4,
+      graft.ext.SimSearch.LshParams.fixture)
+
   /** Stratified training-data mix over documents: per-language
     * deterministic sample rates (en 50%, de 20%, fr 10%, es 5%,
     * unlisted 0).
@@ -948,6 +956,7 @@ object NorthStar {
     "semantic_dedup" -> (semanticDedupQ _),
     "semantic_dedup_best" -> (semanticDedupBestQ _),
     "split_leakage_safe" -> (splitLeakageSafeQ _),
+    "contrastive_triplets" -> (contrastiveTripletsQ _),
     "srp_reduce" -> (srpReduceQ _),
     "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
@@ -1181,6 +1190,8 @@ object NorthStar {
       SemDedupTau, LockedK, LockedIters, EmbDim, "label"),
     "split_leakage_safe" -> graft.ext.SimSearch.leakageSafeSplitOracleSql(
       LockedK, LockedIters, EmbDim),
+    "contrastive_triplets" -> graft.ext.SimSearch.contrastiveTripletsOracleSql(
+      0.4, graft.ext.SimSearch.LshParams.fixture),
     "srp_reduce" -> graft.ext.RandomProjection.reduceOracleSql(EmbDim, SrpDim),
     "sim_topk_srp" -> graft.ext.RandomProjection.topKOracleSql(
       EmbDim, SrpDim, 100),

@@ -69,6 +69,45 @@ class RollupRewriteSpec extends SparkTestBase {
     assert(scanPaths(wrongGroups).exists(_.endsWith("base.parquet")))
   }
 
+  test("incrementally-maintained rollup keeps routed answers fresh") {
+    // The maintenance loop the rule assumes: base grows by a delta,
+    // the rollup folds the delta via IncrementalAgg (never recomputing
+    // from history), and the ROUTED query — which still targets the
+    // base path — returns the merged truth. This is the batch twin of
+    // the St13 streaming foreachBatch fold.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-ivm").toString
+    val base = s"$dir/base.parquet"
+    val rollup = s"$dir/rollup.parquet"
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g", $"h").agg(count(lit(1)).as("n_rows"), sum($"m").as("sum_m"))
+    val batch1 = (0 until 300).map(i => (s"g${i % 3}", s"h${i % 2}", (i % 7).toDouble))
+      .toDF("g", "h", "m")
+    batch1.write.parquet(base)
+    aggOf(spark.read.parquet(base)).write.parquet(rollup)
+    RollupRewrite.install(spark,
+      RollupTarget(base, rollup, Seq("g", "h"), "n_rows", Map("m" -> "sum_m")))
+    // Delta lands in the base AND folds into the rollup — IVM, not recompute.
+    val batch2 = (300 until 500).map(i => (s"g${i % 3}", s"h${i % 2}", (i % 7).toDouble))
+      .toDF("g", "h", "m")
+    batch2.write.mode("append").parquet(base)
+    val merged = graft.transform.IncrementalAgg.merge(
+      spark.read.parquet(rollup), aggOf(batch2),
+      Seq("g", "h"), Seq("n_rows", "sum_m"))
+    val staged = s"$dir/rollup2.parquet"
+    merged.write.parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(rollup)
+    val routed = spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(count(lit(1)).as("n"), sum($"m").as("s"))
+    assert(scanPaths(routed).exists(_.endsWith("rollup.parquet")))
+    val expect = (0 until 500)
+      .map(i => ((s"g${i % 3}", s"h${i % 2}"), (i % 7).toDouble))
+      .groupBy(_._1).map { case (k, vs) => (k._1, k._2, vs.size.toLong, vs.map(_._2).sum) }
+      .toSet
+    val got = routed.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expect)
+  }
+
   test("install is idempotent per target") {
     val (_, _, target) = landed()
     RollupRewrite.install(spark, target)
