@@ -599,6 +599,25 @@ object NorthStar {
       Seq("purchase_ts", "purchase_value"))
   }
 
+  /** The same as-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofExec]]: LogicalPlan + Strategy + SparkPlan with
+    * declared distribution/ordering requirements, one-pass sorted
+    * merge) — third independent implementation of the semantics, gated
+    * by the same native-ASOF oracle.
+    */
+  def asofJoinExecQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    val events = t(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    graft.plans.AsofExec.asofBackward(
+      events.select("event_id", "user_id", "ts", "event_type"),
+      "user_id", "ts",
+      purchases, "p_user", "purchase_ts",
+      Seq("purchase_ts", "purchase_value"))
+  }
+
   /** Skew-safe chunked as-of (same semantics, salted by 6-hour
     * timeline chunks — the events fixture spans ~30 days, so the
     * stitching crosses ~120 chunk boundaries); checked against the
@@ -933,6 +952,7 @@ object NorthStar {
     "doc_sample" -> (docSample _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "asof_join" -> (asofJoinQ _),
+    "asof_join_exec" -> (asofJoinExecQ _),
     "asof_join_chunked" -> (asofJoinChunkedQ _),
     "range_join" -> (rangeJoinQ _),
     "emb_neardup" -> (embNearDup _),
@@ -1075,6 +1095,7 @@ object NorthStar {
     // DuckDB's NATIVE asof join — an independent implementation of the
     // semantics, not a replay of the window encoding.
     "asof_join" -> AsofOracleSql,
+    "asof_join_exec" -> AsofOracleSql,
     "asof_join_chunked" -> AsofOracleSql,
     "range_join" ->
       """WITH bands AS (SELECT i AS band_id, i*5000.0 AS lo, i*5000.0+7500.0 AS hi
