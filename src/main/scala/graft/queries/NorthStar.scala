@@ -675,6 +675,53 @@ object NorthStar {
       .limit(50)
   }
 
+  /** Zipf frequency-of-frequency spectrum: how many distinct tokens
+    * occur f times, log₂-bucketed (bucket = bit-length of f — the
+    * suite's integer log₂, no float log near power-of-two boundaries).
+    * The classic corpus-health diagnostic: a natural-language corpus
+    * shows the long hapax-heavy Zipf tail; boilerplate-polluted or
+    * template-generated corpora bulge in the mid buckets. Two exact
+    * partial-aggregated exchanges (token counts → spectrum); all
+    * integers.
+    */
+  def freqSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(qToks).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("f"))
+      .groupBy(length(bin($"f")).as("f_bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"f").as("total_occurrences"),
+        min($"f").as("min_f"), max($"f").as("max_f"))
+  }
+
+  /** Per-source dataset card — the one-glance corpus report a
+    * training-data pipeline publishes next to every snapshot: doc and
+    * char volumes, language spread, length extremes, and the
+    * exact-duplicate rate (docs minus distinct content hashes — the
+    * md5 content-hash dedup measure, per source). One
+    * partial-aggregated exchange keyed on source; the distinct-hash
+    * count is the only second pass.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val base = d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_chars").as("total_chars"),
+      min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+      countDistinct($"lang").as("n_langs"))
+    val dups = d.select($"source", md5($"text".cast("binary")).as("h"))
+      .groupBy($"source").agg(countDistinct($"h").as("n_unique"))
+    base.join(dups, "source")
+      .select($"source", $"n_docs", $"total_chars", $"min_chars",
+        $"max_chars", $"n_langs",
+        ($"n_docs" - $"n_unique").as("n_exact_dups"),
+        round(($"n_docs" - $"n_unique") * lit(1.0) / $"n_docs", 6)
+          .as("dup_rate"))
+  }
+
   /** Heavy hitters (tokens covering ≥ 1% of the corpus) via the
     * two-pass sketch-then-verify pattern: a Misra-Gries sketch
     * ([[graft.functions.MisraGriesAgg]], k=299) finds candidates with
@@ -991,6 +1038,8 @@ object NorthStar {
     "quality_filter" -> (qualityFilter _),
     "quality_topfrac" -> (qualityTopFrac _),
     "token_topk" -> (tokenTopK _),
+    "freq_spectrum" -> (freqSpectrum _),
+    "dataset_card" -> (datasetCard _),
     "heavy_hitters" -> (heavyHitters _),
     "tfidf_terms" -> (tfidfQ _),
     "corpus_mix" -> (corpusMix _),
@@ -1161,6 +1210,32 @@ object NorthStar {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 50""".stripMargin,
+    "freq_spectrum" ->
+      """WITH tf AS (
+        |  SELECT token, count(*) AS f
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE len(token) > 0
+        |  GROUP BY token)
+        |SELECT CAST(len(bin(f)) AS INT) AS f_bucket,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(f) AS BIGINT) AS total_occurrences,
+        |  min(f) AS min_f, max(f) AS max_f
+        |FROM tf GROUP BY 1""".stripMargin,
+    "dataset_card" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM documents GROUP BY 1),
+        |u AS (
+        |  SELECT source, count(DISTINCT md5(text)) AS n_unique
+        |  FROM documents GROUP BY 1)
+        |SELECT b.source, n_docs, total_chars, min_chars, max_chars, n_langs,
+        |  n_docs - n_unique AS n_exact_dups,
+        |  round((n_docs - n_unique) * 1.0 / n_docs, 6) AS dup_rate
+        |FROM b JOIN u ON b.source = u.source""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, n_chars,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
