@@ -42,6 +42,17 @@ object Broker {
     val base = s"/tmp/graft_broker/$tag"
     val brokerDir = s"$base/log"
     graft.Tables.landOnce(s"broker_$tag") {
+      // The broker log is APPEND-ONLY and the landing checkpoint
+      // resumes — unlike every overwrite-mode landing, a second JVM
+      // would double the log and the landed table (seen: 399 vs 199
+      // records when Verify ran twice against one /tmp). Wipe the
+      // whole base so each process rebuilds deterministically.
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      wipe(java.nio.file.Paths.get(base))
       val feed = t(s, dir, "events")
         .where(col("event_id") % 50 < 4)
         .select(
