@@ -696,6 +696,33 @@ object NorthStar {
         min($"f").as("min_f"), max($"f").as("max_f"))
   }
 
+  /** Heaps'-law vocabulary growth: new distinct tokens per corpus
+    * decile (documents bucketed by id decile; a token counts where its
+    * FIRST document falls), with the running cumulative vocabulary.
+    * Sub-linear growth is the natural-language signature; a linear
+    * curve means unbounded novel-token churn (ids, hashes, boilerplate
+    * noise) and a flat one means template text — the companion
+    * diagnostic to [[freqSpectrum]]. Exact integers end to end: one
+    * token-level min-aggregate, a broadcast 1-row max, and the
+    * cumulative window runs over the 10-row output frame.
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstDoc = t(s, dir, "documents")
+      .select($"doc_id", explode(qToks).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(min($"doc_id").as("first_doc"))
+    val maxId = t(s, dir, "documents").agg(max($"doc_id").as("max_id"))
+    val perBucket = firstDoc.crossJoin(broadcast(maxId))
+      .groupBy(expr("first_doc * 10 div (max_id + 1)").cast("int").as("decile"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.select($"decile", $"new_tokens",
+      sum($"new_tokens").over(w).as("vocab_size"))
+  }
+
   /** Per-source dataset card — the one-glance corpus report a
     * training-data pipeline publishes next to every snapshot: doc and
     * char volumes, language spread, length extremes, and the
@@ -1039,6 +1066,7 @@ object NorthStar {
     "quality_topfrac" -> (qualityTopFrac _),
     "token_topk" -> (tokenTopK _),
     "freq_spectrum" -> (freqSpectrum _),
+    "vocab_growth" -> (vocabGrowth _),
     "dataset_card" -> (datasetCard _),
     "heavy_hitters" -> (heavyHitters _),
     "tfidf_terms" -> (tfidfQ _),
@@ -1222,6 +1250,24 @@ object NorthStar {
         |  CAST(sum(f) AS BIGINT) AS total_occurrences,
         |  min(f) AS min_f, max(f) AS max_f
         |FROM tf GROUP BY 1""".stripMargin,
+    "vocab_growth" ->
+      """WITH fd AS (
+        |  SELECT token, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE len(token) > 0
+        |  GROUP BY token),
+        |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |pb AS (
+        |  SELECT CAST(first_doc * 10 // (max_id + 1) AS INT) AS decile,
+        |    count(*) AS new_tokens
+        |  FROM fd, mx GROUP BY 1)
+        |SELECT decile, new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_size
+        |FROM pb""".stripMargin,
     "dataset_card" ->
       """WITH b AS (
         |  SELECT source, count(*) AS n_docs,
