@@ -84,9 +84,27 @@ object RandomProjection {
     */
   def topK(emb: DataFrame, inDim: Int, outDim: Int,
       queryBound: Int): DataFrame = {
-    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val m = typedLit(signMatrix(inDim, outDim))
-    val z = reducedVecs(emb, m, inDim, outDim)
+    topKOverVecs(reducedVecs(emb, m, inDim, outDim), queryBound)
+  }
+
+  /** [[topK]] over a LANDED long-format reduced index ([[reduce]]'s
+    * output, written once per corpus) — the serve shape: the reduction
+    * is an index build paid at landing time, the query pays one pivot
+    * of the (N × outDim)-row index back to vectors.
+    */
+  def topKFromReduced(reduced: DataFrame, queryBound: Int): DataFrame =
+    topKOverVecs(
+      reduced
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("comp")))),
+          e => e.getField("comp").cast("double")).as("__r")),
+      queryBound)
+
+  private def topKOverVecs(vecs: DataFrame, queryBound: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(vecs.sparkSession)
+    val z = vecs
       .select(col("vec_id"), col("__r"),
         ndot(col("__r"), col("__r")).as("nrm"))
       .filter(col("nrm") > 0)

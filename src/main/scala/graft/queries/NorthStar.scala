@@ -215,18 +215,31 @@ object NorthStar {
         .otherwise("test").as("split"))
   }
 
+  /** The landed SRP index (long format), built once per fixture dir —
+    * the reduction is an index BUILD; serving reads the landed table
+    * (the trainedCents/PQ-code pattern).
+    */
+  private def landedSrp(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_srp/${graft.Tables.pathTag(dir)}"
+    graft.Tables.landOnce(path) {
+      graft.ext.RandomProjection.reduce(t(s, dir, "embeddings"), EmbDim, SrpDim)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Signed-random-projection reduced corpus, long format — the
     * integer-exact 4×-compressed embedding index
     * ([[graft.ext.RandomProjection]]).
     */
   def srpReduceQ(s: SparkSession, dir: String): DataFrame =
-    graft.ext.RandomProjection.reduce(t(s, dir, "embeddings"), EmbDim, SrpDim)
+    landedSrp(s, dir)
 
-  /** Brute cosine top-1 in SRP-reduced space — the cheap first-pass
-    * ANN over the compressed index.
+  /** Brute cosine top-1 in SRP-reduced space over the landed index —
+    * the cheap first-pass ANN over the compressed corpus.
     */
   def simTopKSrp(s: SparkSession, dir: String): DataFrame =
-    graft.ext.RandomProjection.topK(t(s, dir, "embeddings"), EmbDim, SrpDim, 100)
+    graft.ext.RandomProjection.topKFromReduced(landedSrp(s, dir), 100)
 
   /** SemDeDup-style semantic dedup survivors: cluster-scoped cosine
     * dominance over the landed locked centroids — the embedding-space
