@@ -861,8 +861,14 @@ object SimSearch {
     * cluster; a production variant adds a cluster-disjointness filter.
     */
   def contrastiveTriplets(emb: DataFrame, threshold: Double,
-      p: LshParams): DataFrame = {
-    val pairs = nearDupPairs(emb, threshold, p)
+      p: LshParams): DataFrame =
+    contrastiveTripletsFromPairs(nearDupPairs(emb, threshold, p))
+
+  /** [[contrastiveTriplets]] over a precomputed (typically landed)
+    * pair table — the serve shape when the pair mining is shared with
+    * the near-dup query.
+    */
+  def contrastiveTripletsFromPairs(pairs: DataFrame): DataFrame = {
     val w = Window.orderBy(col("id_a"), col("id_b"))
     val pr = pairs.withColumn("prn", row_number().over(w) - 1)
     val cnt = pairs.agg(count(lit(1)).as("np"))
