@@ -6,7 +6,17 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the same sfDir tables, then
 canonicalizes both sides (columns sorted by name, rows sorted by all columns)
-and compares values. Reports exact match / float-tolerance match / mismatch.
+and compares values.
+
+STRICT by design (round-10 lesson: the driver hashes exact, type-sensitive
+renderings, and the r9 mimic passed two rows the driver rejected):
+  - a tolerance-only float match is a FAILURE (exit 1), not a pass;
+  - result columns whose type renders differently across fetch paths are a
+    FAILURE even when the Python values compare equal: DuckDB HUGEINT /
+    UHUGEINT / DECIMAL / FLOAT(32) on the oracle side, DECIMAL / FLOAT32 on
+    the Spark parquet side. (pps_sample was value-exact but driver-red in r9
+    purely because sum(BIGINT) OVER (...) returns HUGEINT.)
+Emit BIGINT / DOUBLE / VARCHAR / DATE / TIMESTAMP / BOOLEAN only.
 """
 import json
 import math
@@ -42,6 +52,29 @@ def values_eq(a, b):
     return eq, eq
 
 
+HAZARD_DUCK = ("HUGEINT", "UHUGEINT", "DECIMAL", "FLOAT", "REAL", "TINYINT")
+HAZARD_ARROW = ("decimal", "float", "halffloat")  # float = float32 in arrow
+
+
+def type_hazards(con, sql, tbl):
+    """Columns whose type the driver's hasher renders engine-dependently."""
+    bad = []
+    try:
+        for name, typ in con.execute(
+                f"SELECT column_name, column_type FROM (DESCRIBE ({sql}))"
+                ).fetchall():
+            t = typ.upper()
+            if any(t.startswith(h) for h in HAZARD_DUCK):
+                bad.append(f"duckdb:{name}:{typ}")
+    except Exception as e:  # DESCRIBE failure is itself worth surfacing
+        bad.append(f"duckdb:DESCRIBE-ERR:{e}")
+    for field in tbl.schema:
+        t = str(field.type)
+        if any(t.startswith(h) for h in HAZARD_ARROW):
+            bad.append(f"spark:{field.name}:{t}")
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -70,6 +103,11 @@ def main():
             n_bad += 1
             print(f"  [ORACLE-ERR] {name}: {e}")
             continue
+        haz = type_hazards(con, oracle[name], tbl)
+        if haz:
+            n_bad += 1
+            print(f"  [TYPE]  {name}: driver-hash hazard {haz}")
+            continue
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec:
@@ -94,12 +132,12 @@ def main():
             print(f"  [OK]    {name}: {len(gr)} rows")
         elif tol:
             n_tol += 1
-            print(f"  [FLOAT] {name}: {len(gr)} rows (tolerance-only match — tighten rounding!)")
+            print(f"  [FLOAT] {name}: {len(gr)} rows (tolerance-only — the driver WILL reject this)")
         else:
             n_bad += 1
             print(f"  [VALUES] {name}: e.g. spark={first_bad[0]!r} duckdb={first_bad[1]!r}")
     print(f"\nexact={n_ok} float-only={n_tol} bad={n_bad} rows-only={n_norac}")
-    sys.exit(1 if n_bad else 0)
+    sys.exit(1 if n_bad or n_tol else 0)
 
 
 if __name__ == "__main__":

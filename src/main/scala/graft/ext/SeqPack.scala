@@ -117,10 +117,11 @@ object SeqPack {
     s"""WITH q AS (SELECT $idCol, CAST($wExpr AS BIGINT) AS $wName FROM $table),
        |r AS (
        |  SELECT $idCol, $wName,
-       |    coalesce(sum($wName) OVER (ORDER BY $idCol
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+       |    CAST(coalesce(sum($wName) OVER (ORDER BY $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
        |  FROM q)
-       |SELECT $idCol, $wName, start, (start + ${step - 1}) // $step AS pick_idx
+       |SELECT $idCol, $wName, start,
+       |  CAST((start + ${step - 1}) // $step AS BIGINT) AS pick_idx
        |FROM r
        |WHERE ((start + ${step - 1}) // $step) * $step < start + $wName""".stripMargin
 

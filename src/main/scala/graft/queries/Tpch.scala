@@ -54,9 +54,15 @@ object Tpch {
         $"l_shipdate" < to_timestamp(lit("1997-01-01 00:00:00")) &&
         $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
       .agg(
-        round(sum(($"l_extendedprice" * $"l_discount").cast("decimal(18,4)"))
-          .cast("double"), 2).as("revenue"),
+        sum((($"l_extendedprice" * $"l_discount").cast("decimal(18,4)")
+          * 10000).cast("long")).as("rev_e4"),
         count(lit(1)).as("n_items"))
+      // half-up to cents in INTEGER domain ((e4+50) div 100), then /100.0:
+      // round(double, 2) on a 4dp-true value hits .xx50 ties that Spark
+      // (HALF_UP on shortest rendering) and DuckDB (binary) resolve
+      // differently ~1% of the time per value.
+      .select((expr("(rev_e4 + 50) div 100") / 100.0).as("revenue"),
+        $"n_items")
   }
 
   /** TPC-H Q14-style: promotion revenue share for one month. part
@@ -67,21 +73,28 @@ object Tpch {
   def q14Promo(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prt = broadcast(t(s, dir, "part").select($"p_partkey", $"p_type"))
-    val cents = ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-      .cast("decimal(18,4)") * 100
+    // price*(1-discount) is exactly 4dp, so ×10^4 → BIGINT is lossless;
+    // all rounding then happens half-up in INTEGER domain (tie-exact in
+    // both engines), floats appear only in the final /100.0 rendering.
+    val e4 = (($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .cast("decimal(18,4)") * 10000).cast("long")
     t(s, dir, "lineitem")
       .filter($"l_shipdate" >= to_timestamp(lit("1997-03-01 00:00:00")) &&
         $"l_shipdate" < to_timestamp(lit("1997-04-01 00:00:00")))
       .join(prt, $"l_partkey" === $"p_partkey")
       .agg(
-        sum(when($"p_type" === "PROMO", cents).otherwise(lit(0)))
-          .cast("decimal(20,2)").as("promo_cents"),
-        sum(cents).cast("decimal(20,2)").as("total_cents"))
+        sum(when($"p_type" === "PROMO", e4).otherwise(lit(0L)))
+          .as("promo_e4"),
+        sum(e4).as("total_e4"))
       .select(
-        round(($"promo_cents" / 100).cast("double"), 2).as("promo_revenue"),
-        round(($"total_cents" / 100).cast("double"), 2).as("total_revenue"),
-        round(($"promo_cents" * 100 / $"total_cents").cast("double"), 4)
-          .as("promo_share"))
+        expr("(promo_e4 + 50) div 100").as("promo_cents"),
+        expr("(total_e4 + 50) div 100").as("total_cents"))
+      .select(
+        ($"promo_cents" / 100.0).as("promo_revenue"),
+        ($"total_cents" / 100.0).as("total_revenue"),
+        // share% at 4dp: half-up((promo/total·100)·10^4) as an integer
+        (expr("(2 * promo_cents * 1000000 + total_cents) div (2 * total_cents)")
+          / 10000.0).as("promo_share"))
   }
 
   /** TPC-H Q15-style: the top-revenue supplier(s) for one quarter —
@@ -107,7 +120,7 @@ object Tpch {
       .join(broadcast(t(s, dir, "supplier").select($"s_suppkey", $"s_name")),
         $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name",
-        round(($"rev_e4" / lit(10000.0)), 2).as("total_revenue"))
+        (expr("(rev_e4 + 50) div 100") / 100.0).as("total_revenue"))
       .orderBy($"s_suppkey")
   }
 
@@ -133,10 +146,13 @@ object Tpch {
     li.join(broadcast(perPart), $"l_partkey" === $"t_partkey")
       .filter($"l_quantity".cast("long") * 5 * $"cnt_qty" < $"sum_qty")
       // 2dp price → exact cents via the DECIMAL path (a raw double *100
-      // truncates in Spark's long cast but rounds in DuckDB's).
-      .agg(round((sum(($"l_extendedprice".cast("decimal(18,2)") * 100)
-        .cast("long")) / lit(700.0)).cast("double"), 2).as("avg_yearly"),
+      // truncates in Spark's long cast but rounds in DuckDB's); then
+      // avg_yearly cents = half-up(sum_cents/7) in INTEGER domain.
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100)
+        .cast("long")).as("sum_cents"),
         count(lit(1)).as("n_items"))
+      .select((expr("(2 * sum_cents + 7) div 14") / 100.0).as("avg_yearly"),
+        $"n_items")
   }
 
   /** TPC-H Q18-style: large-volume orders (per-order quantity total
@@ -153,10 +169,16 @@ object Tpch {
     big.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(t(s, dir, "customer").select($"c_custkey", $"c_name")),
         $"o_custkey" === $"c_custkey")
+      // exact cents, never round(double): Spark rounds the shortest-decimal
+      // rendering HALF_UP while DuckDB rounds the binary value — a .005
+      // boundary flips per engine. DECIMAL(18,2)*100→long is the repo's
+      // established cross-engine-exact money path.
       .select($"c_name", $"c_custkey", $"o_orderkey",
-        $"o_orderdate", round($"o_totalprice", 2).as("o_totalprice"),
+        $"o_orderdate",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("o_total_cents"),
         $"sum_qty")
-      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .orderBy($"o_total_cents".desc, $"o_orderkey".asc)
       .limit(100)
   }
 
@@ -179,9 +201,11 @@ object Tpch {
     t(s, dir, "lineitem")
       .join(prt, $"l_partkey" === $"p_partkey")
       .filter(cond)
-      .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"),
+      .agg(sum((($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,4)") * 10000).cast("long")).as("rev_e4"),
         count(lit(1)).as("n_items"))
+      .select((expr("(rev_e4 + 50) div 100") / 100.0).as("revenue"),
+        $"n_items")
   }
 
   /** TPC-H Q22-style: well-funded CHURNED customers (no orders since
@@ -233,35 +257,42 @@ object Tpch {
         |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
     "q6_forecast" ->
-      """SELECT
-        |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
-        |    AS DOUBLE), 2) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24""".stripMargin,
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))
+        |      * 10000 AS BIGINT)) AS BIGINT) AS rev_e4,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_discount >= 0.05 AND l_discount <= 0.07
+        |    AND l_quantity < 24)
+        |SELECT ((rev_e4 + 50) // 100) / 100.0 AS revenue, n_items
+        |FROM a""".stripMargin,
     "q14_promo" ->
       """WITH m AS (
         |  SELECT p_type,
-        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * 100
-        |      AS cents
+        |    CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      * 10000 AS BIGINT) AS e4
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'),
         |a AS (
         |  SELECT
-        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
-        |      AS DECIMAL(20,2)) AS promo_cents,
-        |    CAST(sum(cents) AS DECIMAL(20,2)) AS total_cents
-        |  FROM m)
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END)
+        |      AS BIGINT) AS promo_e4,
+        |    CAST(sum(e4) AS BIGINT) AS total_e4
+        |  FROM m),
+        |c AS (
+        |  SELECT (promo_e4 + 50) // 100 AS promo_cents,
+        |         (total_e4 + 50) // 100 AS total_cents
+        |  FROM a)
         |SELECT
-        |  round(CAST(promo_cents / 100 AS DOUBLE), 2) AS promo_revenue,
-        |  round(CAST(total_cents / 100 AS DOUBLE), 2) AS total_revenue,
-        |  round(CAST(promo_cents * 100 / total_cents AS DOUBLE), 4)
-        |    AS promo_share
-        |FROM a""".stripMargin,
+        |  promo_cents / 100.0 AS promo_revenue,
+        |  total_cents / 100.0 AS total_revenue,
+        |  ((2 * promo_cents * 1000000 + total_cents) // (2 * total_cents))
+        |    / 10000.0 AS promo_share
+        |FROM c""".stripMargin,
     "q15_topsupp" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
@@ -272,7 +303,7 @@ object Tpch {
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name,
-        |  round(rev_e4 / 10000.0, 2) AS total_revenue
+        |  ((rev_e4 + 50) // 100) / 100.0 AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
@@ -287,25 +318,28 @@ object Tpch {
         |    count(*) AS cnt_qty
         |  FROM li GROUP BY 1)
         |SELECT
-        |  round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-        |    AS BIGINT)) / 700.0, 2) AS avg_yearly,
+        |  ((2 * CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) + 7) // 14) / 100.0 AS avg_yearly,
         |  count(*) AS n_items
         |FROM li JOIN pp ON l_partkey = t_partkey
         |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty""".stripMargin,
     "q18_bigorders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-        |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS o_total_cents, sum_qty
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+        |ORDER BY o_total_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q19_disjunct" ->
-      """SELECT
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      """WITH a AS (
+        |  SELECT
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS rev_e4,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -313,7 +347,9 @@ object Tpch {
         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
         |    AND l_quantity BETWEEN 10 AND 20)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
-        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+        |    AND l_quantity BETWEEN 20 AND 30))
+        |SELECT ((rev_e4 + 50) // 100) / 100.0 AS revenue, n_items
+        |FROM a""".stripMargin,
     "q22_idle" ->
       """WITH cust AS (
         |  SELECT c_custkey,
