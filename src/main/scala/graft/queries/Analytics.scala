@@ -801,15 +801,18 @@ object Analytics {
 
   /** Shared CTE prefix: distinct basket items and the support-filtered
     * co-purchase pair list (the same formulation as the
-    * `copurchase_pairs` oracle).
+    * `copurchase_norm` oracle — the density-normalized floor the
+    * shared [[graft.queries.ScaleOps.copurchaseEdges]] landing uses).
     */
   private val PairCtes =
-    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |pr AS (
       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
       |  FROM p a JOIN p b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      |  GROUP BY 1, 2 HAVING count(*) >= greatest(2, CAST(ceil(
+      |    ${ScaleOps.CopurchaseNormFrac} *
+      |    (SELECT count(DISTINCT l_orderkey) FROM lineitem)) AS BIGINT)))""".stripMargin
 
   /** One unrolled PageRank step in the oracle's integer recurrence.
     * `sum` returns HUGEINT in DuckDB, so the damped term is computed

@@ -431,6 +431,26 @@ object ScaleOps {
     minePairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
       fixedFloor = 2, floorFrac = None)
 
+  /** Density-normalized minimum support, as a fraction of baskets —
+    * the classic Apriori minsup. 2e-5 keeps the floor at the absolute
+    * minimum (2) for fixtures up to ~100k baskets, then grows linearly
+    * with the corpus: on a replicated 10× corpus (the sf1 scale-up
+    * fixture) the floor reaches 30 and admits exactly the pairs whose
+    * RELATIVE co-occurrence frequency clears it — a fixed ≥2 floor
+    * saturates there (every pair eventually co-occurs twice) and blows
+    * up the downstream wedge joins (PLANS_r06: 61 → 1.88M triangles).
+    */
+  val CopurchaseNormFrac = 2e-5
+
+  /** [[copurchasePairs]] under the density-normalized floor — the
+    * registered scale-safe variant; the shared [[copurchaseEdges]]
+    * landing (pagerank / degree_hist / assoc_rules / triangle_count)
+    * rides this rule too.
+    */
+  def copurchaseNorm(s: SparkSession, dir: String): DataFrame =
+    minePairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      fixedFloor = 2, floorFrac = Some(CopurchaseNormFrac))
+
   /** The pair miner over any (basket, item) frame. `fixedFloor` is the
     * absolute co-occurrence floor (the oracle contract above);
     * `floorFrac` additionally demands support ≥ ceil(frac · #baskets) —
@@ -477,9 +497,9 @@ object ScaleOps {
     * oracle-gated on its own.
     */
   def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_edges/${graft.Tables.pathTag(dir)}"
+    val path = s"/tmp/graft_edges_norm/${graft.Tables.pathTag(dir)}"
     graft.Tables.landOnce(path) {
-      copurchasePairs(s, dir).write.mode("overwrite").parquet(path)
+      copurchaseNorm(s, dir).write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }
@@ -680,6 +700,7 @@ object ScaleOps {
     "cdc_merge" -> (cdcMerge _),
     "snapshot_diff" -> (snapshotDiffQ _),
     "copurchase_pairs" -> (copurchasePairs _),
+    "copurchase_norm" -> (copurchaseNorm _),
     "incr_agg" -> (incrAgg _),
     "triangle_count" -> (triangleCount _),
     "scd2_join" -> (scd2Join _),
@@ -860,12 +881,14 @@ object ScaleOps {
         | AND orders.o_orderdate >= dim.valid_from
         |GROUP BY 1, 2""".stripMargin,
     "triangle_count" ->
-      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
         |  FROM p a JOIN p b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  GROUP BY 1, 2 HAVING count(*) >= greatest(2, CAST(ceil(
+        |    $CopurchaseNormFrac *
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem)) AS BIGINT)))
         |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
         |FROM e e1
         |JOIN e e2 ON e1.pb = e2.pa
@@ -878,6 +901,15 @@ object ScaleOps {
         |FROM p a JOIN p b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "copurchase_norm" ->
+      s"""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS support
+        |FROM p a JOIN p b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= greatest(2, CAST(ceil(
+        |  $CopurchaseNormFrac *
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem)) AS BIGINT))""".stripMargin,
     "snapshot_diff" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'removed' AS change
         |FROM customer WHERE c_custkey % 11 = 0
