@@ -75,6 +75,32 @@ object Notifier { object Silent extends Notifier }
 
 object PipelineRunner {
 
+  /** O5 crawler parity (workflow_definition.json:94-141): register the
+    * landed raw zone as a discoverable external table in the session
+    * catalog — the step the reference runs between landing and
+    * transform with a Glue crawler, so downstream consumers can query
+    * the raw zone by name instead of by path. The table is a pure
+    * pointer (`CREATE TABLE … USING <fmt> LOCATION`), no data moves;
+    * re-registration drops and re-creates the entry so the catalog
+    * always reflects the latest landing's inferred schema (crawler
+    * re-run semantics). CSV keeps the untyped header=true contract of
+    * [[graft.sources.SourceReader.read]].
+    */
+  def registerRawZone(
+      spark: SparkSession, sourceName: String,
+      inputPath: String, dataFormat: String): String = {
+    val fmt = dataFormat.toLowerCase match {
+      case f @ ("json" | "csv" | "parquet" | "orc") => f
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported data format: $other")
+    }
+    val tbl = "raw_" + sourceName.replaceAll("[^A-Za-z0-9_]", "_")
+    val options = if (fmt == "csv") " OPTIONS (header 'true')" else ""
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING $fmt$options LOCATION '$inputPath'")
+    tbl
+  }
+
   /** The transform stage (§3 entry point 2) as one declarative plan:
     * read → map → transform → filter → metadata → partition → write.
     *
@@ -151,6 +177,9 @@ object PipelineRunner {
     val ctx = PipelineContext.create(cfg, startTime)
     try {
       val fmt = if (dataFormat.nonEmpty) dataFormat else cfg.schema.inputFormat
+      // O5: the raw zone becomes a named catalog table BEFORE transform,
+      // exactly where the reference's crawler step sits in the workflow.
+      registerRawZone(spark, cfg.name, inputPath, fmt)
       // O2: branch on source type — api/email sources are expected to be
       // already landed at inputPath by their ingest stage (the reference
       // marks email/file/stream as landed passthroughs, workflow:67-81).

@@ -40,6 +40,15 @@ class PipelineSuite extends SparkTestBase {
     assert(back.filter($"year" === 1995).count() > 0)
     // priority regexp_replace applied: "1-URGENT" → "URGENT"
     assert(back.select($"priority").distinct().as[String].collect().forall(!_.matches("^[0-9]-.*")))
+    // O5 crawler parity: the landed raw zone is now a discoverable
+    // catalog table pointing at the input (no data copied), queryable
+    // by name with the raw schema.
+    assert(spark.catalog.tableExists("raw_orders_basic"))
+    assert(spark.table("raw_orders_basic").count() == 1500)
+    assert(spark.table("raw_orders_basic").columns.contains("o_orderkey"))
+    // re-registration (crawler re-run) replaces, not fails
+    PipelineRunner.registerRawZone(spark, "orders_basic", s"$sf0001/orders.parquet", "parquet")
+    assert(spark.table("raw_orders_basic").count() == 1500)
   }
 
   test("customers end-to-end: nested mapping + quality violations detected") {
