@@ -445,7 +445,16 @@ object SimSearch {
     * Lloyd iterations `c1..c<iters>` (sum-vector centroids, empty
     * cells keep their codeword).
     */
-  private def trainedCentroidCtes(k: Int, iters: Int, dim: Int): String = {
+  /** The locked-training K as SQL, from the corpus itself: the same
+    * clamp(⌈√N⌉, 16, 65536) rule as [[IvfParams.forCorpus]], computed
+    * inside the oracle so a regenerated or rescaled fixture retunes
+    * BOTH sides identically. sqrt/ceil are IEEE-exact in both engines.
+    */
+  private val KkCte =
+    """kk AS (SELECT greatest(16, least(65536,
+      |  CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings)""".stripMargin
+
+  private def trainedCentroidCtes(iters: Int, dim: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT u.vec_id, cent_id,
          |  row_number() OVER (PARTITION BY u.vec_id
@@ -458,13 +467,15 @@ object SimSearch {
          |c$i AS (SELECT cent_id, coalesce(cu2, cu) AS cu
          |  FROM c${i - 1} LEFT JOIN l$i ON cent_id = cell)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"""d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""$KkCte,
+       |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |u AS (SELECT vec_id, CASE WHEN list_dot_product(v, v) = 0
        |        THEN list_transform(v, x -> 0.0)
        |        ELSE list_transform(v,
        |          x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) END AS u
        |      FROM d),
-       |c0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < $k)$iterCtes""".stripMargin
+       |c0 AS (SELECT vec_id AS cent_id, u AS cu FROM u
+       |       WHERE vec_id < (SELECT k FROM kk))$iterCtes""".stripMargin
   }
 
   /** Semantic corpus clustering — every vector's cell under the
@@ -618,9 +629,9 @@ object SimSearch {
   }
 
   /** DuckDB oracle for [[semanticDedupBest]]. */
-  def semanticDedupBestOracleSql(threshold: Double, kCents: Int,
+  def semanticDedupBestOracleSql(threshold: Double,
       iters: Int, dim: Int, qualityCol: String): String =
-    s"""WITH ${trainedCentroidCtes(kCents, iters, dim)},
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
        |r AS (SELECT d.vec_id, cent_id,
        |        row_number() OVER (PARTITION BY d.vec_id
        |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
@@ -640,9 +651,9 @@ object SimSearch {
   /** DuckDB oracle for [[semanticDedup]]: training replay + cell
     * assignment + the min-id dominance rule.
     */
-  def semanticDedupOracleSql(threshold: Double, kCents: Int, iters: Int,
+  def semanticDedupOracleSql(threshold: Double, iters: Int,
       dim: Int): String =
-    s"""WITH ${trainedCentroidCtes(kCents, iters, dim)},
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
        |r AS (SELECT d.vec_id, cent_id,
        |        row_number() OVER (PARTITION BY d.vec_id
        |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
@@ -659,8 +670,8 @@ object SimSearch {
   /** DuckDB oracle for [[knnGraph]]: training replay + cell-bounded
     * top-k.
     */
-  def knnGraphOracleSql(k: Int, kCents: Int, iters: Int, dim: Int): String =
-    s"""WITH ${trainedCentroidCtes(kCents, iters, dim)},
+  def knnGraphOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
        |r AS (SELECT d.vec_id, cent_id,
        |        row_number() OVER (PARTITION BY d.vec_id
        |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
@@ -678,8 +689,8 @@ object SimSearch {
   /** DuckDB oracle for the leakage-safe cluster-level split: training
     * replay + argmax assignment + the staged-LCG bucket of cluster_id.
     */
-  def leakageSafeSplitOracleSql(k: Int, iters: Int, dim: Int): String =
-    s"""WITH ${trainedCentroidCtes(k, iters, dim)},
+  def leakageSafeSplitOracleSql(iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
        |r AS (SELECT d.vec_id, cent_id,
        |        row_number() OVER (PARTITION BY d.vec_id
        |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
@@ -694,8 +705,8 @@ object SimSearch {
        |FROM cell""".stripMargin
 
   /** DuckDB oracle for [[clusterAssign]]: training replay + argmax. */
-  def clusterAssignOracleSql(k: Int, iters: Int, dim: Int): String =
-    s"""WITH ${trainedCentroidCtes(k, iters, dim)},
+  def clusterAssignOracleSql(iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
        |r AS (SELECT d.vec_id, cent_id,
        |        round(list_cosine_similarity(d.v, cu), 6) AS sim,
        |        row_number() OVER (PARTITION BY d.vec_id
@@ -707,16 +718,16 @@ object SimSearch {
     * the unrolled Lloyd iterations, final cell assignment, probing,
     * and the exact re-rank.
     */
-  def ivfTrainedOracleSql(queryBound: Int, p: IvfParams, iters: Int, dim: Int): String = {
-    val k = p.numCentroids
-    s"""WITH ${trainedCentroidCtes(k, iters, dim)},
+  def ivfTrainedOracleSql(queryBound: Int, iters: Int, dim: Int): String = {
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
        |r AS (SELECT d.vec_id, cent_id,
        |        row_number() OVER (PARTITION BY d.vec_id
        |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
        |      FROM d CROSS JOIN c$iters),
        |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r WHERE crn = 1),
        |probe AS (SELECT vec_id AS qid, cent_id AS cell FROM r
-       |          WHERE crn <= ${p.probes} AND vec_id < $queryBound),
+       |          WHERE crn <= (SELECT greatest(2, k // 16) FROM kk)
+       |            AND vec_id < $queryBound),
        |cand AS (SELECT DISTINCT qid, cid
        |         FROM probe JOIN cell ON probe.cell = cell.cell AND qid <> cid),
        |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv2.v), 6) AS sim

@@ -147,16 +147,31 @@ object NorthStar {
   /** ONE definition of the locked-training geometry, shared by the
     * queries AND their oracle constructors — retuning any of these
     * retunes both sides, so the training replay cannot drift.
+    *
+    * K is CORPUS-DERIVED (clamp(⌈√N⌉, 16, 65536), probes K/16 — the
+    * [[graft.ext.SimSearch.IvfParams.forCorpus]] rule) rather than a
+    * fixed fixture constant: with fixed K, cell population N/K grows
+    * linearly with the corpus and every cell-bounded consumer
+    * (knn_graph's per-cell quadratic, SemDeDup's in-cell pair scan)
+    * superlinearly inherits it — the r9 sf1 audit measured knn_graph
+    * ×12.5 for 10× data on K=16. √N sizing keeps cells at ~√N, so the
+    * same queries scale ~N^1.5 total work with perfect key
+    * parallelism instead of N². The oracle SQL computes the identical
+    * K from count(*) inside the query, so both sides retune together
+    * on any fixture.
     */
-  private val LockedK = graft.ext.SimSearch.IvfParams.fixture.numCentroids
   private val LockedIters = 2
   private val EmbDim = 64
+
+  private def lockedParams(s: SparkSession, dir: String) =
+    graft.ext.SimSearch.IvfParams.forCorpus(
+      t(s, dir, "embeddings").count())
 
   private def trainedCents(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_cents/${graft.Tables.pathTag(dir)}"
     graft.Tables.landOnce(path) {
       graft.ext.SimSearch.trainCentroidsLocked(t(s, dir, "embeddings"),
-        LockedK, LockedIters)
+        lockedParams(s, dir).numCentroids, LockedIters)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -169,7 +184,7 @@ object NorthStar {
     */
   def simTopKIvfTrained(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.ivfTopKWithCentroids(t(s, dir, "embeddings"), 100,
-      graft.ext.SimSearch.IvfParams.fixture.probes, trainedCents(s, dir))
+      lockedParams(s, dir).probes, trainedCents(s, dir))
 
   /** Semantic clustering of the embedding corpus (16 locked-trained
     * cells): the curation primitive for topic balance / per-cluster
@@ -1363,17 +1378,17 @@ object NorthStar {
     "sim_topk_lsh" -> graft.ext.SimSearch.lshOracleSql(100, graft.ext.SimSearch.LshParams.fixture),
     "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100, graft.ext.SimSearch.IvfParams.fixture),
     "sim_topk_ivf_trained" -> graft.ext.SimSearch.ivfTrainedOracleSql(
-      100, graft.ext.SimSearch.IvfParams.fixture, LockedIters, EmbDim),
+      100, LockedIters, EmbDim),
     "doc_clusters" -> graft.ext.SimSearch.clusterAssignOracleSql(
-      LockedK, LockedIters, EmbDim),
+      LockedIters, EmbDim),
     "knn_graph" -> graft.ext.SimSearch.knnGraphOracleSql(
-      3, LockedK, LockedIters, EmbDim),
+      3, LockedIters, EmbDim),
     "semantic_dedup" -> graft.ext.SimSearch.semanticDedupOracleSql(
-      SemDedupTau, LockedK, LockedIters, EmbDim),
+      SemDedupTau, LockedIters, EmbDim),
     "semantic_dedup_best" -> graft.ext.SimSearch.semanticDedupBestOracleSql(
-      SemDedupTau, LockedK, LockedIters, EmbDim, "label"),
+      SemDedupTau, LockedIters, EmbDim, "label"),
     "split_leakage_safe" -> graft.ext.SimSearch.leakageSafeSplitOracleSql(
-      LockedK, LockedIters, EmbDim),
+      LockedIters, EmbDim),
     "contrastive_triplets" -> graft.ext.SimSearch.contrastiveTripletsOracleSql(
       0.4, graft.ext.SimSearch.LshParams.fixture),
     "srp_reduce" -> graft.ext.RandomProjection.reduceOracleSql(EmbDim, SrpDim),
