@@ -38,6 +38,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").join(
       spark.read.parquet(s"$sfDir/nation.parquet")).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Old-gen pressure from the 200 queries that ran BEFORE this one
+      // is not this query's cost, but an in-run full GC lands in
+      // whichever timed region it strikes (r9's standing sf1 artifact
+      // committed 59.9 s for video_shots vs 2.2 s warm-isolated).
+      // Collect OUTSIDE the timed region whenever the heap is more
+      // than half full, so accumulated garbage is paid between
+      // queries, not inside one.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2) System.gc()
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
