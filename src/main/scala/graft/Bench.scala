@@ -41,12 +41,15 @@ object Bench {
       // Old-gen pressure from the 200 queries that ran BEFORE this one
       // is not this query's cost, but an in-run full GC lands in
       // whichever timed region it strikes (r9's standing sf1 artifact
-      // committed 59.9 s for video_shots vs 2.2 s warm-isolated).
-      // Collect OUTSIDE the timed region whenever the heap is more
-      // than half full, so accumulated garbage is paid between
-      // queries, not inside one.
+      // committed 59.9 s for video_shots vs 2.2 s warm-isolated), and
+      // Spark's ContextCleaner only releases accumulated broadcast /
+      // shuffle state when a GC actually runs. Collect OUTSIDE the
+      // timed region whenever the heap is more than a quarter full,
+      // so session debris is paid between queries, not inside one
+      // (the 50% threshold still left video_shots 3.7x over its
+      // warm-isolation number in the first r10 sf1 run).
       val rt = Runtime.getRuntime
-      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2) System.gc()
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 4) System.gc()
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =

@@ -565,23 +565,37 @@ object Analytics {
     * every comparison. Ties broken by (orderkey, linenumber), so the
     * rank → value mapping is total.
     *
-    * Scale shape: one window exchange on the group key for the ranks
-    * (WindowGroupLimit doesn't apply — we need two interior ranks —
-    * but the frame is the group's (cents, id) pairs, never the wide
-    * row); bounds are a \|groups\|-row broadcast back into the scan.
+    * Scale shape: per-group ranks ride the SAME two-level prefix sum
+    * as `price_deciles` — in-bucket row_number partitioned by
+    * (group, price-bucket) plus per-group bucket offsets — so no
+    * single task ever sorts a whole group (the r9 shape ranked each
+    * l_returnflag group in ONE window partition: a 3-task sort of the
+    * entire corpus, the classic low-cardinality-group window trap
+    * that measured ×5 for 10× data at sf1). Bucket order extends the
+    * (cents, id) order, so offset + in-bucket index IS the group
+    * rank, bit-for-bit the single-window oracle's rank. Bounds are a
+    * \|groups\|-row broadcast back into the scan.
     */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
         col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy(col("l_returnflag"))
+    val bucketed = li.withColumn("__bucket", expr("cents div 100000L"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("__bucket"))
       .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = li
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
+    val offsets = bucketed.groupBy(col("l_returnflag"), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("__cnt")).over(
         Window.partitionBy(col("l_returnflag"))))
-    val bounds = ranked
+      .select(col("l_returnflag"), col("__bucket"), col("__off"), col("n"))
+    val bounds = bucketed
+      .withColumn("__rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("l_returnflag", "__bucket"))
+      .withColumn("rn", col("__off") + col("__rn"))
       .filter(col("rn") === expr("n div 100 + 1") ||
         col("rn") === expr("n - n div 100"))
       .groupBy(col("l_returnflag"))
