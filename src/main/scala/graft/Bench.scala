@@ -37,7 +37,23 @@ object Bench {
     // so the alphabetically-first query doesn't absorb startup cost.
     spark.read.parquet(s"$sfDir/region.parquet").join(
       spark.read.parquet(s"$sfDir/nation.parquet")).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_SLICE="k/n" runs only queries with index ≡ k (mod n)
+    // in sorted order — the sub-batch mode behind the standing sf1
+    // artifact: ~200 queries in ONE JVM accumulate enough session
+    // debris (broadcast blocks, JIT churn, old-gen) to distort
+    // individual rows by 3-6x in either direction (r10 measured
+    // copurchase_norm 25.4 s in-session vs 3.6 s warm-isolated, and
+    // video_shots 7.4 s vs 2.0 s in a different run). Round-robin
+    // slices across fresh JVMs bound the debris; scripts/bench_sliced.py
+    // merges the per-slice files. The driver's single-invocation
+    // contract (no env var) is unchanged.
+    val slice = sys.env.get("SPARK_GRAFT_SLICE").map { s =>
+      val Array(k, n) = s.split("/").map(_.toInt); (k, n)
+    }
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .filter { case (_, i) => slice.forall { case (k, n) => i % n == k } }
+      .map(_._1)
+    val results = picked.map { case (name, fn) =>
       // Old-gen pressure from the 200 queries that ran BEFORE this one
       // is not this query's cost, but an in-run full GC lands in
       // whichever timed region it strikes (r9's standing sf1 artifact
@@ -64,8 +80,15 @@ object Bench {
       val (sec, ok) =
         if (!first._2) first // don't re-run a failure
         else {
-          val times = Seq(first._1, once()._1, once()._1).sorted
-          (times(1), true)
+          // SPARK_GRAFT_REPS (default 3, the driver contract) raises
+          // the rep count for fresh-JVM sliced runs, where a query can
+          // need TWO runs to finish JIT-warming (sim_topk_pq at sf1:
+          // 22 s cold, 6.7 s second, 4.6 s steady — a median of 3
+          // reports the still-cooling 6.7).
+          val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+          val times = (Seq(first._1) ++
+            Seq.fill(reps - 1)(once()._1)).sorted
+          (times(reps / 2), true)
         }
       (name, sec, ok)
     }
