@@ -170,6 +170,26 @@ object NearDup {
           org.apache.spark.sql.types.StructField("cluster_id",
             docs.schema(idCol).dataType, nullable = false))))
     }
+    val labels = connectedComponents(edges)
+    edges.unpersist()
+    log.info("near-dup label propagation complete")
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Connected components of a SYMMETRIC (src, dst) edge list, labeled
+    * by component-minimum node id — the propagation core shared by
+    * near-dup clustering and the graph queries. Iterated neighbor-min
+    * with POINTER JUMPING (l(u) ← l(l(u)) after each min step), so
+    * rounds are O(log diameter) instead of O(diameter) — chain-shaped
+    * components make diameter the wall-clock knob otherwise. Each
+    * round is two node-keyed joins (one edge-sized, one label-sized);
+    * convergence detection rides the round's one materializing action
+    * via an exact-decimal label-sum observation (labels only ever
+    * decrease). Returns (node, cluster_id); isolated nodes (absent
+    * from the edge list) are not emitted — the caller left-joins if it
+    * wants singleton components.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .persist()
@@ -225,9 +245,8 @@ object NearDup {
           val cp = next.localCheckpoint(); next.unpersist(); cp
         } else next
     }
-    edges.unpersist()
-    log.info(s"near-dup label propagation converged in $round rounds")
-    labels.select(col("node").as("doc_id"), col("cluster_id"))
+    log.info(s"label propagation converged in $round rounds")
+    labels.select(col("node"), col("cluster_id"))
   }
 
   /** The cleaned corpus: every document except non-survivor cluster

@@ -744,6 +744,25 @@ object Analytics {
     * observability summary (is the graph scale-free-ish? where does
     * the skew-join risk live?). Output is ~⌈log₂ max-degree⌉ rows.
     */
+  /** Connected components of the co-purchase graph, labeled by
+    * component-minimum part id — the bundle/category discovery
+    * primitive one rung up from pair mining (every part reachable
+    * through shared baskets lands in one component). Rides the shared
+    * landed edge list and the pointer-jumped propagation core
+    * ([[graft.ext.NearDup.connectedComponents]]): O(log diameter)
+    * rounds, each two node-keyed joins on the SPARSE support-filtered
+    * graph — never the basket data. Oracle replays the same min-label
+    * closure as a recursive CTE.
+    */
+  def copurchaseComponents(s: SparkSession, dir: String): DataFrame = {
+    val p = ScaleOps.copurchaseEdges(s, dir)
+      .select(col("part_a"), col("part_b"))
+    val edges = p.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .union(p.select(col("part_b").as("src"), col("part_a").as("dst")))
+    graft.ext.NearDup.connectedComponents(edges)
+      .select(col("node").as("part"), col("cluster_id").as("component_id"))
+  }
+
   def degreeHist(s: SparkSession, dir: String): DataFrame = {
     val p = ScaleOps.copurchaseEdges(s, dir)
       .select(col("part_a"), col("part_b"))
@@ -802,6 +821,7 @@ object Analytics {
     "embed_score" -> (embedScore _),
     "event_trigrams" -> (eventTrigrams _),
     "degree_hist" -> (degreeHist _),
+    "copurchase_components" -> (copurchaseComponents _),
     "session_lengths" -> (sessionLengths _),
     "pagerank" -> (pagerank _),
     "assoc_rules" -> (assocRules _),
@@ -1095,6 +1115,16 @@ object Analytics {
         |    AS novelty
         |FROM sh JOIN df USING (h)
         |GROUP BY doc_id""".stripMargin,
+    "copurchase_components" ->
+      s"""${PairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT pa AS src, pb AS dst FROM pr
+         |      UNION SELECT pb, pa FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS part, least(src, min(dst)) AS component_id
+         |FROM reach GROUP BY src""".stripMargin,
     "pagerank" ->
       s"""$PairCtes,
          |e AS (SELECT pa AS src, pb AS dst FROM pr
