@@ -75,6 +75,56 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(pairs(7) == uncapped, "cap=7 (18 chunks) must not change the result")
   }
 
+  /** The FastSS deletion-neighborhood path (maxDist = 1) must equal a
+    * driver-side brute force over every within-block pair, on a corpus
+    * that exercises ALL single-edit shapes — substitution, insertion,
+    * deletion, exact duplicates, differing lengths — plus dist-2
+    * decoys and the "xy"/"yx" false-positive collision the verify has
+    * to reject.
+    */
+  test("FastSS del-key path equals brute-force levenshtein on all edit shapes") {
+    val s = spark; import s.implicits._
+    val names = Seq(
+      1L -> "alpha", 2L -> "alpht",       // substitution (equal length)
+      3L -> "alphax", 4L -> "alph",       // insertion / deletion vs "alpha"
+      5L -> "alpah",                      // transposition: dist 2 from alpha — decoy
+      6L -> "alpha",                      // exact duplicate of 1
+      7L -> "axy", 8L -> "ayx",           // share del-key "ay"? (false-positive class)
+      9L -> "a", 10L -> "ab", 11L -> "b", // tiny strings, cross-length edits
+      12L -> "beta")
+    val df = names.toDF("id", "name")
+    // one global block: blocking completeness is not under test here
+    val got = FuzzyJoin.blockedPairs(df, "id", "name", lit("B"), maxDist = 1)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb))).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+    // sanity on the shapes this corpus plants:
+    assert(expect.contains((1L, 2L, 1)) && expect.contains((1L, 3L, 1)) &&
+      expect.contains((1L, 4L, 1)) && expect.contains((1L, 6L, 0)))
+    assert(!expect.exists(p => p._1 == 1L && p._2 == 5L), "transposition is dist 2")
+    assert(!expect.contains((7L, 8L, 1)), "axy/ayx is dist 2 despite shared del-key")
+  }
+
+  test("FastSS path honors the block boundary like the cross path") {
+    val got = FuzzyJoin.blockedPairs(entities, "id", "name",
+        substring(col("name"), 1, 4), maxDist = 1, blockCap = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same contract as the headline test, under salting (cap=3)
+    assert(got == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("chunk assignment bounds per-cell work and respects id order") {
     val s = spark; import s.implicits._
     val keyed = ((0 until 100).map(i => (i.toLong, s"n$i", "HOT")) ++

@@ -201,4 +201,28 @@ class NearDupSpec extends SparkTestBase {
     assert(candidates < allPairs / 10,
       s"banding should prune: $candidates candidates vs $allPairs pairs")
   }
+
+  /** The extracted propagation core, unit-tested on hand-built graphs:
+    * a long chain (the pointer-jumping motivation — O(log diameter)
+    * rounds), two disjoint components, and the no-isolated-nodes
+    * contract. Labels must be the component MINIMUM for every member.
+    */
+  test("connectedComponents labels every member with the component minimum") {
+    val s = spark; import s.implicits._
+    // chain 10-11-...-29 (diameter 19), triangle {100,101,102},
+    // isolated pair {200,201}
+    val undirected =
+      (10L until 29L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val edges = undirected.toDF("a", "b")
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(undirected.toDF("a", "b")
+        .select(col("b").as("src"), col("a").as("dst")))
+    val got = NearDup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == ((10L to 29L) ++ Seq(100L, 101L, 102L, 200L, 201L)).toSet)
+    (10L to 29L).foreach(n => assert(got(n) == 10L, s"chain node $n"))
+    Seq(100L, 101L, 102L).foreach(n => assert(got(n) == 100L))
+    Seq(200L, 201L).foreach(n => assert(got(n) == 200L))
+  }
 }
