@@ -84,7 +84,13 @@ object PipelineRunner {
     * re-registration drops and re-creates the entry so the catalog
     * always reflects the latest landing's inferred schema (crawler
     * re-run semantics). CSV keeps the untyped header=true contract of
-    * [[graft.sources.SourceReader.read]].
+    * [[graft.sources.SourceReader.read]] (inference reads only the
+    * header line). Scale note: JSON registration infers by scanning
+    * the zone — fine for per-run landings (one pass over data that is
+    * about to be read anyway), but a petabyte-scale accumulated raw
+    * zone should register with an explicit schema or a sampled
+    * inference (`samplingRatio`), exactly as Glue crawlers sample
+    * rather than scan; parquet/orc read footers only.
     */
   def registerRawZone(
       spark: SparkSession, sourceName: String,
