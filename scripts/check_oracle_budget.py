@@ -30,17 +30,36 @@ def canon(rows, cols):
 
 
 def values_eq(a, b):
-    # Same comparison discipline as check_oracle.py: floats compare at
-    # relative tolerance, everything else exactly.
+    # STRICT (r10): exact only, matching check_oracle.py — the driver
+    # hashes exact renderings, so a tolerance pass is a driver FAIL.
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None:
-            return False
-        if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
-            return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
+        return True
     return a == b
+
+
+HAZARD_DUCK = ("HUGEINT", "UHUGEINT", "DECIMAL", "FLOAT", "REAL", "TINYINT")
+HAZARD_ARROW = ("decimal", "float", "halffloat")  # float = float32 in arrow
+
+
+def type_hazards(con, sql, tbl):
+    """Columns whose type the driver's hasher renders engine-dependently."""
+    bad = []
+    try:
+        for name, typ in con.execute(
+                f"SELECT column_name, column_type FROM (DESCRIBE ({sql}))"
+                ).fetchall():
+            t = typ.upper()
+            if any(t.startswith(h) for h in HAZARD_DUCK):
+                bad.append(f"duckdb:{name}:{typ}")
+    except Exception as e:
+        bad.append(f"duckdb:DESCRIBE-ERR:{e}")
+    for field in tbl.schema:
+        t = str(field.type)
+        if any(t.startswith(h) for h in HAZARD_ARROW):
+            bad.append(f"spark:{field.name}:{t}")
+    return bad
 
 
 def main():
@@ -97,6 +116,11 @@ def main():
                 running["v"] = False
             timer.cancel()
         tbl = pq.read_table(str(d))
+        haz = type_hazards(con, oracle[name], tbl)
+        if haz:
+            n_bad += 1
+            print(f"  [TYPE]   {name}: driver-hash hazard {haz}")
+            continue
         gc, gr = canon([tuple(r.values()) for r in tbl.to_pylist()], tbl.column_names)
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec or len(gr) != len(er):
