@@ -22,13 +22,16 @@ class ProfilerSpec extends SparkTestBase {
     assert(rows("v") == ((4L, 1L, 3L, "a", "c")))
   }
 
-  test("profile is one aggregate job: a single scan in the plan") {
+  test("profile plans one value-grouped aggregate per column, no Expand") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val plan = Profiler.profile(df, Seq("k", "v"))
       .queryExecution.optimizedPlan.toString
-    // One LocalRelation leaf — the profile never re-scans per column.
-    assert("LocalRelation".r.findAllIn(plan).size == 1, plan)
+    // One pruned scan PER COLUMN under a union (independent stages —
+    // the r10 shape), and never the Expand ×(cols+1) multi-distinct
+    // plan that multi-copies the corpus through one exchange.
+    assert("LocalRelation".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Expand"), plan)
   }
 
   test("profileApprox matches the exact profile except HLL cardinality") {
@@ -50,16 +53,16 @@ class ProfilerSpec extends SparkTestBase {
     }
   }
 
-  test("profileApprox plan has no Expand — partials stay map-side") {
+  test("profileApprox plan has no Expand and scans once for all columns") {
     val s = spark; import s.implicits._
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
     val approxPlan = Profiler.profileApprox(df, Seq("k", "v"))
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"), approxPlan)
-    // The exact variant DOES pay the Expand — the contrast this spec pins.
-    val exactPlan = Profiler.profile(df, Seq("k", "v"))
-      .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"), exactPlan)
+    // The approx variant's contrast with exact since r10: ONE scan for
+    // all columns (sketches ride a single aggregate) vs one
+    // value-grouped aggregate per column.
+    assert(!approxPlan.contains("Union"), approxPlan)
   }
 
   test("referential check counts orphans; NULL FKs are not orphans") {
