@@ -546,8 +546,15 @@ object Analytics {
         t(s, dir, "documents"), "doc_id", "text",
         graft.ext.NearDup.DefaultShingleLen)
       .select(col("doc_id"), explode(col("hs")).as("h"))
-    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh.join(df, "h")
+    // Document frequency as a count-only window over the shingle key:
+    // ONE shingling pass and one exchange on h, where the df-join
+    // formulation shingles the corpus twice (once per join side) —
+    // shingling (regex split + rolling hash per token) is the dominant
+    // per-row cost. The window frame is the full h-partition with a
+    // count-only aggregate: O(1) state, no ordering requirement.
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    withDf
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
