@@ -467,6 +467,16 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // df via aggregate + join, NOT the count-only window idiom
+    // novelty_score uses. At fixture scale the two measure the same
+    // (~1.2 s warm at sf0.1), but the shapes diverge at scale: term
+    // vocabularies are small relative to the (doc, term) frame, so
+    // the df side broadcasts and the big frame never re-exchanges,
+    // while a window over the term key sorts every (doc, term) row
+    // (WindowExec sorts by its partition key even for count-only
+    // frames). The window idiom wins only when the key space is
+    // corpus-sized (shingle hashes), where the df frame cannot
+    // broadcast and the join would shuffle both sides anyway.
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
