@@ -122,8 +122,16 @@ object FuzzyJoin {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      // Same barrier shape as the cross path above: without it the
+      // levenshtein filter (referencing only the distinct's grouping
+      // columns) pushes BELOW the dedup into the join condition, where
+      // it evaluates on every pre-distinct multi-key collision before
+      // the cheap conjuncts; and dist computes once, not twice.
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        monotonically_increasing_id().as("__barrier"))
+      .filter(col("dist") <= 1 && col("__barrier") >= 0)
+      .drop("__barrier")
   }
 
   /** Chunk assignment for salting: contiguous id-ordered chunks of at

@@ -86,13 +86,19 @@ object SimSearch {
   object IvfParams {
     /** K ≈ √N (the standard IVF sizing: balances N/K assignment cost
       * against K-way probe fan-out), clamped to [16, 65536]; probes
-      * scale as K/16 so recall holds as the cell count grows.
+      * scale as K/16 so recall holds as the cell count grows, with a
+      * FLOOR of min(10, K): below K≈160 the K/16 fraction collapses to
+      * 2–9 probes, and on near-uniform data (the fixture regime —
+      * IvfSweep measured 2 probes → 41/100 top-1 agreement vs the 80%
+      * recall floor) a small absolute probe count is not enough; 10
+      * probes holds the floor with margin (90/100) until K is large
+      * enough for the fractional rule to take over.
       */
     def forCorpus(corpusSize: Long): IvfParams = {
       require(corpusSize > 0, "corpusSize hint must be positive")
       val k = math.min(1 << 16,
         math.max(16, math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
-      IvfParams(k, math.max(2, k / 16))
+      IvfParams(k, math.max(math.min(10, k), k / 16))
     }
 
     /** Fixture-scale geometry (~10³ vectors): 16 cells, 10 probes.
@@ -726,7 +732,7 @@ object SimSearch {
        |      FROM d CROSS JOIN c$iters),
        |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r WHERE crn = 1),
        |probe AS (SELECT vec_id AS qid, cent_id AS cell FROM r
-       |          WHERE crn <= (SELECT greatest(2, k // 16) FROM kk)
+       |          WHERE crn <= (SELECT greatest(least(10, k), k // 16) FROM kk)
        |            AND vec_id < $queryBound),
        |cand AS (SELECT DISTINCT qid, cid
        |         FROM probe JOIN cell ON probe.cell = cell.cell AND qid <> cid),

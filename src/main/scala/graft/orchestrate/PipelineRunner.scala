@@ -100,12 +100,30 @@ object PipelineRunner {
       case other =>
         throw new IllegalArgumentException(s"Unsupported data format: $other")
     }
+    // The path is interpolated into a SQL literal below — reject the
+    // one character that could terminate the literal rather than
+    // escaping it (no real filesystem path needs a single quote, and a
+    // rejected path is a visible config error where an escaped one
+    // silently registers a table nobody can read back by name).
+    require(!inputPath.contains("'"),
+      s"raw-zone path must not contain single quotes: $inputPath")
     val tbl = "raw_" + sourceName.replaceAll("[^A-Za-z0-9_]", "_")
     val options = if (fmt == "csv") " OPTIONS (header 'true')" else ""
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl USING $fmt$options LOCATION '$inputPath'")
+    // DROP+CREATE under a per-name lock: the session catalog is shared
+    // across concurrently-running pipelines, and two crawls of the same
+    // source racing the two statements can otherwise interleave into
+    // TABLE_ALREADY_EXISTS. (Cross-JVM races are the metastore's
+    // transaction problem, not ours.)
+    val lock = registerLocks.computeIfAbsent(tbl, _ => new Object)
+    lock.synchronized {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING $fmt$options LOCATION '$inputPath'")
+    }
     tbl
   }
+
+  private val registerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** The transform stage (§3 entry point 2) as one declarative plan:
     * read → map → transform → filter → metadata → partition → write.

@@ -61,7 +61,11 @@ object Profiler {
     * per input row per column through ONE exchange (measured 4.7 s at
     * sf0.1 vs 1.4 s for this shape; at 100 TB the Expand exchange is
     * a multi-copy full-table shuffle). Columns profile as independent
-    * stages — embarrassingly parallel on a cluster.
+    * stages — embarrassingly parallel on a cluster. Trade-off stated
+    * plainly: this shape re-scans the source once PER PROFILED COLUMN
+    * (columnar pruning makes each scan one column wide, but a
+    * 500-column full profile = 500 scans); [[profileApprox]] is the
+    * one-scan-all-columns path and the 100 TB default.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -69,8 +73,12 @@ object Profiler {
       df.select(col(c))
         .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
         .agg(
-          sum(col("__cnt")).as("n_rows"),
-          sum(when(col(c).isNull, col("__cnt")).otherwise(0L)).as("n_nulls"),
+          // coalesce: sum over an EMPTY value-frame is NULL, but an empty
+          // table profiles as n_rows=0/n_nulls=0 (the single-agg shape's
+          // contract, and what a count would say).
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, col("__cnt")).otherwise(0L)),
+            lit(0L)).as("n_nulls"),
           count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
           min(col(c)).cast("string").as("min_value"),
           max(col(c)).cast("string").as("max_value"))

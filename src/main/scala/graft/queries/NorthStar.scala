@@ -148,7 +148,8 @@ object NorthStar {
     * queries AND their oracle constructors — retuning any of these
     * retunes both sides, so the training replay cannot drift.
     *
-    * K is CORPUS-DERIVED (clamp(⌈√N⌉, 16, 65536), probes K/16 — the
+    * K is CORPUS-DERIVED (clamp(⌈√N⌉, 16, 65536), probes
+    * max(min(10,K), K/16) — the
     * [[graft.ext.SimSearch.IvfParams.forCorpus]] rule) rather than a
     * fixed fixture constant: with fixed K, cell population N/K grows
     * linearly with the corpus and every cell-bounded consumer
@@ -167,7 +168,7 @@ object NorthStar {
     graft.ext.SimSearch.IvfParams.forCorpus(
       t(s, dir, "embeddings").count())
 
-  private def trainedCents(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def trainedCents(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_cents/${graft.Tables.pathTag(dir)}"
     graft.Tables.landOnce(path) {
       graft.ext.SimSearch.trainCentroidsLocked(t(s, dir, "embeddings"),

@@ -18,6 +18,15 @@ import graft.Tables.t
   * All money comparisons and data-dependent thresholds are integerized
   * (cents / multiplied-through inequalities) so boundary rows can never
   * flip on float summation order — the same discipline as `pop_revenue`.
+  *
+  * PRECONDITION for every half-up idiom here (`(x + 50) div 100`,
+  * `(2s + 7) div 14`): the summed quantity is NONNEGATIVE. TPC-H money
+  * amounts (extendedprice ≥ 0, 0 ≤ discount ≤ 1, quantity > 0)
+  * guarantee it. On a negative aggregate the idiom is half-AWAY (the
+  * +half shifts toward zero before a truncating div) AND Spark's `div`
+  * (toward zero) diverges from DuckDB's `//` (floor) — so a port to
+  * data with credits/returns must switch to
+  * `floor((x + 50) / 100.0)`-style floor division on BOTH sides.
   */
 object Tpch {
 

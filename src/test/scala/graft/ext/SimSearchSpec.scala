@@ -294,7 +294,7 @@ class SimSearchSpec extends SparkTestBase {
     assert(LshParams.forCorpus(1000, 64).rowsPerBand == 4)        // floor clamp
     assert(LshParams.forCorpus(1000000, 64).rowsPerBand == 14)    // ceil(log2(15625))
     assert(LshParams.forCorpus(1000000000L, 64).rowsPerBand == 24) // ceiling clamp
-    assert(IvfParams.forCorpus(1000) == IvfParams(32, 2))
+    assert(IvfParams.forCorpus(1000) == IvfParams(32, 10))   // probe floor min(10,K)
     assert(IvfParams.forCorpus(100000000L) == IvfParams(10000, 625))
     assert(IvfParams.forCorpus(100L * 1000 * 1000 * 1000).numCentroids == 65536)
     intercept[IllegalArgumentException](LshParams.forCorpus(0, 64))
