@@ -156,7 +156,19 @@ object ConfigLoader {
         chunkTokens = int(ch, "tokens", 32),
         chunkOverlap = int(ch, "overlap", 8),
         shardBudget = long(sh, "budget", 2048),
-        shardBucketWidth = long(sh, "bucket_width", 64L << 20))
+        shardBucketWidth = long(sh, "bucket_width", 64L << 20),
+        semanticDedup = obj(c, "semantic_dedup").map { sd =>
+          SemanticDedupConfig(
+            tau = sd.get("tau").map(v => String.valueOf(v).toDouble).getOrElse(0.4),
+            policy = str(sd, "policy", "min_id"),
+            qualityField = str(sd, "quality_field", "label"))
+        },
+        decontam = obj(c, "decontam").map { dc =>
+          DecontamConfig(
+            evalWhere = str(dc, "eval_where"),
+            shingleLen = int(dc, "shingle_len", 3),
+            minShared = int(dc, "min_shared", 3))
+        })
     }
 
     val wh = obj(src, "redshift").orElse(obj(src, "warehouse")).map { w =>

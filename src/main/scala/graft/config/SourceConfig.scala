@@ -172,7 +172,32 @@ final case class CurationConfig(
     chunkTokens: Int = 32,
     chunkOverlap: Int = 8,
     shardBudget: Long = 2048,
-    shardBucketWidth: Long = 64L << 20)
+    shardBucketWidth: Long = 64L << 20,
+    semanticDedup: Option[SemanticDedupConfig] = None,
+    decontam: Option[DecontamConfig] = None)
+
+/** `curation.semantic_dedup:` — embedding-space (SemDeDup) dedup over
+  * the corpus's sibling embedding table, reachable from pure config.
+  * `policy`: "min_id" keeps each near-duplicate neighborhood's lowest
+  * id; "best" keeps the best `quality_field` value (ties → lowest id).
+  * The ANN index geometry is NOT a config knob by design — it derives
+  * from the corpus via [[graft.ext.SimSearch.IvfParams.forCorpus]], so
+  * a config cannot pin a fixture-tuned index onto 100 TB.
+  */
+final case class SemanticDedupConfig(
+    tau: Double = 0.4,
+    policy: String = "min_id",
+    qualityField: String = "label")
+
+/** `curation.decontam:` — eval-set decontamination: flag corpus
+  * documents sharing ≥ `min_shared` distinct `shingle_len`-shingles
+  * with a held-out benchmark. `eval_where` is a SQL predicate over the
+  * document table selecting the eval rows (everything else is corpus).
+  */
+final case class DecontamConfig(
+    evalWhere: String,
+    shingleLen: Int = 3,
+    minShared: Int = 3)
 
 /** Email-attachment source (email_processor/handler.py:26-58,165-169). */
 final case class EmailConfig(

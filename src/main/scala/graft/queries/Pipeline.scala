@@ -175,15 +175,78 @@ object Pipeline {
     graft.transform.CurationCompiler.compile(cu)(t(s, dir, "documents"))
   }
 
+  /** The embedding-space dedup pass declared in pure config: a
+    * `curation.semantic_dedup:` section compiled by
+    * [[graft.transform.CurationCompiler.compileSemanticDedup]] onto
+    * the SAME SemDeDup operator (and the same landed trained
+    * centroids) `semantic_dedup` composes in Scala — so the frame
+    * hashes against the same training-replay oracle. The `policy: best`
+    * twin of this section maps to `semantic_dedup_best`; `min_id` is
+    * registered because its oracle is the cheaper replay.
+    */
+  private val semanticDedupYaml =
+    """source:
+      |  name: corpus_semantic_dedup
+      |  type: file
+      |  curation:
+      |    id_field: vec_id
+      |    semantic_dedup:
+      |      tau: 0.4
+      |      policy: min_id
+      |""".stripMargin
+
+  def cfgSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(semanticDedupYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val sd = cu.semanticDedup.getOrElse(
+      throw new IllegalStateException("semantic_dedup section failed to parse"))
+    graft.transform.CurationCompiler.compileSemanticDedup(sd)(
+      t(s, dir, "embeddings"), NorthStar.trainedCents(s, dir))
+  }
+
+  /** Eval-set decontamination declared in pure config: a
+    * `curation.decontam:` section whose `eval_where` predicate selects
+    * the held-out benchmark rows, compiled onto
+    * [[graft.ext.NearDup.contamination]] — parameters match the Scala
+    * `decontam` composition, so the frame hashes against its oracle.
+    */
+  private val decontamYaml =
+    """source:
+      |  name: corpus_decontam
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    decontam:
+      |      eval_where: doc_id % 97 = 0
+      |      shingle_len: 3
+      |      min_shared: 3
+      |""".stripMargin
+
+  def cfgDecontam(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(decontamYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val dc = cu.decontam.getOrElse(
+      throw new IllegalStateException("decontam section failed to parse"))
+    graft.transform.CurationCompiler.compileDecontam(dc, cu.idField, cu.textField)(
+      t(s, dir, "documents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
     "cfg_curation" -> (cfgCuration _),
+    "cfg_semantic_dedup" -> (cfgSemanticDedup _),
+    "cfg_decontam" -> (cfgDecontam _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
     // Same truth as training_manifest: the config-compiled plan must
     // reproduce the Scala-composed plan bit-for-bit.
     "cfg_curation" -> NorthStar.oracle("training_manifest"),
+    // Same contract for the similarity-stack sections: config
+    // reachability is the gated behavior, the truth is unchanged.
+    "cfg_semantic_dedup" -> NorthStar.oracle("semantic_dedup"),
+    "cfg_decontam" -> NorthStar.oracle("decontam"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

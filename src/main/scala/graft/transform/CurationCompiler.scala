@@ -69,4 +69,38 @@ object CurationCompiler {
       .select(id, col("chunk_id"), col("n_chunk_tokens"), col("chunk_hash"),
         col("shard_id"))
   }
+
+  /** Compiles a `curation.semantic_dedup:` section onto the SemDeDup
+    * operators ([[graft.ext.SimSearch.semanticDedup]] /
+    * [[graft.ext.SimSearch.semanticDedupBest]]): the embedding-space
+    * dedup pass becomes config-reachable with its keep policy as the
+    * declared knob. `cents` is the landed trained-centroid table (the
+    * serving deployment shape — train once, compile many configs
+    * against it); index geometry stays corpus-derived, never config.
+    */
+  def compileSemanticDedup(sd: graft.config.SemanticDedupConfig)(
+      emb: DataFrame, cents: DataFrame): DataFrame = sd.policy match {
+    case "min_id" =>
+      graft.ext.SimSearch.semanticDedup(emb, sd.tau, cents)
+    case "best" =>
+      graft.ext.SimSearch.semanticDedupBest(emb, sd.tau, cents, sd.qualityField)
+    case other => throw new IllegalArgumentException(
+      s"curation.semantic_dedup.policy must be 'min_id' or 'best', got '$other'")
+  }
+
+  /** Compiles a `curation.decontam:` section onto
+    * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
+    * predicate splits the document table into held-out benchmark vs
+    * corpus, then the standard broadcast-eval-shingles contamination
+    * scan runs. Same scale shape as the Scala composition — the corpus
+    * never shuffles, only matched hits exchange.
+    */
+  def compileDecontam(dc: graft.config.DecontamConfig, idField: String,
+      textField: String)(docs: DataFrame): DataFrame = {
+    require(dc.evalWhere.nonEmpty, "curation.decontam.eval_where is required")
+    val evalPred = expr(dc.evalWhere)
+    graft.ext.NearDup.contamination(
+      docs.filter(!evalPred), docs.filter(evalPred),
+      idField, textField, dc.shingleLen, dc.minShared)
+  }
 }
