@@ -24,7 +24,7 @@ OPENS = [x for p in [
 def main():
     sf_dir, out = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 6
-    merged, failed = {}, []
+    merged, failed, fixture = {}, [], {}
     for k in range(n):
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
@@ -42,12 +42,18 @@ def main():
             part = json.load(f)
         merged.update(part["queries"])
         failed += part.get("failed_queries", [])
+        stamp = part.get("fixture", {})
+        if fixture and stamp and stamp != fixture:
+            sys.exit(f"fixture changed mid-run: {fixture.get('hash')} "
+                     f"-> {stamp.get('hash')}")
+        fixture = stamp or fixture
         print(f"slice {k + 1}/{n}: {len(part['queries'])} queries, "
               f"subtotal {part['value']}s", flush=True)
     total = round(sum(merged.values()), 3)
     doc = {"metric": "total", "value": total, "unit": "sec",
            "failed": len(failed), "failed_queries": failed, "sf": sf_dir,
-           "sliced": n, "queries": dict(sorted(merged.items()))}
+           "sliced": n, "fixture": fixture,
+           "queries": dict(sorted(merged.items()))}
     with open(out, "w") as f:
         json.dump(doc, f)
     print(f"total {total}s over {len(merged)} queries -> {out}")

@@ -92,7 +92,11 @@ object Bench {
         }
       (name, sec, ok)
     }
-    val (fullLine, stdoutLine) = renderLines(results, sfDir)
+    // Fixture identity (row counts + content hash, cached per fixture
+    // state): makes cross-round per-query comparisons attributable —
+    // same stamp → same data → a moved row is the code's.
+    val stamp = FixtureStamp.stampJson(spark, sfDir)
+    val (fullLine, stdoutLine) = renderLines(results, sfDir, stamp)
     // File copy carries the COMPLETE per-query map (debuggable even if the
     // stdout tail is lost); stdout gets the truncation-safe line as the
     // forked JVM's final output — build.sbt's StdoutOutput strategy keeps
@@ -120,7 +124,8 @@ object Bench {
     * bytes (the slowest are the ones worth seeing in a bounded window);
     * `queries_full` points at the committed file with the complete map.
     */
-  def renderLines(results: Seq[(String, Double, Boolean)], sfDir: String): (String, String) = {
+  def renderLines(results: Seq[(String, Double, Boolean)], sfDir: String,
+      fixtureStamp: String = "{}"): (String, String) = {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fqJson(names: Seq[String]): String =
       names.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
@@ -130,18 +135,22 @@ object Bench {
     def line(qEntries: Seq[String], fq: Seq[String], extra: String): String =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"failed_queries":${fqJson(fq)},"sf":"$sfDir"$extra,"queries":${qEntries.mkString("{", ",", "}")}}"""
     val allEntries = results.sortBy(_._1).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-    val fullLine = line(allEntries, failedNames, "")
+    // The full file line carries the complete fixture stamp; stdout
+    // (truncation-budgeted) carries only the short combined hash.
+    val fullLine = line(allEntries, failedNames, s""","fixture":$fixtureStamp""")
+    val stdoutExtra = StdoutExtra +
+      s""","fixture_hash":"${FixtureStamp.shortHash(fixtureStamp)}""""
     // Stdout: failed_queries is capped too — a mass-failure round (the
     // rounds where the report matters most) must not overflow the tail
     // window through the failure list; `failed` carries the true count
     // and the file line carries every name.
     val fqCapped = failedNames.take(MaxStdoutFailures)
     val bySlow = results.sortBy(-_._2).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-    val fixedLen = line(Nil, fqCapped, StdoutExtra).length
+    val fixedLen = line(Nil, fqCapped, stdoutExtra).length
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = fixedLen
     for (e <- bySlow if used + e.length + 1 <= StdoutBudget) { kept += e; used += e.length + 1 }
-    (fullLine, line(kept.toSeq, fqCapped, StdoutExtra))
+    (fullLine, line(kept.toSeq, fqCapped, stdoutExtra))
   }
   /** Byte budget for the stdout line — half the driver's ~2,000-char tail
     * window, leaving headroom for any stray final log lines. */

@@ -67,4 +67,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(q.has("query_with_a_long_name_300"))
     assert(!q.has("query_with_a_long_name_001"))
   }
+
+  test("fixture stamp rides the full line; stdout carries the short hash within budget") {
+    val stamp = """{"hash":"abc123def456","tables":{""" +
+      (1 to 11).map(i => s""""t$i":{"rows":${i * 1000},"bytes":${i * 9999},"md5":"0123456789ab"}""")
+        .mkString(",") + "}}"
+    val results = fakeResults(300)
+    val (fullLine, stdoutLine) = Bench.renderLines(results, "sfX", stamp)
+    val full = mapper.readTree(fullLine)
+    assert(full.get("fixture").get("hash").asText() == "abc123def456")
+    assert(full.get("fixture").get("tables").size() == 11)
+    assert(stdoutLine.length <= Bench.StdoutBudget)
+    val node = mapper.readTree(stdoutLine)
+    assert(node.get("fixture_hash").asText() == "abc123def456")
+    assert(!node.has("fixture"), "full stamp must not ride the bounded stdout line")
+  }
+
+  test("FixtureStamp stamps the real fixture deterministically and caches") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val a = FixtureStamp.stampJson(spark, "/root/testdata/sf0.001")
+      val b = FixtureStamp.stampJson(spark, "/root/testdata/sf0.001")
+      assert(a == b)
+      val node = mapper.readTree(a)
+      assert(node.get("hash").asText().length == 12)
+      assert(node.get("tables").get("lineitem").get("rows").asLong() == 6000L)
+      assert(node.get("tables").get("documents").get("bytes").asLong() > 0)
+      assert(FixtureStamp.shortHash(a) == node.get("hash").asText())
+    } finally spark.stop()
+  }
 }
