@@ -204,7 +204,12 @@ class BrokerLogMicroBatchStream(dir: String) extends MicroBatchStream {
     val e = end.asInstanceOf[BrokerOffsets].ends
     // Partitions present at `end` drive the plan; a partition first seen
     // mid-stream starts from offset 0 (broker "earliest" for new
-    // partitions, matching Kafka's new-partition discovery).
+    // partitions, matching Kafka's new-partition discovery). The same
+    // rule gives retirement semantics for free: a partition missing
+    // from `end` (its directory retired) plans no split, the run's
+    // committed vector drops it, and a later partition REUSING the id
+    // is a new partition replaying from zero — Kinesis shard
+    // retire/recreate, spec-asserted in BrokerLogStreamSpec.
     e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
       val from = s.getOrElse(p, 0L)
       if (until > from) Some(BrokerSplit(dir, p, from, until): InputPartition) else None

@@ -120,6 +120,77 @@ class BrokerLogStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(out2).count() == 4, "retention: a new consumer replays all")
   }
 
+  test("retired partition: a checkpointed partition that disappears is dropped from planning, stream continues") {
+    val broker = tmp("broker-shrink").toString
+    val out = tmp("broker-shrink-out").toString
+    val ckpt = tmp("broker-shrink-ckpt").toString
+    (0 until 6).foreach(i => appendEvent(broker, i % 2, i.toLong))
+    runOnce(broker, out, ckpt)
+    assert(spark.read.parquet(out).count() == 6)
+
+    // Retention retires partition 1 entirely (Kinesis shard merge /
+    // topic shrink): its directory is gone, but the checkpoint still
+    // carries {"1":3}. The next run must plan only surviving
+    // partitions — no crash, no attempt to read the retired log.
+    val p1 = java.nio.file.Paths.get(broker, "p1")
+    Files.list(p1).iterator().forEachRemaining(f => Files.delete(f))
+    Files.delete(p1)
+    (6 until 9).foreach(i => appendEvent(broker, 0, i.toLong))
+    runOnce(broker, out, ckpt)
+
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 9)
+    assert(landed.select("id").distinct().count() == 9, "no reprocessing, no loss")
+
+    // A REVIVED partition id is a NEW partition: the retirement run's
+    // committed offset vector (always `latestOffset` of that run)
+    // dropped p1, so a same-named partition reappearing replays from
+    // its new offset 0 — Kinesis shard-retire semantics, where a
+    // recreated shard carries no memory of its namesake. (Contrast
+    // Kafka, which never reuses a retired partition id.)
+    (0 until 5).foreach(i => appendEvent(broker, 1, (100 + i).toLong))
+    runOnce(broker, out, ckpt)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 14, s"revived p1 replays from zero: ${after.count()}")
+    assert(after.where("id >= 100").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 101L, 102L, 103L, 104L))
+  }
+
+  test("two readers with separate checkpoints are isolated consumer groups") {
+    val broker = tmp("broker-two").toString
+    val outA = tmp("broker-two-outA").toString
+    val outB = tmp("broker-two-outB").toString
+    val ckptA = tmp("broker-two-ckptA").toString
+    val ckptB = tmp("broker-two-ckptB").toString
+
+    (0 until 4).foreach(i => appendEvent(broker, i % 2, i.toLong))
+    runOnce(broker, outA, ckptA)               // A reads 0-3
+    (4 until 7).foreach(i => appendEvent(broker, i % 2, i.toLong))
+    runOnce(broker, outB, ckptB)               // B starts late: replays 0-6
+    runOnce(broker, outA, ckptA)               // A catches up: 4-6 only
+
+    assert(spark.read.parquet(outA).count() == 7)
+    assert(spark.read.parquet(outB).count() == 7)
+    assert(spark.read.parquet(outA).select("id").distinct().count() == 7,
+      "reader A never reprocessed despite B's independent progress")
+
+    // Concurrent tail: both run against the same new records; each
+    // lands them exactly once in its own sink.
+    (7 until 10).foreach(i => appendEvent(broker, i % 2, i.toLong))
+    val qs = Seq((outA, ckptA), (outB, ckptB)).map { case (o, c) =>
+      StreamSource.readBroker(spark, broker, eventSchema)
+        .writeStream.format("parquet").option("path", o)
+        .option("checkpointLocation", c).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    qs.foreach(_.awaitTermination())
+    Seq(outA, outB).foreach { o =>
+      val df = spark.read.parquet(o)
+      assert(df.count() == 10 && df.select("id").distinct().count() == 10,
+        s"$o must hold exactly the 10 appended records")
+    }
+  }
+
   test("malformed payloads degrade to all-null rows, never kill the stream") {
     val broker = tmp("broker-poison").toString
     appendEvent(broker, 0, 1L)
