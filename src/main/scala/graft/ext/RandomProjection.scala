@@ -88,10 +88,39 @@ object RandomProjection {
     topKOverVecs(reducedVecs(emb, m, inDim, outDim), queryBound)
   }
 
+  /** Array-format reduced corpus (vec_id, __r) — the LANDED index
+    * shape: serving consumes whole vectors, so landing arrays makes
+    * every serving query map-only over the index instead of paying a
+    * corpus-sized groupBy+collect_list pivot per query (the r10 sf1
+    * audit measured that pivot as `sim_topk_srp`'s scaling term).
+    */
+  def reduceToArrays(emb: DataFrame, inDim: Int, outDim: Int): DataFrame = {
+    val m = typedLit(signMatrix(inDim, outDim))
+    reducedVecs(emb, m, inDim, outDim)
+  }
+
+  /** The long (vec_id, dim, comp) contract from a landed array index —
+    * one map-side posexplode.
+    */
+  def explodeReduced(arrays: DataFrame): DataFrame =
+    arrays
+      .select(col("vec_id"), posexplode(col("__r")).as(Seq("dim", "comp")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        col("comp").cast("long").as("comp"))
+
+  /** [[topK]] over a LANDED array-format reduced index
+    * ([[reduceToArrays]]'s output, written once per corpus) — the
+    * serve shape: the reduction is an index build paid at landing
+    * time, the query streams the index map-side with zero exchanges
+    * before the per-query ranking window.
+    */
+  def topKFromArrays(arrays: DataFrame, queryBound: Int): DataFrame =
+    topKOverVecs(arrays, queryBound)
+
   /** [[topK]] over a LANDED long-format reduced index ([[reduce]]'s
-    * output, written once per corpus) — the serve shape: the reduction
-    * is an index build paid at landing time, the query pays one pivot
-    * of the (N × outDim)-row index back to vectors.
+    * output): one pivot of the (N × outDim)-row index back to vectors,
+    * then the brute shape. Kept for long-format consumers; the landed
+    * index itself is array-format precisely to avoid this pivot.
     */
   def topKFromReduced(reduced: DataFrame, queryBound: Int): DataFrame =
     topKOverVecs(

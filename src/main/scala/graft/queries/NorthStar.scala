@@ -231,14 +231,20 @@ object NorthStar {
         .otherwise("test").as("split"))
   }
 
-  /** The landed SRP index (long format), built once per fixture dir —
-    * the reduction is an index BUILD; serving reads the landed table
-    * (the trainedCents/PQ-code pattern).
+  /** The landed SRP index, built once per fixture dir — the reduction
+    * is an index BUILD; serving reads the landed table (the
+    * trainedCents/PQ-code pattern). Landed in ARRAY format (vec_id,
+    * __r): the serving top-k consumes whole vectors, and landing the
+    * long format instead forced every serving query to rebuild arrays
+    * through a corpus-sized groupBy+collect_list exchange — measured
+    * as `sim_topk_srp`'s scaling term in the r10 sf1 audit (×3.7 for
+    * 10× data on an otherwise map-only+broadcast plan). The long
+    * OUTPUT contract of `srp_reduce` is one map-side posexplode away.
     */
   private def landedSrp(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_srp/${graft.Tables.pathTag(dir)}"
+    val path = s"/tmp/graft_srp_arr/${graft.Tables.pathTag(dir)}"
     graft.Tables.landOnce(path) {
-      graft.ext.RandomProjection.reduce(t(s, dir, "embeddings"), EmbDim, SrpDim)
+      graft.ext.RandomProjection.reduceToArrays(t(s, dir, "embeddings"), EmbDim, SrpDim)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -249,13 +255,13 @@ object NorthStar {
     * ([[graft.ext.RandomProjection]]).
     */
   def srpReduceQ(s: SparkSession, dir: String): DataFrame =
-    landedSrp(s, dir)
+    graft.ext.RandomProjection.explodeReduced(landedSrp(s, dir))
 
   /** Brute cosine top-1 in SRP-reduced space over the landed index —
     * the cheap first-pass ANN over the compressed corpus.
     */
   def simTopKSrp(s: SparkSession, dir: String): DataFrame =
-    graft.ext.RandomProjection.topKFromReduced(landedSrp(s, dir), 100)
+    graft.ext.RandomProjection.topKFromArrays(landedSrp(s, dir), 100)
 
   /** SemDeDup-style semantic dedup survivors: cluster-scoped cosine
     * dominance over the landed locked centroids — the embedding-space

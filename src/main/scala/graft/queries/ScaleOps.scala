@@ -542,14 +542,49 @@ object ScaleOps {
     * closing equi-join on (a, c). Intermediate size is Σ deg(b)² over
     * the filtered graph — the standard edge-list triangle shape.
     */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdges(s, dir).select(col("part_a"), col("part_b"))
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    trianglesOf(copurchaseEdges(s, dir))
+
+  /** Canonical a<b<c wedge-join triangle closure over an a<b edge
+    * list: wedge build keyed on the shared endpoint, then a closing
+    * equi-join on (a, c). Intermediate size is Σ deg(b)² over the
+    * input graph.
+    */
+  private def trianglesOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("part_a"), col("part_b"))
     val wedges = e.select(col("part_a").as("a"), col("part_b").as("b"))
       .join(e.select(col("part_a").as("b"), col("part_b").as("c")), "b")
     wedges.join(
         e.select(col("part_a").as("a"), col("part_b").as("c")), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** Edge cap for [[triangleTopK]]: bounds the wedge-join input at any
+    * corpus size. */
+  val TriangleTopEdges = 20000
+
+  /** Triangles among the [[TriangleTopEdges]] STRONGEST co-purchase
+    * edges (support ≥ 2, then a deterministic top-K by (support desc,
+    * part_a, part_b)) — the dense-subgraph cohesion variant, and the
+    * geometry that keeps the triangle plan DISCRIMINATING at every
+    * scale: the normalized floor (`triangle_count`) is the 100 TB
+    * contract but thins a random-basket fixture to zero triangles at
+    * sf0.1, so a bench row there exercised none of the wedge-join
+    * plan; while a bare fixed floor saturates at sf1 (PLANS_r06:
+    * 61 → 1.88M triangles for 10× data). The top-K cap gives both:
+    * non-empty wherever support-2 pairs exist, and wedge input bounded
+    * by K regardless of how the graph densifies — at 100 TB this is
+    * "triangles among the K strongest associations", a real
+    * dense-subgraph primitive. The global top-K is a
+    * TakeOrderedAndProject (per-partition top-K + one merge), never a
+    * full sort.
+    */
+  def triangleTopK(s: SparkSession, dir: String): DataFrame =
+    trianglesOf(
+      minePairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          fixedFloor = 2, floorFrac = None)
+        .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
+        .limit(TriangleTopEdges))
 
   /** Per-group numeric outlier gate: lineitem prices vs their return-
     * flag group's z-score, moments exact in integer cents
@@ -703,6 +738,7 @@ object ScaleOps {
     "copurchase_norm" -> (copurchaseNorm _),
     "incr_agg" -> (incrAgg _),
     "triangle_count" -> (triangleCount _),
+    "triangle_topk" -> (triangleTopK _),
     "scd2_join" -> (scd2Join _),
     "benford_digits" -> (benfordDigits _),
     "pseudo_join" -> (pseudoJoin _),
@@ -889,6 +925,19 @@ object ScaleOps {
         |  GROUP BY 1, 2 HAVING count(*) >= greatest(2, CAST(ceil(
         |    $CopurchaseNormFrac *
         |    (SELECT count(DISTINCT l_orderkey) FROM lineitem)) AS BIGINT)))
+        |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |FROM e e1
+        |JOIN e e2 ON e1.pb = e2.pa
+        |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb""".stripMargin,
+    "triangle_topk" ->
+      s"""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+        |  FROM p a JOIN p b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa, pb FROM e0
+        |      ORDER BY support DESC, pa ASC, pb ASC LIMIT $TriangleTopEdges)
         |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
         |FROM e e1
         |JOIN e e2 ON e1.pb = e2.pa

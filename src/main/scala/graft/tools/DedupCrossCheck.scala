@@ -103,6 +103,33 @@ object DedupCrossCheck {
       f"ppjoin=${ppSet.size} banded=${banded.size} banded_not_in_ppjoin=${missing.size} " +
         f"banding_recall=${if (ppSet.isEmpty) 1.0 else banded.size.toDouble / ppSet.size}%.4f")
 
+    // 4. Cluster-map consistency (dedup_clusters / dedup_near at this
+    //    scale): (a) the two endpoints of every near-dup pair carry the
+    //    SAME cluster id (pairs are the edges the components were built
+    //    from — a split component would break this); (b) every cluster
+    //    id IS the minimum member id (the labeling rule); (c) survivors
+    //    are exactly the per-cluster minima.
+    val clusters = NearDup.nearDuplicateClusters(docs, "doc_id", "text", 0.5)
+    val pairs = NearDup.nearDuplicatePairs(docs, "doc_id", "text", 0.5)
+    val splitEdges = pairs
+      .join(clusters.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")), "id_a")
+      .join(clusters.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")), "id_b")
+      .filter(col("ca") =!= col("cb")).count()
+    check("pairs_share_cluster", splitEdges == 0, s"split_edges=$splitEdges")
+    val badLabels = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("mn"))
+      .filter(col("cluster_id") =!= col("mn")).count()
+    check("cluster_id_is_min_member", badLabels == 0, s"bad_labels=$badLabels")
+    val minima = clusters.groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val clustered = clusters.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val allIds = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val survivorIds = survivors.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expected = allIds -- (clustered -- minima)
+    check("survivors_are_cluster_minima", survivorIds == expected,
+      s"survivors=${survivorIds.size} expected=${expected.size} " +
+        s"clusters=${clustered.size} minima=${minima.size}")
+
     println(s"SUMMARY ${if (failed) "FAIL" else "PASS"} sfDir=$sfDir")
     spark.stop()
     if (failed) sys.exit(1)
