@@ -51,14 +51,29 @@ object ScaleUp {
         .withColumn("o_custkey", col("o_custkey") + lit(k * custMax))
     }.write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    // documents: ids offset; every token of copy k > 0 tagged so
-    // shingle/minhash spaces are disjoint across copies.
+    // documents: ids offset; every NON-STOPWORD token of copy k > 0
+    // tagged so shingle/minhash spaces are disjoint across copies.
+    // Stopwords stay intact because the quality gate counts them: the
+    // r10 fixture tagged every token, which turned the stopword ratio
+    // of all copies k > 0 to zero — every gated pipeline (manifest,
+    // corpus_mix, quality_filter) passed only copy 0 and its
+    // downstream stages stopped scaling with the factor (measured:
+    // training_manifest rows identical at sf1 and sf10). Shared
+    // stopwords cannot re-link copies: the fixture corpus has at most
+    // TWO distinct all-stopword 3-shingle types per document (77
+    // occurrences / 5,000 docs; zero docs with >= 3), so the
+    // decontam floor (>= 3 distinct shared shingles) is unreachable
+    // cross-copy and Jaccard/containment thresholds (>= 0.5) are two
+    // orders of magnitude above the achievable overlap.
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val stopAlt = graft.ext.TextAnalysis.QualityStopwords.mkString("|")
     copies(docs) { (df, k) =>
       val tagged = if (k == 0) df
         else df.withColumn("text",
-          regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$k")))
+          regexp_replace(
+            regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1x$k")),
+            lit(s"(?:(?<=\\s)|^)($stopAlt)x$k(?=\\s|$$)"), lit("$1")))
       tagged
         .withColumn("doc_id", col("doc_id") + lit(k * docMax))
         .withColumn("n_chars", length(col("text")))
