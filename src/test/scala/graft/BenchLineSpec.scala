@@ -83,18 +83,4 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!node.has("fixture"), "full stamp must not ride the bounded stdout line")
   }
 
-  test("FixtureStamp stamps the real fixture deterministically and caches") {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
-    try {
-      val a = FixtureStamp.stampJson(spark, "/root/testdata/sf0.001")
-      val b = FixtureStamp.stampJson(spark, "/root/testdata/sf0.001")
-      assert(a == b)
-      val node = mapper.readTree(a)
-      assert(node.get("hash").asText().length == 12)
-      assert(node.get("tables").get("lineitem").get("rows").asLong() == 6000L)
-      assert(node.get("tables").get("documents").get("bytes").asLong() > 0)
-      assert(FixtureStamp.shortHash(a) == node.get("hash").asText())
-    } finally spark.stop()
-  }
 }
