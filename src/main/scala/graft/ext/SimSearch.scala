@@ -88,11 +88,12 @@ object SimSearch {
       * against K-way probe fan-out), clamped to [16, 65536]; probes
       * scale as K/16 so recall holds as the cell count grows, with a
       * FLOOR of min(10, K): below K≈160 the K/16 fraction collapses to
-      * 2–9 probes, and on near-uniform data (the fixture regime —
-      * IvfSweep measured 2 probes → 41/100 top-1 agreement vs the 80%
-      * recall floor) a small absolute probe count is not enough; 10
-      * probes holds the floor with margin (90/100) until K is large
-      * enough for the fractional rule to take over.
+      * 2–9 probes, and on near-uniform data (the fixture regime) a
+      * small absolute probe count is not enough — IvfSweep at the
+      * corpus-derived K=32 measured trained-centroid top-1 agreement
+      * 29/100 at 2 probes vs 80/100 at the 10-probe floor (exactly the
+      * 80% recall bar; 83 at 12). The floor hands over to the
+      * fractional rule at K ≥ 160.
       */
     def forCorpus(corpusSize: Long): IvfParams = {
       require(corpusSize > 0, "corpusSize hint must be positive")
