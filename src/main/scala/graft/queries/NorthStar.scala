@@ -417,6 +417,34 @@ object NorthStar {
       .select($"doc_id", $"n_tokens")
   }
 
+  /** DSIR target predicate: the SAME quality gate [[qualityFilter]]
+    * applies — gate-passing documents define the target distribution,
+    * so the importance weights measure "how much does this document's
+    * bigram usage look like the quality-gated sub-corpus". A deployment
+    * with a separate trusted corpus unions it in with a membership
+    * flag; the operator only sees a boolean column either way.
+    */
+  private def dsirTarget: org.apache.spark.sql.Column = {
+    val nTok = qTok.cast("long")
+    nTok >= 10 && nTok <= 5000 && qStopFast.cast("double") / nTok >= 0.01
+  }
+
+  /** Per-document DSIR importance weights against the quality-gate
+    * target distribution (hashed-bigram feature masses, exact-integer
+    * ratio — see [[graft.ext.Dsir]]).
+    */
+  def dsirWeightsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dsir.weights(t(s, dir, "documents"), "doc_id", "text", dsirTarget)
+
+  /** DSIR importance-resampled corpus: P(keep) ≈ min(1, ratio/4) via
+    * the deterministic integer-bucket gate.
+    */
+  def dsirSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.Dsir.sample(t(s, dir, "documents"), "doc_id", "text", dsirTarget)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
   /** End-to-end training-data manifest — the library's corpus operators
     * composed the way a pretraining pipeline actually runs them:
     * quality gate → exact-dedup survivors → temperature-flattened
@@ -1130,6 +1158,8 @@ object NorthStar {
     "dedup_survivors" -> (dedupSurvivors _),
     "quality_filter" -> (qualityFilter _),
     "quality_topfrac" -> (qualityTopFrac _),
+    "dsir_weights" -> (dsirWeightsQ _),
+    "dsir_sample" -> (dsirSampleQ _),
     "token_topk" -> (tokenTopK _),
     "freq_spectrum" -> (freqSpectrum _),
     "vocab_growth" -> (vocabGrowth _),
@@ -1180,6 +1210,15 @@ object NorthStar {
       |  UNION
       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)""".stripMargin
 
+  /** SQL twin of [[dsirTarget]], phrased over the `ws` token list the
+    * [[graft.ext.Dsir]] oracle CTEs expose (same split, same stopword
+    * list — the [[qualityFilter]] oracle's expressions verbatim).
+    */
+  private val DsirTargetSql =
+    s"""len(ws) >= 10 AND len(ws) <= 5000
+       |    AND CAST(len(list_filter(ws, x -> x IN (${QualityStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+       |      / len(ws) >= 0.01""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "cdc_chunks" ->
       graft.ext.CdcChunk.oracleSql("documents", "doc_id", "text", 4, 8),
@@ -1197,6 +1236,11 @@ object NorthStar {
       graft.ext.TextAnalysis.chunksOracleSql("documents", "doc_id", "text", 32, 8),
     "bigram_fit" ->
       graft.ext.TextAnalysis.bigramFitOracleSql("documents", "doc_id", "text"),
+    "dsir_weights" ->
+      graft.ext.Dsir.weightsOracleSql("documents", "doc_id", "text", DsirTargetSql),
+    "dsir_sample" ->
+      graft.ext.Dsir.sampleOracleSql("documents", "doc_id", "text", DsirTargetSql,
+        25, Seq("doc_id", "lang", "source", "n_chars")),
     // The whitespace class mirrors NormalizeText.normalize exactly:
     // Java \s (incl. \x0b) plus NBSP/figure/narrow spaces.
     "text_norm" ->
