@@ -168,6 +168,11 @@ object ConfigLoader {
             evalWhere = str(dc, "eval_where"),
             shingleLen = int(dc, "shingle_len", 3),
             minShared = int(dc, "min_shared", 3))
+        },
+        dsir = obj(c, "dsir").map { ds =>
+          DsirConfig(
+            keepNum = int(ds, "keep_num", 25),
+            targetWhere = optStr(ds, "target_where"))
         })
     }
 

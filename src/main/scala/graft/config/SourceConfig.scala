@@ -174,7 +174,8 @@ final case class CurationConfig(
     shardBudget: Long = 2048,
     shardBucketWidth: Long = 64L << 20,
     semanticDedup: Option[SemanticDedupConfig] = None,
-    decontam: Option[DecontamConfig] = None)
+    decontam: Option[DecontamConfig] = None,
+    dsir: Option[DsirConfig] = None)
 
 /** `curation.semantic_dedup:` — embedding-space (SemDeDup) dedup over
   * the corpus's sibling embedding table, reachable from pure config.
@@ -198,6 +199,18 @@ final case class DecontamConfig(
     evalWhere: String,
     shingleLen: Int = 3,
     minShared: Int = 3)
+
+/** `curation.dsir:` — DSIR importance resampling toward a target
+  * distribution ([[graft.ext.Dsir]]). `target_where` is a SQL
+  * predicate over the document table naming the target rows; when
+  * absent the curation section's own quality gate
+  * (min_tokens/max_tokens/min_stop_ratio) defines the target — the
+  * self-contained form. `keep_num` scales P(keep) ≈
+  * min(1, keep_num/100 · importance ratio).
+  */
+final case class DsirConfig(
+    keepNum: Int = 25,
+    targetWhere: Option[String] = None)
 
 /** Email-attachment source (email_processor/handler.py:26-58,165-169). */
 final case class EmailConfig(

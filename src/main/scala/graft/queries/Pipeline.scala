@@ -232,11 +232,39 @@ object Pipeline {
       t(s, dir, "documents"))
   }
 
+  /** DSIR importance resampling declared in pure config: a
+    * `curation.dsir:` section with no `target_where`, so the curation
+    * quality gate defines the target distribution — compiled onto
+    * [[graft.ext.Dsir.sample]] with the same parameters as the Scala
+    * `dsir_sample` composition, so the frame hashes against its oracle.
+    */
+  private val dsirYaml =
+    """source:
+      |  name: corpus_dsir
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    dsir:
+      |      keep_num: 25
+      |""".stripMargin
+
+  def cfgDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cu = graft.config.ConfigLoader.fromYaml(dsirYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val ds = cu.dsir.getOrElse(
+      throw new IllegalStateException("dsir section failed to parse"))
+    graft.transform.CurationCompiler.compileDsir(ds, cu)(t(s, dir, "documents"))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
     "cfg_curation" -> (cfgCuration _),
     "cfg_semantic_dedup" -> (cfgSemanticDedup _),
     "cfg_decontam" -> (cfgDecontam _),
+    "cfg_dsir" -> (cfgDsir _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -247,6 +275,7 @@ object Pipeline {
     // reachability is the gated behavior, the truth is unchanged.
     "cfg_semantic_dedup" -> NorthStar.oracle("semantic_dedup"),
     "cfg_decontam" -> NorthStar.oracle("decontam"),
+    "cfg_dsir" -> NorthStar.oracle("dsir_sample"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

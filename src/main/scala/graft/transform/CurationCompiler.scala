@@ -88,6 +88,28 @@ object CurationCompiler {
       s"curation.semantic_dedup.policy must be 'min_id' or 'best', got '$other'")
   }
 
+  /** Compiles a `curation.dsir:` section onto [[graft.ext.Dsir.sample]]:
+    * importance resampling toward the config's target distribution.
+    * With `target_where` the target is any SQL predicate over the
+    * table's columns; without it the curation section's OWN quality
+    * gate defines the target (the self-contained form — "make the
+    * corpus look like its quality-gated subset"), reusing the same
+    * gate expressions [[compile]] applies, so the two sections can
+    * never define "quality" differently.
+    */
+  def compileDsir(ds: graft.config.DsirConfig, cu: CurationConfig)(
+      docs: DataFrame): DataFrame = {
+    val isTarget = ds.targetWhere match {
+      case Some(p) => expr(p)
+      case None =>
+        val nTok = TextAnalysis.qualityTokenCount(col(cu.textField)).cast("long")
+        nTok >= cu.minTokens && nTok <= cu.maxTokens &&
+          TextAnalysis.qualityStopwordCount(col(cu.textField)).cast("double") /
+            nTok >= cu.minStopRatio
+    }
+    graft.ext.Dsir.sample(docs, cu.idField, cu.textField, isTarget, ds.keepNum)
+  }
+
   /** Compiles a `curation.decontam:` section onto
     * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
     * predicate splits the document table into held-out benchmark vs

@@ -80,6 +80,43 @@ class CurationCompilerSpec extends SparkTestBase {
         graft.config.DecontamConfig(evalWhere = ""), "doc_id", "text")(docs))
   }
 
+  test("dsir section parses with declared values and defaults") {
+    val cu = ConfigLoader.fromYaml(
+      """source:
+        |  name: c
+        |  type: file
+        |  curation:
+        |    dsir: {keep_num: 40, target_where: "source = 'books'"}
+        |""".stripMargin).curation.get
+    assert(cu.dsir.get == graft.config.DsirConfig(40, Some("source = 'books'")))
+    val bare = ConfigLoader.fromYaml(
+      """source:
+        |  name: c
+        |  type: file
+        |  curation:
+        |    dsir: {}
+        |""".stripMargin).curation.get
+    assert(bare.dsir.get == graft.config.DsirConfig(25, None))
+  }
+
+  test("config-compiled dsir equals the Scala dsir_sample composition") {
+    val got = graft.queries.Pipeline.cfgDsir(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.NorthStar.queries("dsir_sample")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // target_where overrides the quality-gate target: an always-true
+    // predicate makes target = raw, so every ratio is 1 and keep_num
+    // 100 keeps every featured doc.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val all = CurationCompiler.compileDsir(
+      graft.config.DsirConfig(100, Some("1 = 1")),
+      graft.config.CurationConfig())(docs)
+    val featured = graft.ext.Dsir.weights(
+      docs, "doc_id", "text", org.apache.spark.sql.functions.expr("1 = 1"))
+    assert(all.count() == featured.count() && all.count() > 0)
+  }
+
   test("config-compiled semantic_dedup and decontam equal the Scala compositions") {
     val gotSd = graft.queries.Pipeline.cfgSemanticDedup(spark, sf0001)
       .collect().map(_.toSeq).toSet
