@@ -635,6 +635,92 @@ object SimSearch {
         col("q").as(qualityCol))
   }
 
+  /** Embedding-cosine near-duplicate pairs with CELL-SCOPED candidates
+    * (the [[semanticDedup]] / [[knnGraph]] plan): all pairs within a
+    * locked-trained IVF cell with exact cosine ≥ `threshold`. This is
+    * the 100 TB shape for the ALL-PAIRS embedding near-dup landing:
+    * per-cell work is quadratic by design with K growing as √N
+    * ([[IvfParams.forCorpus]]), so total candidate volume is ~N^1.5
+    * with perfect cell parallelism, and a pair shares exactly ONE cell
+    * (assignment is unique) so no post-join dedup is needed. Recall is
+    * the same-cell assumption — the published SemDeDup contract.
+    *
+    * Why not the LSH variant ([[nearDupPairs]]) for this landing: at
+    * an all-pairs workload the LSH S-curve forces a geometry trade
+    * with no good operating point at low thresholds — collision
+    * probability per band is s^r with s = 1 − θ_angle/π (≈ 0.63 at
+    * cosine 0.4), so raising `rowsPerBand` to keep buckets small at
+    * corpus scale (the top-k rule) collapses recall to s^r·bands
+    * (~10% at r=11), while keeping r fixture-small degenerates buckets
+    * to N/2^r members and the bucket self-join goes quadratic — the
+    * measured sf10 failure mode (16 buckets/band × 12.5k occupancy →
+    * ~10¹⁰ candidates, shuffle-spilled the disk). LSH stays the right
+    * tool for the bounded-query-set top-k shape and for recall-tunable
+    * candidate generation at fixture scale.
+    */
+  def nearDupPairsCells(emb: DataFrame, threshold: Double,
+      cents: DataFrame): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val cells = clusterAssignWithCentroids(emb, cents)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+      .join(cells, "vec_id")
+    val a = vecs.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = vecs.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(ndot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** DuckDB oracle for [[nearDupPairsCells]]: training replay + cell
+    * assignment + in-cell exact pairs.
+    */
+  def nearDupCellsOracleSql(threshold: Double, iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id, cent_id AS cell FROM r WHERE crn = 1),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        round(list_cosine_similarity(da.v, db.v), 6) AS sim
+       |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      JOIN d da ON da.vec_id = a.vec_id
+       |      JOIN d db ON db.vec_id = b.vec_id)
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= $threshold""".stripMargin
+
+  /** DuckDB oracle for [[contrastiveTripletsFromPairs]] over the
+    * cell-scoped pair list — the [[nearDupCellsOracleSql]] CTEs plus
+    * the deterministic half-rotation negative draw.
+    */
+  def contrastiveTripletsCellsOracleSql(
+      threshold: Double, iters: Int, dim: Int): String =
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id, cent_id AS cell FROM r WHERE crn = 1),
+       |pq AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        round(list_cosine_similarity(da.v, db.v), 6) AS sim
+       |      FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      JOIN d da ON da.vec_id = a.vec_id
+       |      JOIN d db ON db.vec_id = b.vec_id
+       |      WHERE round(list_cosine_similarity(da.v, db.v), 6) >= $threshold),
+       |pr AS (SELECT id_a, id_b, sim,
+       |         row_number() OVER (ORDER BY id_a, id_b) - 1 AS prn FROM pq),
+       |c AS (SELECT count(*) AS np FROM pr)
+       |SELECT a.id_a AS anchor, a.id_b AS positive, n.id_a AS negative, a.sim
+       |FROM pr a CROSS JOIN c
+       |JOIN pr n ON n.prn = (a.prn + np // 2) % np
+       |WHERE n.id_a <> a.id_a AND n.id_a <> a.id_b""".stripMargin
+
   /** DuckDB oracle for [[semanticDedupBest]]. */
   def semanticDedupBestOracleSql(threshold: Double,
       iters: Int, dim: Int, qualityCol: String): String =

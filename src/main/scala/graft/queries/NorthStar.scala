@@ -628,19 +628,27 @@ object NorthStar {
   }
 
   /** The embedding near-dup pair list, landed once per fixture dir and
-    * shared by the pair query and the triplet miner.
+    * shared by the pair query and the triplet miner. CELL-SCOPED
+    * candidates (the SemDeDup plan, corpus-derived K) since r11: the
+    * fixture-geometry LSH landing went quadratic at the sf10 probe —
+    * 16 buckets/band held 12.5k vectors each and the bucket self-join
+    * spilled ~10¹⁰ candidates to disk (both riders failed in
+    * `BENCH_r11_sf10`). The path is versioned (`_cells`) so a stale
+    * LSH-era artifact can never serve the new contract.
     */
   private def landedEmbPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_embpairs/${graft.Tables.pathTag(dir)}"
+    val path = s"/tmp/graft_embpairs_cells/${graft.Tables.pathTag(dir)}"
     graft.Tables.landOnce(path) {
-      graft.ext.SimSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4,
-          graft.ext.SimSearch.LshParams.fixture)
+      graft.ext.SimSearch.nearDupPairsCells(t(s, dir, "embeddings"), 0.4,
+          trainedCents(s, dir))
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }
 
-  /** Embedding-cosine near-dup pairs (LSH candidates, cosine ≥ 0.4). */
+  /** Embedding-cosine near-dup pairs (cell-scoped candidates under the
+    * locked-trained centroids, exact cosine ≥ 0.4).
+    */
   def embNearDup(s: SparkSession, dir: String): DataFrame =
     landedEmbPairs(s, dir)
 
@@ -1293,7 +1301,8 @@ object NorthStar {
         |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
         |       round(sum(l_extendedprice), 2) AS total_price
         |FROM j GROUP BY band_id""".stripMargin,
-    "emb_neardup" -> graft.ext.SimSearch.nearDupOracleSql(0.4, graft.ext.SimSearch.LshParams.fixture),
+    "emb_neardup" ->
+      graft.ext.SimSearch.nearDupCellsOracleSql(0.4, LockedIters, EmbDim),
     "multimodal_decode" -> graft.ext.Multimodal.decodeOracleSql("documents", "text", "doc_id"),
     "multimodal_resize" -> graft.ext.Multimodal.resizeOracleSql("documents", "text", "doc_id", 64),
     "multimodal_frames" -> graft.ext.Multimodal.framesOracleSql("documents", "text", "doc_id", 32, 8),
@@ -1442,8 +1451,9 @@ object NorthStar {
       SemDedupTau, LockedIters, EmbDim, "label"),
     "split_leakage_safe" -> graft.ext.SimSearch.leakageSafeSplitOracleSql(
       LockedIters, EmbDim),
-    "contrastive_triplets" -> graft.ext.SimSearch.contrastiveTripletsOracleSql(
-      0.4, graft.ext.SimSearch.LshParams.fixture),
+    "contrastive_triplets" ->
+      graft.ext.SimSearch.contrastiveTripletsCellsOracleSql(
+        0.4, LockedIters, EmbDim),
     "srp_reduce" -> graft.ext.RandomProjection.reduceOracleSql(EmbDim, SrpDim),
     "sim_topk_srp" -> graft.ext.RandomProjection.topKOracleSql(
       EmbDim, SrpDim, 100),

@@ -60,6 +60,36 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
   }
 
+  test("cell-scoped near-dup pairs: exactly the same-cell pairs above threshold") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c = SimSearch.trainCentroidsLocked(emb, 16, 2)
+    val got = SimSearch.nearDupPairsCells(emb, 0.4, c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Independent reference: assign cells, brute-force every same-cell
+    // pair, keep exact cosine >= threshold.
+    val cells = SimSearch.clusterAssignWithCentroids(emb, c)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+    val v = emb.join(cells, "vec_id")
+      .select("vec_id", "embedding", "cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getAs[Number](2).longValue))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va, ca) <- v; (ib, vb, cb) <- v
+      if ia < ib && ca == cb
+      s = BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= 0.4
+    } yield (ia, ib, s)).toSet
+    assert(got.map(p => (p._1, p._2)) == want.map(p => (p._1, p._2)), "pair sets differ")
+    assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
   test("survivor set is a dominance fixed point on the fixture corpus") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val c = SimSearch.trainCentroidsLocked(emb, 16, 2)
