@@ -1,0 +1,207 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring removal — the suffix-array dedup stage of
+  * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  * Better"), re-expressed as a distributed sliding-window plan: any run
+  * of at least `windowLen` tokens that occurs two or more times
+  * anywhere in the corpus is removed from every occurrence EXCEPT the
+  * canonical first one (minimum (doc, position) order, the same
+  * survivor rule as the exact-dedup family).
+  *
+  * Why sliding windows reproduce the suffix-array semantics: a
+  * duplicated run of length M >= windowLen contains exactly
+  * M - windowLen + 1 duplicated windows, and their union is the whole
+  * run — so marking every non-canonical duplicated window and merging
+  * overlapping marks per document recovers the maximal duplicated
+  * spans without ever materializing a global suffix order. A
+  * suffix array is the single-machine tool for this query; the
+  * windowed-hash + interval-merge form is its shuffle-friendly
+  * equivalent (the window hash stream is fixed-width and map-side
+  * combinable, where suffix-array construction is a global sort).
+  *
+  * Scale shape: the window stream explodes map-side to (id, pos, hash)
+  * — fixed width, never text. One exchange keyed by hash feeds both
+  * the frequency count and the duplicate join (AQE reuses the
+  * partitioning, the bigramFit pattern). Non-canonical occurrences —
+  * by construction only the duplicated fraction of the corpus — flow
+  * through one per-document window for interval merging, and the
+  * merged spans (one row per maximal duplicated region) broadcast back
+  * into the document scan: the corpus text itself is NEVER shuffled.
+  * A corpus where the duplicated fraction is itself huge should run
+  * whole-document exact dedup first (the operators compose — this
+  * stage exists to catch the partial overlaps exact dedup misses).
+  *
+  * Determinism: token windows are compared by xxhash64 (standing in
+  * for string equality exactly as in the Jaccard/shingle family); the
+  * canonical-occurrence key packs (doc, pos) into one BIGINT as
+  * id * 2^32 + pos, which requires nonnegative doc ids and documents
+  * shorter than 2^32 tokens — both asserted trivially true for any
+  * real corpus shard.
+  */
+object SubstrDedup {
+
+  private val PosBase = 4294967296L // 2^32: (id, pos) packed losslessly
+
+  /** (id, pos-sorted removal occurrences) for every non-canonical
+    * duplicated window, merged into maximal spans:
+    * (idCol, span_start, span_len) with span_start a 0-based token
+    * offset. Internal building block for [[dedup]]; also registered
+    * directly — the span table IS the audit artifact a curation run
+    * keeps (what was cut, where, how much).
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: Int): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    val sp = mergedSpans(docs, idCol, textCol, windowLen)
+    sp.select(col("__id").as(idCol),
+        col("span_start").cast("long").as("span_start"),
+        (col("span_end") - col("span_start")).cast("long").as("span_len"))
+  }
+
+  /** Corpus after duplicated-substring removal:
+    * (idCol, n_tokens, n_removed, clean_text). Tokenizer-normalized
+    * output (single-space joined surviving tokens) — the same
+    * convention as [[LineDedup.dedupSegments]]. A fully-duplicated
+    * document survives as an empty-text row rather than disappearing.
+    */
+  def dedup(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: Int): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    val sp = mergedSpans(docs, idCol, textCol, windowLen)
+    // One row per doc: sorted (s, e) span list + total removed mass.
+    // Small by construction (see scale note above) — broadcast back
+    // into the scan so document text never crosses an exchange.
+    val spansAgg = sp.groupBy(col("__id"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("span_start").as("s"), col("span_end").as("e")))).as("__sp"),
+        sum(col("span_end") - col("span_start")).as("__n_removed"))
+
+    val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    val base = docs.select(col(idCol).as("__id"), words.as("__toks"))
+    val spCol = coalesce(col("__sp"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val keptPos = filter(
+      sequence(lit(0L), size(col("__toks")).cast("long") - 1),
+      p => !exists(spCol, s => p >= s("s") && p < s("e")))
+    base.join(broadcast(spansAgg), Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("__n_removed"), lit(0L)).cast("long").as("n_removed"),
+        concat_ws(" ", transform(keptPos,
+          p => element_at(col("__toks"), (p + 1).cast("int")))).as("clean_text"))
+  }
+
+  /** Maximal removal spans per document: (__id, span_start, span_end),
+    * span_end exclusive, 0-based token offsets.
+    */
+  private def mergedSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: Int): DataFrame = {
+    val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    val base = docs.select(col(idCol).as("__id"), words.as("__toks"))
+    // __toks must be an ATTRIBUTE before the lambda slices it (the
+    // bigramFit barrier lesson: slicing the raw split expression
+    // re-runs the tokenizer once per window).
+    val wins = transform(
+      sequence(lit(0), size(col("__toks")) - windowLen),
+      i => struct(i.cast("long").as("pos"),
+        xxhash64(concat_ws(" ",
+          slice(col("__toks"), i + 1, lit(windowLen)))).as("h")))
+    val inst = base
+      .filter(size(col("__toks")) >= windowLen)
+      .select(col("__id"), explode(wins).as("w"))
+      .select(col("__id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val enc = col("__id") * lit(PosBase) + col("pos")
+    val cnt = inst.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("__id") * lit(PosBase) + col("pos")).as("canon"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("canon"))
+    val rem = inst.join(cnt, "h")
+      .filter(enc =!= col("canon"))
+      .select(col("__id"), col("pos"))
+    // Classic island merge: fixed window length means pos order is
+    // also end order, so a window starts a new island iff it begins
+    // past the previous window's end.
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    rem
+      .withColumn("__nf",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + windowLen, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__nf")).over(w))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + windowLen).as("span_end"))
+  }
+
+  // ---- DuckDB twins: window STRINGS in place of xxhash64, same
+  //      canonical-min packing, same island merge. ----
+
+  private def spanCtes(table: String, idCol: String, textCol: String,
+      windowLen: Int): String =
+    s"""WITH w AS (
+       |  SELECT $idCol AS id,
+       |    string_split_regex(trim(coalesce($textCol, '')), '\\s+') AS ws
+       |  FROM $table),
+       |ip AS (
+       |  SELECT id, ws, CAST(unnest(range(0, len(ws) - $windowLen + 1)) AS BIGINT) AS pos
+       |  FROM w WHERE len(ws) >= $windowLen),
+       |inst AS (
+       |  SELECT id, pos,
+       |    array_to_string(ws[pos + 1 : pos + $windowLen], ' ') AS sh
+       |  FROM ip),
+       |cnt AS (
+       |  SELECT sh, min(id * $PosBase + pos) AS canon
+       |  FROM inst GROUP BY sh HAVING count(*) >= 2),
+       |rem AS (
+       |  SELECT i.id, i.pos FROM inst i JOIN cnt ON i.sh = cnt.sh
+       |  WHERE i.id * $PosBase + i.pos <> cnt.canon),
+       |isl AS (
+       |  SELECT id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+       |         OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + $windowLen
+       |      THEN 1 ELSE 0 END AS nf
+       |  FROM rem),
+       |isl2 AS (
+       |  SELECT id, pos,
+       |    sum(nf) OVER (PARTITION BY id ORDER BY pos) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT id, island, min(pos) AS s, max(pos) + $windowLen AS e
+       |  FROM isl2 GROUP BY id, island)""".stripMargin
+
+  def spansOracleSql(table: String, idCol: String, textCol: String,
+      windowLen: Int): String =
+    spanCtes(table, idCol, textCol, windowLen) + s"""
+       |SELECT id AS $idCol, CAST(s AS BIGINT) AS span_start,
+       |  CAST(e - s AS BIGINT) AS span_len
+       |FROM spans""".stripMargin
+
+  def dedupOracleSql(table: String, idCol: String, textCol: String,
+      windowLen: Int): String =
+    spanCtes(table, idCol, textCol, windowLen) + s""",
+       |rm AS (
+       |  SELECT id, CAST(sum(e - s) AS BIGINT) AS n_removed
+       |  FROM spans GROUP BY id),
+       |tok AS (
+       |  SELECT id, ws, CAST(unnest(range(0, len(ws))) AS BIGINT) AS p
+       |  FROM w),
+       |kept AS (
+       |  SELECT t.id, t.p, t.ws[t.p + 1] AS word
+       |  FROM tok t LEFT JOIN spans sp
+       |    ON t.id = sp.id AND t.p >= sp.s AND t.p < sp.e
+       |  WHERE sp.id IS NULL),
+       |agg AS (
+       |  SELECT id, string_agg(word, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY id)
+       |SELECT w.id AS $idCol, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |  coalesce(rm.n_removed, 0) AS n_removed,
+       |  coalesce(agg.clean_text, '') AS clean_text
+       |FROM w LEFT JOIN rm ON w.id = rm.id
+       |       LEFT JOIN agg ON w.id = agg.id""".stripMargin
+}

@@ -429,6 +429,16 @@ object NorthStar {
     nTok >= 10 && nTok <= 5000 && qStopFast.cast("double") / nTok >= 0.01
   }
 
+  /** CCNet-style LM quality terciles: the quality gate defines the
+    * reference corpus (the same [[dsirTarget]] predicate — reference
+    * and quality can never diverge), bigram bit-length cross-entropy
+    * scores every document, and each language is cut into
+    * head/middle/tail — [[graft.ext.LmBuckets]].
+    */
+  def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.LmBuckets.buckets(t(s, dir, "documents"),
+      "doc_id", "text", "lang", dsirTarget)
+
   /** Per-document DSIR importance weights against the quality-gate
     * target distribution (hashed-bigram feature masses, exact-integer
     * ratio — see [[graft.ext.Dsir]]).
@@ -488,6 +498,26 @@ object NorthStar {
     */
   def spanDedup(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.spanDedupStats(t(s, dir, "documents"), "doc_id", "text", 8)
+
+  /** Window length for the exact duplicated-substring family. Lee et
+    * al. use 50 BPE tokens on web-scale corpora; the fixture's
+    * duplicated regions are whole near-dup documents, so 8 words keeps
+    * the operator discriminating at every fixture scale while the
+    * length stays a pure parameter of the plan.
+    */
+  private val SubstrWindow = 8
+
+  /** Maximal duplicated-substring spans (the curation audit table) —
+    * [[graft.ext.SubstrDedup.spans]].
+    */
+  def substrSpansQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SubstrDedup.spans(t(s, dir, "documents"), "doc_id", "text", SubstrWindow)
+
+  /** Corpus after exact duplicated-substring removal (suffix-array
+    * dedup semantics, Lee et al. 2022) — [[graft.ext.SubstrDedup.dedup]].
+    */
+  def substrDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SubstrDedup.dedup(t(s, dir, "documents"), "doc_id", "text", SubstrWindow)
 
   /** Token-budget training shards (2048 tokens, two-level prefix sum —
     * [[graft.ext.SeqPack]]); bucket width 64 exercises the multi-bucket
@@ -1159,6 +1189,8 @@ object NorthStar {
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
     "span_dedup" -> (spanDedup _),
+    "substr_spans" -> (substrSpansQ _),
+    "substr_dedup" -> (substrDedupQ _),
     "token_shards" -> (tokenShardsQ _),
     "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
@@ -1168,6 +1200,7 @@ object NorthStar {
     "quality_topfrac" -> (qualityTopFrac _),
     "dsir_weights" -> (dsirWeightsQ _),
     "dsir_sample" -> (dsirSampleQ _),
+    "ccnet_buckets" -> (ccnetBucketsQ _),
     "token_topk" -> (tokenTopK _),
     "freq_spectrum" -> (freqSpectrum _),
     "vocab_growth" -> (vocabGrowth _),
@@ -1249,6 +1282,9 @@ object NorthStar {
     "dsir_sample" ->
       graft.ext.Dsir.sampleOracleSql("documents", "doc_id", "text", DsirTargetSql,
         25, Seq("doc_id", "lang", "source", "n_chars")),
+    "ccnet_buckets" ->
+      graft.ext.LmBuckets.oracleSql("documents", "doc_id", "text", "lang",
+        DsirTargetSql),
     // The whitespace class mirrors NormalizeText.normalize exactly:
     // Java \s (incl. \x0b) plus NBSP/figure/narrow spaces.
     "text_norm" ->
@@ -1260,6 +1296,10 @@ object NorthStar {
         |FROM documents""".stripMargin,
     "span_dedup" ->
       graft.ext.TextAnalysis.spanDedupOracleSql("documents", "doc_id", "text", 8),
+    "substr_spans" ->
+      graft.ext.SubstrDedup.spansOracleSql("documents", "doc_id", "text", SubstrWindow),
+    "substr_dedup" ->
+      graft.ext.SubstrDedup.dedupOracleSql("documents", "doc_id", "text", SubstrWindow),
     "tfidf_terms" ->
       graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the
