@@ -132,6 +132,47 @@ object Tokenizer {
       |WHERE length(word) > 0 AND word NOT LIKE '%|%'
       |GROUP BY doc_id""".stripMargin
 
+  /** Per-source tokenizer fertility — pieces per word under the
+    * trained BPE, the standard tokenizer-evaluation rollup (a source
+    * whose fertility is far above the corpus mean is paying more
+    * context window per word; multilingual pipelines watch this per
+    * language/source before fixing a vocabulary). Rides the landed
+    * vocab exactly like [[bpeTokenize]]: broadcast word→pieces lookup,
+    * token stream never shuffles, one tiny per-source aggregate.
+    */
+  def tokFertility(s: SparkSession, dir: String): DataFrame =
+    bpeTokenize(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"),
+        round(sum(col("n_pieces")).cast("double") / sum(col("n_words")), 6)
+          .as("fertility"))
+
+  private def tokFertilitySql(rounds: Int): String =
+    bpeCtes(rounds) + s""",
+      |v AS (SELECT word,
+      |  CAST(len(list_filter(string_split(enc, '|'), x -> x <> '')) AS BIGINT)
+      |    AS n_pieces
+      |  FROM r$rounds),
+      |wd AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      |  FROM documents),
+      |per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+      |  FROM wd JOIN v USING (word)
+      |  WHERE length(word) > 0 AND word NOT LIKE '%|%'
+      |  GROUP BY doc_id)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+      |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(sum(n_words) AS BIGINT), 6)
+      |    AS fertility
+      |FROM per JOIN documents d USING (doc_id)
+      |GROUP BY d.source""".stripMargin
+
   private val PackBudget = 256L
 
   /** Best-fit sequence packing ([[graft.ext.SeqPack.ffdPack]]): whole
@@ -193,11 +234,13 @@ object Tokenizer {
     "bpe_merges" -> (bpeMerges _),
     "bpe_vocab" -> (bpeVocab _),
     "bpe_tokenize" -> (bpeTokenize _),
+    "tok_fertility" -> (tokFertility _),
     "seq_pack" -> (seqPack _))
 
   val oracle: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql(NumMerges),
     "bpe_vocab" -> bpeVocabSql(NumMerges),
     "bpe_tokenize" -> bpeTokenizeSql(NumMerges),
+    "tok_fertility" -> tokFertilitySql(NumMerges),
     "seq_pack" -> seqPackSql(PackBudget))
 }
