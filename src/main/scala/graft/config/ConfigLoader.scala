@@ -173,6 +173,14 @@ object ConfigLoader {
           DsirConfig(
             keepNum = int(ds, "keep_num", 25),
             targetWhere = optStr(ds, "target_where"))
+        },
+        substrDedup = obj(c, "substr_dedup").map { sd =>
+          SubstrDedupConfig(windowLen = int(sd, "window_len", 8))
+        },
+        lmBuckets = obj(c, "lm_buckets").map { lb =>
+          LmBucketsConfig(
+            langField = str(lb, "lang_field", "lang"),
+            refWhere = optStr(lb, "ref_where"))
         })
     }
 

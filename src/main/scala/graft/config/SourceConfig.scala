@@ -175,7 +175,9 @@ final case class CurationConfig(
     shardBucketWidth: Long = 64L << 20,
     semanticDedup: Option[SemanticDedupConfig] = None,
     decontam: Option[DecontamConfig] = None,
-    dsir: Option[DsirConfig] = None)
+    dsir: Option[DsirConfig] = None,
+    substrDedup: Option[SubstrDedupConfig] = None,
+    lmBuckets: Option[LmBucketsConfig] = None)
 
 /** `curation.semantic_dedup:` — embedding-space (SemDeDup) dedup over
   * the corpus's sibling embedding table, reachable from pure config.
@@ -211,6 +213,25 @@ final case class DecontamConfig(
 final case class DsirConfig(
     keepNum: Int = 25,
     targetWhere: Option[String] = None)
+
+/** `curation.substr_dedup:` — exact duplicated-substring removal
+  * ([[graft.ext.SubstrDedup]], Lee et al. suffix-array semantics):
+  * every `window_len`-token run occurring twice anywhere in the corpus
+  * is cut from all but its canonical first occurrence.
+  */
+final case class SubstrDedupConfig(
+    windowLen: Int = 8)
+
+/** `curation.lm_buckets:` — CCNet-style per-language head/middle/tail
+  * quality terciles by bigram bit-length cross-entropy
+  * ([[graft.ext.LmBuckets]]). `ref_where` is a SQL predicate over the
+  * document table naming the reference (LM-training) rows; when absent
+  * the curation section's own quality gate defines the reference —
+  * the same self-contained convention as `dsir.target_where`.
+  */
+final case class LmBucketsConfig(
+    langField: String = "lang",
+    refWhere: Option[String] = None)
 
 /** Email-attachment source (email_processor/handler.py:26-58,165-169). */
 final case class EmailConfig(

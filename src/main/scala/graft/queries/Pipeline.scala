@@ -259,12 +259,65 @@ object Pipeline {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** Exact substring dedup declared in pure config, compiled onto the
+    * same operator as the Scala `substr_dedup` composition (window_len
+    * 8 = NorthStar.SubstrWindow), so the frame hashes against its
+    * oracle.
+    */
+  private val substrYaml =
+    """source:
+      |  name: corpus_substr
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    substr_dedup:
+      |      window_len: 8
+      |""".stripMargin
+
+  def cfgSubstrDedup(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(substrYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val sd = cu.substrDedup.getOrElse(
+      throw new IllegalStateException("substr_dedup section failed to parse"))
+    graft.transform.CurationCompiler.compileSubstrDedup(sd, cu.idField,
+      cu.textField)(t(s, dir, "documents"))
+  }
+
+  /** CCNet-style LM bucketing declared in pure config: a
+    * `curation.lm_buckets:` section with no `ref_where`, so the
+    * curation quality gate defines the reference corpus — the same
+    * parameters as the Scala `ccnet_buckets` composition, so the frame
+    * hashes against its oracle.
+    */
+  private val lmBucketsYaml =
+    """source:
+      |  name: corpus_lm_buckets
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    lm_buckets:
+      |      lang_field: lang
+      |""".stripMargin
+
+  def cfgLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(lmBucketsYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val lb = cu.lmBuckets.getOrElse(
+      throw new IllegalStateException("lm_buckets section failed to parse"))
+    graft.transform.CurationCompiler.compileLmBuckets(lb, cu)(
+      t(s, dir, "documents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
     "cfg_curation" -> (cfgCuration _),
     "cfg_semantic_dedup" -> (cfgSemanticDedup _),
     "cfg_decontam" -> (cfgDecontam _),
     "cfg_dsir" -> (cfgDsir _),
+    "cfg_substr_dedup" -> (cfgSubstrDedup _),
+    "cfg_lm_buckets" -> (cfgLmBuckets _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -276,6 +329,8 @@ object Pipeline {
     "cfg_semantic_dedup" -> NorthStar.oracle("semantic_dedup"),
     "cfg_decontam" -> NorthStar.oracle("decontam"),
     "cfg_dsir" -> NorthStar.oracle("dsir_sample"),
+    "cfg_substr_dedup" -> NorthStar.oracle("substr_dedup"),
+    "cfg_lm_buckets" -> NorthStar.oracle("ccnet_buckets"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

@@ -110,6 +110,37 @@ object CurationCompiler {
     graft.ext.Dsir.sample(docs, cu.idField, cu.textField, isTarget, ds.keepNum)
   }
 
+  /** Compiles a `curation.substr_dedup:` section onto
+    * [[graft.ext.SubstrDedup.dedup]]: exact duplicated-substring
+    * removal becomes config-reachable with the window length as the
+    * declared knob. Same scale shape as the Scala composition — the
+    * corpus text never shuffles, only fixed-width window hashes.
+    */
+  def compileSubstrDedup(sd: graft.config.SubstrDedupConfig, idField: String,
+      textField: String)(docs: DataFrame): DataFrame =
+    graft.ext.SubstrDedup.dedup(docs, idField, textField, sd.windowLen)
+
+  /** Compiles a `curation.lm_buckets:` section onto
+    * [[graft.ext.LmBuckets.buckets]]: CCNet-style quality terciles
+    * with the reference corpus declared either as a SQL predicate
+    * (`ref_where`) or, when absent, as the curation section's own
+    * quality gate — reusing the same gate expressions [[compile]]
+    * applies, so "reference" and "quality" can never diverge.
+    */
+  def compileLmBuckets(lb: graft.config.LmBucketsConfig, cu: CurationConfig)(
+      docs: DataFrame): DataFrame = {
+    val isRef = lb.refWhere match {
+      case Some(p) => expr(p)
+      case None =>
+        val nTok = TextAnalysis.qualityTokenCount(col(cu.textField)).cast("long")
+        nTok >= cu.minTokens && nTok <= cu.maxTokens &&
+          TextAnalysis.qualityStopwordCount(col(cu.textField)).cast("double") /
+            nTok >= cu.minStopRatio
+    }
+    graft.ext.LmBuckets.buckets(docs, cu.idField, cu.textField,
+      lb.langField, isRef)
+  }
+
   /** Compiles a `curation.decontam:` section onto
     * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
     * predicate splits the document table into held-out benchmark vs

@@ -129,4 +129,41 @@ class CurationCompilerSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(gotDc == wantDc && gotDc.nonEmpty)
   }
+
+  test("substr_dedup and lm_buckets sections parse with declared values and defaults") {
+    val cu = ConfigLoader.fromYaml(
+      """source:
+        |  name: c
+        |  type: file
+        |  curation:
+        |    substr_dedup: {window_len: 12}
+        |    lm_buckets: {lang_field: source, ref_where: "lang = 'en'"}
+        |""".stripMargin).curation.get
+    assert(cu.substrDedup.get == graft.config.SubstrDedupConfig(12))
+    assert(cu.lmBuckets.get ==
+      graft.config.LmBucketsConfig("source", Some("lang = 'en'")))
+    val bare = ConfigLoader.fromYaml(
+      """source:
+        |  name: c
+        |  type: file
+        |  curation:
+        |    substr_dedup: {}
+        |    lm_buckets: {}
+        |""".stripMargin).curation.get
+    assert(bare.substrDedup.get == graft.config.SubstrDedupConfig(8))
+    assert(bare.lmBuckets.get == graft.config.LmBucketsConfig("lang", None))
+  }
+
+  test("config-compiled substr_dedup and lm_buckets equal the Scala compositions") {
+    val gotSu = graft.queries.Pipeline.cfgSubstrDedup(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val wantSu = graft.queries.NorthStar.queries("substr_dedup")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(gotSu == wantSu && gotSu.nonEmpty)
+    val gotLm = graft.queries.Pipeline.cfgLmBuckets(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val wantLm = graft.queries.NorthStar.queries("ccnet_buckets")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(gotLm == wantLm && gotLm.nonEmpty)
+  }
 }
