@@ -46,6 +46,31 @@ object SubstrDedup {
 
   private val PosBase = 4294967296L // 2^32: (id, pos) packed losslessly
 
+  /** 64-bit window key: each token is xxhash64'd ONCE per document,
+    * then each window combines its `windowLen` token hashes with a
+    * wrapping polynomial (golden-ratio odd multiplier) — `windowLen`
+    * long multiply-adds in place of the naive concat_ws + xxhash64,
+    * which re-walks ~`windowLen`× the document's characters per
+    * position. Measured at sf10 (~200 M windows × 2 plan passes) the
+    * two forms are wall-time EQUAL — the explode + partial-aggregate
+    * row machinery dominates, not the per-window hash — so this form
+    * is kept for its asymptotics (per-window cost independent of token
+    * length; long documents and large windows pay the same) rather
+    * than a measured win. Collision exposure is unchanged in kind:
+    * 64-bit hash-for-string-equality is already the shingle-family
+    * convention, and the polynomial over well-mixed token hashes keeps
+    * the full 64-bit space (the multiplier is odd, hence invertible
+    * mod 2^64 — no entropy loss per step).
+    */
+  private val HashMul = 0x9E3779B97F4A7C15L
+
+  private def windowKeys(tokenHashes: Column, windowLen: Int): Column =
+    transform(
+      sequence(lit(0), size(tokenHashes) - windowLen),
+      i => struct(i.cast("long").as("pos"),
+        aggregate(slice(tokenHashes, i + 1, lit(windowLen)), lit(0L),
+          (acc, h) => acc * lit(HashMul) + h).as("h")))
+
   /** (id, pos-sorted removal occurrences) for every non-canonical
     * duplicated window, merged into maximal spans:
     * (idCol, span_start, span_len) with span_start a 0-based token
@@ -97,24 +122,106 @@ object SubstrDedup {
           p => element_at(col("__toks"), (p + 1).cast("int")))).as("clean_text"))
   }
 
+  /** Substring-level eval-set contamination — the PaLM/GPT-family
+    * n-gram overlap check, per corpus document: what fraction of the
+    * document's sliding `windowLen`-token windows (with multiplicity —
+    * a window hit twice counts twice, it is twice the leaked mass)
+    * also occurs anywhere in the held-out eval set. The standard
+    * decision rule flags a document whose hit fraction reaches 70%
+    * (PaLM's published threshold); the comparison is kept in exact
+    * integers (10·hits >= 7·windows) so the flag can never flip on a
+    * float rounding between engines. Complements [[NearDup
+    * .contamination]]: that reports per-(doc, eval) DISTINCT-shingle
+    * evidence for audit; this reports the per-document leaked-mass
+    * rate the curation cut actually keys on.
+    *
+    * Scale shape: eval windows reduce to a DISTINCT hash set and
+    * broadcast (the eval benchmark is small by definition); the corpus
+    * window stream is map-side and meets it in a left-semi broadcast
+    * join, so only (id, 1) hit pairs reach the per-document aggregate
+    * — corpus text never shuffles, unmatched windows never leave the
+    * scan.
+    */
+  def contaminationRate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, windowLen: Int): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+
+    def windowed(df: DataFrame): DataFrame = {
+      val base = df.select(col(idCol).as("__id"),
+        transform(words, w => xxhash64(w)).as("__th"))
+      base.filter(size(col("__th")) >= windowLen)
+        .select(col("__id"),
+          explode(windowKeys(col("__th"), windowLen)).as("w"))
+        .select(col("__id"), col("w.h").as("h"))
+    }
+
+    val evalH = windowed(evalSet).select(col("h")).distinct()
+    val hits = windowed(corpus)
+      .join(broadcast(evalH), Seq("h"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nh"))
+    corpus.select(col(idCol).as("__id"),
+        (size(words) - windowLen + 1).cast("long").as("n_windows"))
+      .filter(col("n_windows") >= 1)
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_windows"),
+        coalesce(col("__nh"), lit(0L)).as("n_hit"),
+        round(coalesce(col("__nh"), lit(0L)).cast("double") /
+          col("n_windows"), 6).as("hit_frac"),
+        (coalesce(col("__nh"), lit(0L)) * 10 >= col("n_windows") * 7)
+          .as("contaminated"))
+  }
+
+  /** DuckDB twin of [[contaminationRate]]: window STRINGS, the same
+    * distinct eval set, the same integer flag rule. `corpusWhere` /
+    * `evalWhere` split the table.
+    */
+  def contaminationRateOracleSql(table: String, idCol: String,
+      textCol: String, windowLen: Int, corpusWhere: String,
+      evalWhere: String): String =
+    s"""WITH w AS (
+       |  SELECT $idCol AS id,
+       |    string_split_regex(trim(coalesce($textCol, '')), '\\s+') AS ws,
+       |    ($corpusWhere) AS is_corpus, ($evalWhere) AS is_eval
+       |  FROM $table),
+       |cw AS (
+       |  SELECT id, ws, CAST(unnest(range(0, len(ws) - $windowLen + 1)) AS BIGINT) AS pos
+       |  FROM w WHERE is_corpus AND len(ws) >= $windowLen),
+       |cs AS (
+       |  SELECT id, array_to_string(ws[pos + 1 : pos + $windowLen], ' ') AS sh
+       |  FROM cw),
+       |ev AS (
+       |  SELECT DISTINCT array_to_string(ws[pos + 1 : pos + $windowLen], ' ') AS sh
+       |  FROM (
+       |    SELECT ws, CAST(unnest(range(0, len(ws) - $windowLen + 1)) AS BIGINT) AS pos
+       |    FROM w WHERE is_eval AND len(ws) >= $windowLen)),
+       |hits AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS nh
+       |  FROM cs JOIN ev USING (sh) GROUP BY id)
+       |SELECT w.id AS $idCol,
+       |  CAST(len(w.ws) - $windowLen + 1 AS BIGINT) AS n_windows,
+       |  coalesce(hits.nh, 0) AS n_hit,
+       |  round(coalesce(hits.nh, 0)::DOUBLE / (len(w.ws) - $windowLen + 1), 6)
+       |    AS hit_frac,
+       |  (coalesce(hits.nh, 0) * 10 >= (len(w.ws) - $windowLen + 1) * 7)
+       |    AS contaminated
+       |FROM w LEFT JOIN hits ON w.id = hits.id
+       |WHERE w.is_corpus AND len(w.ws) >= $windowLen""".stripMargin
+
   /** Maximal removal spans per document: (__id, span_start, span_end),
     * span_end exclusive, 0-based token offsets.
     */
   private def mergedSpans(docs: DataFrame, idCol: String, textCol: String,
       windowLen: Int): DataFrame = {
     val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
-    val base = docs.select(col(idCol).as("__id"), words.as("__toks"))
-    // __toks must be an ATTRIBUTE before the lambda slices it (the
-    // bigramFit barrier lesson: slicing the raw split expression
-    // re-runs the tokenizer once per window).
-    val wins = transform(
-      sequence(lit(0), size(col("__toks")) - windowLen),
-      i => struct(i.cast("long").as("pos"),
-        xxhash64(concat_ws(" ",
-          slice(col("__toks"), i + 1, lit(windowLen)))).as("h")))
+    // __th must be an ATTRIBUTE before the window lambda slices it (the
+    // bigramFit barrier lesson: slicing a raw expression re-runs it
+    // once per window).
+    val base = docs.select(col(idCol).as("__id"),
+      transform(words, w => xxhash64(w)).as("__th"))
     val inst = base
-      .filter(size(col("__toks")) >= windowLen)
-      .select(col("__id"), explode(wins).as("w"))
+      .filter(size(col("__th")) >= windowLen)
+      .select(col("__id"), explode(windowKeys(col("__th"), windowLen)).as("w"))
       .select(col("__id"), col("w.pos").as("pos"), col("w.h").as("h"))
     val enc = col("__id") * lit(PosBase) + col("pos")
     val cnt = inst.groupBy(col("h"))

@@ -519,6 +519,19 @@ object NorthStar {
   def substrDedupQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.SubstrDedup.dedup(t(s, dir, "documents"), "doc_id", "text", SubstrWindow)
 
+  /** PaLM-style substring contamination rate: per corpus document, the
+    * fraction of sliding windows also present in the held-out eval set
+    * (same doc_id % 97 split as [[decontam]]) with the integer-exact
+    * 70% flag — [[graft.ext.SubstrDedup.contaminationRate]].
+    */
+  def decontamSubstrQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    graft.ext.SubstrDedup.contaminationRate(
+      docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+      "doc_id", "text", SubstrWindow)
+  }
+
   /** Token-budget training shards (2048 tokens, two-level prefix sum —
     * [[graft.ext.SeqPack]]); bucket width 64 exercises the multi-bucket
     * path at fixture scale.
@@ -1191,6 +1204,7 @@ object NorthStar {
     "span_dedup" -> (spanDedup _),
     "substr_spans" -> (substrSpansQ _),
     "substr_dedup" -> (substrDedupQ _),
+    "decontam_substr" -> (decontamSubstrQ _),
     "token_shards" -> (tokenShardsQ _),
     "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
@@ -1300,6 +1314,9 @@ object NorthStar {
       graft.ext.SubstrDedup.spansOracleSql("documents", "doc_id", "text", SubstrWindow),
     "substr_dedup" ->
       graft.ext.SubstrDedup.dedupOracleSql("documents", "doc_id", "text", SubstrWindow),
+    "decontam_substr" ->
+      graft.ext.SubstrDedup.contaminationRateOracleSql("documents", "doc_id",
+        "text", SubstrWindow, "id % 97 <> 0", "id % 97 = 0"),
     "tfidf_terms" ->
       graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the

@@ -94,6 +94,33 @@ class SubstrDedupSpec extends SparkTestBase {
     assert((spans.head.getLong(1), spans.head.getLong(2)) === (1L, 6L))
   }
 
+  test("contamination rate: fraction, multiplicity, and the integer 70% flag") {
+    val corpus = docs(
+      1L -> "a b c d e",       // windows: abc bcd cde -> 2 of 3 in eval
+      2L -> "a b c x2 a b c",  // abc hit TWICE (multiplicity) of 5 windows
+      3L -> "p q r s t",       // no overlap
+      4L -> "a b c d x4")      // 2 of 3 hit -> 20/3 >= fails? 20 >= 21 no
+    val eval = docs(100L -> "a b c d z9")
+    val out = SubstrDedup.contaminationRate(corpus, eval, "doc_id", "text", L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_hit") === 2L)   // abc, bcd
+    assert(out(1L).getAs[Double]("hit_frac") === 0.666667)
+    assert(out(1L).getAs[Boolean]("contaminated") === false) // 20 < 21
+    assert(out(2L).getAs[Long]("n_hit") === 2L)   // abc at pos 0 AND pos 4
+    assert(out(3L).getAs[Long]("n_hit") === 0L)
+    assert(out(3L).getAs[Boolean]("contaminated") === false)
+    assert(out(4L).getAs[Long]("n_hit") === 2L)   // abc, bcd
+  }
+
+  test("contamination rate: a mostly-leaked document is flagged") {
+    val corpus = docs(1L -> "a b c d e f")  // 4 windows, all in eval
+    val eval = docs(100L -> "a b c d e f zz")
+    val out = SubstrDedup.contaminationRate(corpus, eval, "doc_id", "text", L)
+      .collect().head
+    assert(out.getAs[Long]("n_hit") === 4L)
+    assert(out.getAs[Boolean]("contaminated") === true)
+  }
+
   test("fixture run is non-empty and mass-conserving at sf0.001") {
     val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = SubstrDedup.dedup(docsDf, "doc_id", "text", 8)
