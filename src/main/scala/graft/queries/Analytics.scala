@@ -572,41 +572,48 @@ object Analytics {
     * every comparison. Ties broken by (orderkey, linenumber), so the
     * rank → value mapping is total.
     *
-    * Scale shape: per-group ranks ride the SAME two-level prefix sum
-    * as `price_deciles` — in-bucket row_number partitioned by
-    * (group, price-bucket) plus per-group bucket offsets — so no
-    * single task ever sorts a whole group (the r9 shape ranked each
-    * l_returnflag group in ONE window partition: a 3-task sort of the
-    * entire corpus, the classic low-cardinality-group window trap
-    * that measured ×5 for 10× data at sf1). Bucket order extends the
-    * (cents, id) order, so offset + in-bucket index IS the group
-    * rank, bit-for-bit the single-window oracle's rank. Bounds are a
+    * Scale shape (re-planned r11): the rank structure lives on the
+    * VALUE-FREQUENCY table, not the rows — distinct (group, cents) is
+    * value-bounded (594,330 at BOTH sf1 and sf10 on the scaled
+    * fixtures, while rows grew 6 M → 60 M), so the windowed volume is
+    * constant as the corpus grows. One map-side-combined groupBy
+    * collapses the rows to frequencies; the two-level prefix sum
+    * (in-bucket running count + per-group bucket offsets, the
+    * price_deciles shape that replaced r9's 3-task whole-corpus sort)
+    * then ranks frequencies, and the k-th ORDER STATISTIC is the
+    * smallest value whose cumulative count reaches k — identical to
+    * the oracle's per-row rank under any tie-break, because tie-breaks
+    * reorder rows within one value, never across values. Bounds are a
     * \|groups\|-row broadcast back into the scan.
     */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"),
-        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
-        col("l_orderkey"), col("l_linenumber"))
-    val bucketed = li.withColumn("__bucket", expr("cents div 100000L"))
-    val wIn = Window.partitionBy(col("l_returnflag"), col("__bucket"))
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    val offsets = bucketed.groupBy(col("l_returnflag"), col("__bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"))
+    val freq = li.groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__bucket", expr("cents div 100000L"))
+    val offsets = freq.groupBy(col("l_returnflag"), col("__bucket"))
+      .agg(sum(col("__c")).as("__bcnt"))
+      .withColumn("__off", coalesce(sum(col("__bcnt")).over(
         Window.partitionBy(col("l_returnflag")).orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum(col("__cnt")).over(
+      .withColumn("n", sum(col("__bcnt")).over(
         Window.partitionBy(col("l_returnflag"))))
       .select(col("l_returnflag"), col("__bucket"), col("__off"), col("n"))
-    val bounds = bucketed
-      .withColumn("__rn", row_number().over(wIn).cast("long"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("__bucket"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = freq
+      .withColumn("__cumIn", sum(col("__c")).over(wIn))
       .join(broadcast(offsets), Seq("l_returnflag", "__bucket"))
-      .withColumn("rn", col("__off") + col("__rn"))
-      .filter(col("rn") === expr("n div 100 + 1") ||
-        col("rn") === expr("n - n div 100"))
+      .withColumn("__cum", col("__off") + col("__cumIn"))
       .groupBy(col("l_returnflag"))
-      .agg(min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .agg(
+        min(when(col("__cum") >= expr("n div 100 + 1"), col("cents")))
+          .as("lo_cents"),
+        min(when(col("__cum") >= expr("n - n div 100"), col("cents")))
+          .as("hi_cents"))
     li.join(broadcast(bounds), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
