@@ -288,51 +288,64 @@ object Analytics {
   /** Equi-depth decile binning of lineitem prices — the feature-
     * quantization primitive (monotone-invariant binned features, rank
     * normalization). The contract is EXACT ntile semantics over the
-    * total order (cents, orderkey, linenumber), but the plan is NOT
-    * the naive global window (one ntile window with no partition key
-    * funnels the corpus through a single task): it is the SeqPack
-    * two-level prefix sum — range-bucket on the leading sort key,
-    * per-bucket row_number, bucket offsets via a broadcast
-    * buckets-sized window — then the standard ntile bucket formula
-    * from the global 1-based index i:
-    *   k = N div 10, r = N mod 10, cut = r·(k+1),
-    *   decile = i ≤ cut ? 1 + (i−1) div (k+1) : 1 + r + (i−cut−1) div k
-    * — pure integer arithmetic, bit-equal to the oracle's NATIVE
-    * ntile(10), so the two formulations differentially check each
-    * other.
+    * total order (cents, orderkey, linenumber), with the standard
+    * ntile arithmetic (k = N div 10, r = N mod 10: the first r deciles
+    * hold k+1 rows, the rest k) — pure integers, bit-equal to the
+    * oracle's NATIVE ntile(10), so the two formulations differentially
+    * check each other.
+    *
+    * Scale shape (re-planned r11, the winsorize lesson): no per-row
+    * rank at all. The rows collapse to a VALUE-FREQUENCY table
+    * (distinct cents is value-bounded — 594 k at both sf1 and sf10
+    * while rows grew 6 M → 60 M); the two-level prefix sum over
+    * frequencies gives each value its global rank interval
+    * [lo, hi], and the rows-per-decile contribution is the closed-form
+    * overlap of that interval with each decile's rank range (a value
+    * spans at most a handful of deciles, exploded per spanned decile).
+    * Ties straddling a decile boundary are exact: ntile's tie-break
+    * only permutes rows WITHIN a value, and the overlap count is
+    * tie-break-invariant. The per-decile aggregate then sums
+    * overlap-weighted frequencies — the only corpus-sized work left is
+    * the map-side-combined frequency groupBy itself.
     */
   def priceDeciles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
-        col("l_orderkey"), col("l_linenumber"))
-    // Leading-key range buckets (~1000-currency-unit wide): bucket
-    // order extends the global (cents, ...) order, so in-bucket index
-    // + bucket offset IS the global rank.
-    val bucketed = li.withColumn("__bucket", expr("cents div 100000L"))
-    val wIn = Window.partitionBy(col("__bucket"))
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    val offsets = bucketed.groupBy(col("__bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"))
+    val freq = li.groupBy(col("cents")).agg(count(lit(1)).as("__c"))
+      .withColumn("__bucket", expr("cents div 100000L"))
+    val offsets = freq.groupBy(col("__bucket"))
+      .agg(sum(col("__c")).as("__bcnt"))
+      .withColumn("__off", coalesce(sum(col("__bcnt")).over(
         Window.orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bucket"), col("__off"))
     val n = li.agg(count(lit(1)).as("__n"))
-    bucketed
-      .withColumn("__rn", row_number().over(wIn).cast("long"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def decileOf(i: String): org.apache.spark.sql.Column = expr(
+      s"""CASE WHEN $i <= (__n % 10) * (__n div 10 + 1)
+         |  THEN 1 + ($i - 1) div (__n div 10 + 1)
+         |  ELSE 1 + (__n % 10) +
+         |    ($i - (__n % 10) * (__n div 10 + 1) - 1) div (__n div 10)
+         |END""".stripMargin)
+    freq
+      .withColumn("__cumIn", sum(col("__c")).over(wIn))
       .join(broadcast(offsets), "__bucket")
       .crossJoin(broadcast(n))
-      .withColumn("__i", col("__off") + col("__rn"))
-      .withColumn("decile", expr(
-        """CASE WHEN __i <= (__n % 10) * (__n div 10 + 1)
-          |  THEN 1 + (__i - 1) div (__n div 10 + 1)
-          |  ELSE 1 + (__n % 10) +
-          |    (__i - (__n % 10) * (__n div 10 + 1) - 1) div (__n div 10)
-          |END""".stripMargin).cast("int"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_rows"),
+      .withColumn("__hi", col("__off") + col("__cumIn"))
+      .withColumn("__lo", col("__hi") - col("__c") + 1)
+      .withColumn("__d", explode(sequence(decileOf("__lo"), decileOf("__hi"))))
+      // Decile d's global rank range: start = (d-1)k + min(d-1, r) + 1,
+      // end = dk + min(d, r).
+      .withColumn("__dStart",
+        expr("(__d - 1) * (__n div 10) + least(__d - 1, __n % 10) + 1"))
+      .withColumn("__dEnd", expr("__d * (__n div 10) + least(__d, __n % 10)"))
+      .withColumn("__ov",
+        least(col("__dEnd"), col("__hi")) - greatest(col("__dStart"), col("__lo")) + 1)
+      .groupBy(col("__d").cast("int").as("decile"))
+      .agg(sum(col("__ov")).as("n_rows"),
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
-        sum(col("cents")).as("sum_cents"))
+        sum(col("cents") * col("__ov")).as("sum_cents"))
   }
 
   /** Per-group exact-k sample: the k lowest-hash documents of EVERY
