@@ -231,6 +231,52 @@ object SimSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Filtered vector search: exact ranked top-k among the candidates
+    * satisfying a metadata predicate — the PRE-FILTER serving shape.
+    * The alternative (post-filtering an ANN result list) silently
+    * returns fewer than k rows whenever the filter is selective,
+    * because the index retrieved its neighbors before knowing about
+    * the predicate; pre-filtering guarantees exactly k eligible
+    * neighbors per query (or all of them, if fewer exist). At scale
+    * the predicate pushes into the candidate scan (`PushedFilters`),
+    * so the selective case reads LESS data than the unfiltered one —
+    * the plan mirrors [[bruteTopKN]]: queries broadcast, candidates
+    * never shuffle, per-query heaps serve the rank filter
+    * (WindowGroupLimit).
+    */
+  def bruteTopKNFiltered(emb: DataFrame, queryBound: Int, k: Int,
+      candWhere: Column): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < queryBound)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("qn"))
+    val c = emb.filter(candWhere)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[bruteTopKNFiltered]]; `candWhere` is a SQL
+    * predicate over the embeddings columns.
+    */
+  def bruteTopKNFilteredOracleSql(queryBound: Int, k: Int,
+      candWhere: String): String =
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |        round(list_cosine_similarity(q.v, c.v), 6) AS sim
+       |      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id < $queryBound AND ($candWhere)),
+       |r AS (SELECT qid, cid, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |      FROM p)
+       |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k""".stripMargin
+
   def bruteTopKNOracleSql(queryBound: Int, k: Int): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,

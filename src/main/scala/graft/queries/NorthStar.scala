@@ -132,6 +132,17 @@ object NorthStar {
   def simTopK5(s: SparkSession, dir: String): DataFrame =
     graft.ext.SimSearch.bruteTopKN(t(s, dir, "embeddings"), 100, 5)
 
+  /** Filtered vector search: top-5 among label=1 candidates only (the
+    * pre-filter serving shape — guarantees k ELIGIBLE neighbors where
+    * post-filtering an ANN list under-returns) —
+    * [[graft.ext.SimSearch.bruteTopKNFiltered]].
+    */
+  def simTopKFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.SimSearch.bruteTopKNFiltered(
+      t(s, dir, "embeddings"), 100, 5, $"label" === 1)
+  }
+
   /** IVF-style ANN top-1 (same query set): centroid cells + probe-2 +
     * exact re-rank; the oracle replicates the deterministic index.
     */
@@ -518,6 +529,13 @@ object NorthStar {
     */
   def substrDedupQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.SubstrDedup.dedup(t(s, dir, "documents"), "doc_id", "text", SubstrWindow)
+
+  /** Gopher/MassiveText quality-rule battery (map-only, integer-exact
+    * thresholds) — [[graft.ext.GopherRules.battery]]; the repetition
+    * half of the published rule set is `rep_ratio`.
+    */
+  def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.GopherRules.battery(t(s, dir, "documents"), "doc_id", "text")
 
   /** PaLM-style substring contamination rate: per corpus document, the
     * fraction of sliding windows also present in the held-out eval set
@@ -1199,12 +1217,14 @@ object NorthStar {
     "srp_reduce" -> (srpReduceQ _),
     "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
+    "sim_topk_filtered" -> (simTopKFiltered _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
     "span_dedup" -> (spanDedup _),
     "substr_spans" -> (substrSpansQ _),
     "substr_dedup" -> (substrDedupQ _),
     "decontam_substr" -> (decontamSubstrQ _),
+    "gopher_rules" -> (gopherRulesQ _),
     "token_shards" -> (tokenShardsQ _),
     "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
@@ -1317,6 +1337,8 @@ object NorthStar {
     "decontam_substr" ->
       graft.ext.SubstrDedup.contaminationRateOracleSql("documents", "doc_id",
         "text", SubstrWindow, "id % 97 <> 0", "id % 97 = 0"),
+    "gopher_rules" ->
+      graft.ext.GopherRules.oracleSql("documents", "doc_id", "text"),
     "tfidf_terms" ->
       graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the
@@ -1515,6 +1537,8 @@ object NorthStar {
     "sim_topk_srp" -> graft.ext.RandomProjection.topKOracleSql(
       EmbDim, SrpDim, 100),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
+    "sim_topk_filtered" ->
+      graft.ext.SimSearch.bruteTopKNFilteredOracleSql(100, 5, "c.label = 1"),
     "dedup_near" ->
       s"""WITH $ShingleCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
