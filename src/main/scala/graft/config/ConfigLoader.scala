@@ -181,6 +181,9 @@ object ConfigLoader {
           LmBucketsConfig(
             langField = str(lb, "lang_field", "lang"),
             refWhere = optStr(lb, "ref_where"))
+        },
+        gopher = obj(c, "gopher").map { g =>
+          GopherConfig(flagOnly = bool(g, "flag_only", default = true))
         })
     }
 

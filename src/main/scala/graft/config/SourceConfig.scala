@@ -177,7 +177,8 @@ final case class CurationConfig(
     decontam: Option[DecontamConfig] = None,
     dsir: Option[DsirConfig] = None,
     substrDedup: Option[SubstrDedupConfig] = None,
-    lmBuckets: Option[LmBucketsConfig] = None)
+    lmBuckets: Option[LmBucketsConfig] = None,
+    gopher: Option[GopherConfig] = None)
 
 /** `curation.semantic_dedup:` — embedding-space (SemDeDup) dedup over
   * the corpus's sibling embedding table, reachable from pure config.
@@ -221,6 +222,14 @@ final case class DsirConfig(
   */
 final case class SubstrDedupConfig(
     windowLen: Int = 8)
+
+/** `curation.gopher:` — the Gopher/MassiveText heuristic battery
+  * ([[graft.ext.GopherRules]]); `flag_only` keeps every document and
+  * lands the rule columns (the audit shape), false filters to
+  * passing documents (the gate shape).
+  */
+final case class GopherConfig(
+    flagOnly: Boolean = true)
 
 /** `curation.lm_buckets:` — CCNet-style per-language head/middle/tail
   * quality terciles by bigram bit-length cross-entropy

@@ -310,6 +310,29 @@ object Pipeline {
       t(s, dir, "documents"))
   }
 
+  /** Gopher battery declared in pure config (audit shape), hash-equal
+    * to the Scala `gopher_rules` composition.
+    */
+  private val gopherYaml =
+    """source:
+      |  name: corpus_gopher
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    gopher:
+      |      flag_only: true
+      |""".stripMargin
+
+  def cfgGopher(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(gopherYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val g = cu.gopher.getOrElse(
+      throw new IllegalStateException("gopher section failed to parse"))
+    graft.transform.CurationCompiler.compileGopher(g, cu.idField, cu.textField)(
+      t(s, dir, "documents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
     "cfg_curation" -> (cfgCuration _),
@@ -318,6 +341,7 @@ object Pipeline {
     "cfg_dsir" -> (cfgDsir _),
     "cfg_substr_dedup" -> (cfgSubstrDedup _),
     "cfg_lm_buckets" -> (cfgLmBuckets _),
+    "cfg_gopher" -> (cfgGopher _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -331,6 +355,7 @@ object Pipeline {
     "cfg_dsir" -> NorthStar.oracle("dsir_sample"),
     "cfg_substr_dedup" -> NorthStar.oracle("substr_dedup"),
     "cfg_lm_buckets" -> NorthStar.oracle("ccnet_buckets"),
+    "cfg_gopher" -> NorthStar.oracle("gopher_rules"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

@@ -141,6 +141,17 @@ object CurationCompiler {
       lb.langField, isRef)
   }
 
+  /** Compiles a `curation.gopher:` section onto
+    * [[graft.ext.GopherRules.battery]]: the heuristic battery lands
+    * either as audit columns on every document (`flag_only: true`) or
+    * as the filtered passing subset (the gate shape).
+    */
+  def compileGopher(g: graft.config.GopherConfig, idField: String,
+      textField: String)(docs: DataFrame): DataFrame = {
+    val scored = graft.ext.GopherRules.battery(docs, idField, textField)
+    if (g.flagOnly) scored else scored.filter(col("passes"))
+  }
+
   /** Compiles a `curation.decontam:` section onto
     * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
     * predicate splits the document table into held-out benchmark vs

@@ -154,6 +154,21 @@ class CurationCompilerSpec extends SparkTestBase {
     assert(bare.lmBuckets.get == graft.config.LmBucketsConfig("lang", None))
   }
 
+  test("gopher section: flag_only keeps every row, gate shape filters") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val audit = CurationCompiler.compileGopher(
+      graft.config.GopherConfig(flagOnly = true), "doc_id", "text")(docs)
+    val gate = CurationCompiler.compileGopher(
+      graft.config.GopherConfig(flagOnly = false), "doc_id", "text")(docs)
+    assert(audit.count() == docs.count())
+    assert(gate.count() > 0 && gate.count() < docs.count())
+    val gotCfg = graft.queries.Pipeline.cfgGopher(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val want = graft.ext.GopherRules.battery(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(gotCfg == want)
+  }
+
   test("config-compiled substr_dedup and lm_buckets equal the Scala compositions") {
     val gotSu = graft.queries.Pipeline.cfgSubstrDedup(spark, sf0001)
       .collect().map(_.toSeq).toSet
