@@ -173,6 +173,21 @@ object Tokenizer {
       |FROM per JOIN documents d USING (doc_id)
       |GROUP BY d.source""".stripMargin
 
+  /** Unigram-LM tokenizer family ([[graft.ext.UnigramLm]]): candidate
+    * inventory with integer bit costs, Viterbi corpus application, and
+    * one hard-EM refit round — all three oracle-replayed (the oracle
+    * enumerates every segmentation by recursive CTE and takes the same
+    * (cost, path) argmin the engine's DP computes).
+    */
+  def unigramVocab(s: SparkSession, dir: String): DataFrame =
+    graft.ext.UnigramLm.pieceInventory(t(s, dir, "documents"), "text")
+
+  def unigramTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.ext.UnigramLm.tokenize(t(s, dir, "documents"), "doc_id", "text")
+
+  def unigramRefit(s: SparkSession, dir: String): DataFrame =
+    graft.ext.UnigramLm.refit(t(s, dir, "documents"), "text")
+
   private val PackBudget = 256L
 
   /** Best-fit sequence packing ([[graft.ext.SeqPack.ffdPack]]): whole
@@ -235,6 +250,9 @@ object Tokenizer {
     "bpe_vocab" -> (bpeVocab _),
     "bpe_tokenize" -> (bpeTokenize _),
     "tok_fertility" -> (tokFertility _),
+    "unigram_vocab" -> (unigramVocab _),
+    "unigram_tokenize" -> (unigramTokenize _),
+    "unigram_refit" -> (unigramRefit _),
     "seq_pack" -> (seqPack _))
 
   val oracle: Map[String, String] = Map(
@@ -242,5 +260,11 @@ object Tokenizer {
     "bpe_vocab" -> bpeVocabSql(NumMerges),
     "bpe_tokenize" -> bpeTokenizeSql(NumMerges),
     "tok_fertility" -> tokFertilitySql(NumMerges),
+    "unigram_vocab" ->
+      graft.ext.UnigramLm.inventoryOracleSql("documents", "text"),
+    "unigram_tokenize" ->
+      graft.ext.UnigramLm.tokenizeOracleSql("documents", "doc_id", "text"),
+    "unigram_refit" ->
+      graft.ext.UnigramLm.refitOracleSql("documents", "text"),
     "seq_pack" -> seqPackSql(PackBudget))
 }
