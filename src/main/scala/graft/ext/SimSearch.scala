@@ -571,6 +571,92 @@ object SimSearch {
     ivfWithCentroids(vecs, queryBound, probes, cents)
   }
 
+  /** FILTERED IVF ANN — the 100 TB serving shape for predicate +
+    * vector search: the metadata predicate is composed INTO the
+    * inverted lists (only ELIGIBLE vectors enter the cell table), each
+    * query probes its nearest cells, and the probed eligible
+    * candidates re-rank exactly into a top-k. Contrast with
+    * [[bruteTopKNFiltered]] (exact but corpus-scan per query — the
+    * recall yardstick) and with post-filtering an unfiltered ANN list
+    * (silently under-returns when the predicate is selective; here
+    * every retrieved row is eligible BY CONSTRUCTION, so the result
+    * has k rows whenever the probed cells hold k eligible candidates).
+    *
+    * Scale shape: the predicate applies at the candidate SCAN (pushed
+    * to parquet — a selective filter reads less data, not more);
+    * assignment is two map-only broadcast-centroid passes (eligible
+    * candidates; bounded query set); the probe join is keyed on cell
+    * id; candidate pairs are skinny (qid, cid) rows deduped before the
+    * exact re-rank; WindowGroupLimit serves the rank-≤-k filter with
+    * per-query heaps. One trained index serves ANY predicate — train
+    * once on the full corpus, filter at probe time.
+    */
+  def ivfTopKNFilteredWithCentroids(emb: DataFrame, queryBound: Int, k: Int,
+      probes: Int, cents: DataFrame, candWhere: Column): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val bc = broadcast(cents)
+    def vecsOf(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding").as("v"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+    def ranked(src: DataFrame): DataFrame = {
+      val csim = round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      src.crossJoin(bc)
+        .select(col("vec_id"), col("cent_id"), csim.as("csim"))
+        .withColumn("crn", row_number().over(w))
+    }
+    val eligible = vecsOf(emb.filter(candWhere))
+    val queries = vecsOf(emb.filter(col("vec_id") < queryBound))
+    val cells = ranked(eligible).filter(col("crn") === 1)
+      .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
+    val probed = ranked(queries).filter(col("crn") <= probes)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+    // Multi-probe duplicates collapse BEFORE the exact re-rank (a
+    // duplicated pair would otherwise occupy two ranks).
+    val cand = broadcast(probed).join(cells, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val pairs = cand
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("n").as("qn"))), "qid")
+      .join(eligible.select(col("vec_id").as("cid"),
+        col("v").as("cv"), col("n").as("cn")), "cid")
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    pairs
+      .select(col("qid"), col("cid"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[ivfTopKNFilteredWithCentroids]] under the
+    * locked-trained centroids: replays training + assignment +
+    * predicate + probe + re-rank. `candWhere` is a SQL predicate over
+    * the embeddings columns (alias `e`).
+    */
+  def ivfTrainedFilteredOracleSql(queryBound: Int, k: Int, iters: Int,
+      dim: Int, candWhere: String): String =
+    s"""WITH ${trainedCentroidCtes(iters, dim)},
+       |el AS (SELECT vec_id FROM embeddings e WHERE $candWhere),
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r
+       |         WHERE crn = 1 AND vec_id IN (SELECT vec_id FROM el)),
+       |probe AS (SELECT vec_id AS qid, cent_id AS cell FROM r
+       |          WHERE crn <= (SELECT greatest(least(10, k), k // 16) FROM kk)
+       |            AND vec_id < $queryBound),
+       |cand AS (SELECT DISTINCT qid, cid
+       |         FROM probe JOIN cell ON probe.cell = cell.cell AND qid <> cid),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv2.v), 6) AS sim
+       |      FROM cand JOIN d qv ON qv.vec_id = qid JOIN d cv2 ON cv2.vec_id = cid),
+       |rr AS (SELECT qid, cid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |       FROM p)
+       |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM rr WHERE rn <= $k""".stripMargin
+
   /** Corpus kNN GRAPH: top-`k` neighbors for EVERY vector, candidates
     * bounded by the vector's own IVF cell (locked-trained centroids) —
     * the building block of graph-based semantic dedup, diversity

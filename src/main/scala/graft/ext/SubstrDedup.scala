@@ -214,10 +214,21 @@ object SubstrDedup {
   private def mergedSpans(docs: DataFrame, idCol: String, textCol: String,
       windowLen: Int): DataFrame = {
     val words = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    // The (id, pos) → id*2^32+pos packing needs integer ids in
+    // [0, 2^31); enforce it per row instead of trusting the comment —
+    // a violating id raises inside the scan (one comparison per
+    // DOCUMENT, off the per-window hot path) rather than silently
+    // wrapping the canonical-occurrence order.
+    val idL = col(idCol).cast("long")
+    val guardedId = when(idL.isNotNull && idL >= 0 && idL < lit(PosBase / 2),
+        col(idCol))
+      .otherwise(raise_error(concat(
+        lit(s"SubstrDedup: $idCol not packable (need integer in [0, 2^31)): "),
+        col(idCol).cast("string"))))
     // __th must be an ATTRIBUTE before the window lambda slices it (the
     // bigramFit barrier lesson: slicing a raw expression re-runs it
     // once per window).
-    val base = docs.select(col(idCol).as("__id"),
+    val base = docs.select(guardedId.as("__id"),
       transform(words, w => xxhash64(w)).as("__th"))
     val inst = base
       .filter(size(col("__th")) >= windowLen)

@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   * implementation's float log-probs are not:
   *
   *  - the candidate inventory is every substring of length 1..4 of the
-  *    corpus's distinct words, weighted by word frequency (single
-  *    characters are always present, so every word is segmentable);
+  *    corpus's distinct words, weighted by word frequency, CAPPED at
+  *    the [[MaxVocab]] highest-mass multi-character pieces (ties by
+  *    piece, the byte order both engines share); single characters are
+  *    ALWAYS retained outside the cap, so every word stays segmentable
+  *    and the cap can never orphan a word. The cap is what makes the
+  *    driver-side cost broadcast safe at any corpus size: a seed
+  *    vocabulary is a fixed-size model artifact (SentencePiece's own
+  *    --vocab_size), not a corpus-proportional set;
   *  - a piece's cost is its code length in whole bits under the
   *    inventory's own frequency distribution — bitlen(total_mass) −
   *    bitlen(count) + 1 — the same integer stand-in for −log2 P the
@@ -26,24 +32,50 @@ import org.apache.spark.sql.functions._
   *    inventory stabilizes, so one oracle-gated round IS the training
   *    step, the BPE-merges pattern.
   *
-  * Scale shape: everything is VOCABULARY-bounded. Distinct words come
-  * from one map-side-combined aggregate (the corpus's only full pass);
-  * the inventory is a substring explode of that word table; Viterbi
-  * runs per DISTINCT word (a mapPartitions DP — justified like the
-  * media codecs: a dynamic program over string positions has no
-  * Catalyst expression form) with the piece-cost table broadcast; the
-  * corpus token stream then applies segmentations through a broadcast
-  * word → pieces join exactly like the trained-BPE apply (the token
-  * stream never shuffles).
+  * Scale shape: everything is VOCABULARY-bounded, and the inventory is
+  * additionally CAP-bounded. Distinct words come from one
+  * map-side-combined aggregate (the corpus's only full pass); the
+  * inventory is a substring explode of that word table reduced to the
+  * top-[[MaxVocab]] multi-char pieces via orderBy+limit — Spark plans
+  * that as TakeOrderedAndProject (per-partition partial top-K, K rows
+  * to the driver), so the collect at [[segmentWords]] moves
+  * O(MaxVocab + alphabet) rows regardless of corpus size; Viterbi runs
+  * per DISTINCT word (a mapPartitions DP — justified like the media
+  * codecs: a dynamic program over string positions has no Catalyst
+  * expression form) with the piece-cost table broadcast; the corpus
+  * token stream then applies segmentations through a broadcast word →
+  * pieces join exactly like the trained-BPE apply (the token stream
+  * never shuffles).
+  *
+  * Unicode contract: the DP walks CODEPOINTS (so a 4-codepoint piece
+  * of supplementary-plane characters is reachable even though it is 8
+  * UTF-16 units), path ties compare UTF-8 BYTES (the binary collation
+  * Spark's UTF8String and DuckDB's memcmp both use), and words longer
+  * than [[MaxWordLen]] codepoints are excluded on BOTH sides — the
+  * standard tokenizer-training guard against unbroken URL/base64 runs,
+  * which also bounds the oracle's recursive split enumeration.
   */
 object UnigramLm {
 
   val MaxPieceLen = 4
 
-  private def words(docs: DataFrame, textCol: String): DataFrame =
+  /** Cap on multi-character inventory pieces (single chars always kept).
+    * 128 binds at every fixture scale (the documents vocabulary holds
+    * 204 multi-char candidates), so the gate proves both engines agree
+    * on the capped selection, not just on an uncapped universe.
+    */
+  val MaxVocab = 128
+
+  /** Max word length in codepoints; longer tokens (URLs, base64) are
+    * dropped from training AND application, mirrored in the oracle.
+    */
+  val MaxWordLen = 24
+
+  private[ext] def words(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
         .as("word"))
-      .filter(length(col("word")) > 0 && !col("word").contains("|"))
+      .filter(length(col("word")) > 0 && length(col("word")) <= MaxWordLen &&
+        !col("word").contains("|"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
 
   /** Every (piece, summed word-frequency) for substrings of length
@@ -51,7 +83,7 @@ object UnigramLm {
     * lambda (position × length) is written in SQL text because
     * `substring(word, i, l)` needs BOTH lambda variables as arguments.
     */
-  private def piecesOf(w: DataFrame): DataFrame =
+  private[ext] def piecesOf(w: DataFrame): DataFrame =
     w.select(col("word"), col("wc"))
       .withColumn("__p", explode(expr(
         s"""flatten(transform(sequence(1, length(word)),
@@ -60,11 +92,23 @@ object UnigramLm {
       .groupBy(col("__p").as("piece"))
       .agg(sum(col("wc")).as("cnt"))
 
-  /** The real inventory: (piece, cnt, cost). */
+  /** The real inventory: (piece, cnt, cost) — single characters plus
+    * the top-[[MaxVocab]] multi-char pieces by (mass desc, piece asc).
+    * The orderBy+limit plans as TakeOrderedAndProject (distributed
+    * partial top-K), and the code-length costs are computed over the
+    * KEPT inventory's own mass, so the capped model is self-consistent
+    * (the pruned tail carries no probability), exactly as a pruned
+    * SentencePiece model renormalizes.
+    */
   def pieceInventory(docs: DataFrame, textCol: String): DataFrame = {
     val p = piecesOf(words(docs, textCol))
-    val total = p.agg(sum(col("cnt")).as("__total"))
-    p.crossJoin(broadcast(total))
+    val singles = p.filter(length(col("piece")) === 1)
+    val multi = p.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(MaxVocab)
+    val kept = singles.unionByName(multi)
+    val total = kept.agg(sum(col("cnt")).as("__total"))
+    kept.crossJoin(broadcast(total))
       .select(col("piece"), col("cnt").cast("long").as("cnt"),
         (length(bin(col("__total"))) - length(bin(col("cnt"))) + 1)
           .cast("long").as("cost"))
@@ -95,13 +139,35 @@ object UnigramLm {
     seg
   }
 
-  /** Integer Viterbi: min total cost over splits into pieces of length
-    * 1..MaxPieceLen present in `costs`; ties by lexicographic path.
-    * Single characters are always in the inventory (they occur in the
-    * corpus by construction), so every word reaches the final state.
+  /** Unsigned bytewise UTF-8 comparison — the binary collation Spark's
+    * UTF8String and DuckDB's memcmp both apply to string ORDER BY, so
+    * JVM-side tie-breaks match the oracle's even off the BMP (Java's
+    * String.compareTo orders by UTF-16 units, which disagrees with
+    * UTF-8 byte order for supplementary-plane vs + characters).
+    */
+  private[ext] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Integer Viterbi over CODEPOINTS: min total cost over splits into
+    * pieces of 1..MaxPieceLen codepoints present in `costs`; ties by
+    * UTF-8-bytewise-smallest path ([[utf8Less]]), matching the
+    * oracle's ORDER BY cost, path. Single characters are always in the
+    * inventory (kept outside the cap), so every word reaches the final
+    * state.
     */
   private[ext] def viterbi(word: String, costs: Map[String, Long]): (Long, String) = {
-    val n = word.length
+    val cps = word.codePoints.toArray
+    val n = cps.length
     val bestCost = Array.fill(n + 1)(Long.MaxValue)
     val bestPath = new Array[String](n + 1)
     bestCost(0) = 0L
@@ -112,13 +178,13 @@ object UnigramLm {
       while (l <= math.min(MaxPieceLen, j)) {
         val i = j - l
         if (bestPath(i) != null) {
-          val piece = word.substring(i, j)
+          val piece = new String(cps, i, l)
           costs.get(piece).foreach { c =>
             val cand = bestCost(i) + c
             val candPath =
               if (bestPath(i).isEmpty) piece else bestPath(i) + "|" + piece
             if (cand < bestCost(j) ||
-                (cand == bestCost(j) && candPath < bestPath(j))) {
+                (cand == bestCost(j) && utf8Less(candPath, bestPath(j)))) {
               bestCost(j) = cand
               bestPath(j) = candPath
             }
@@ -140,7 +206,8 @@ object UnigramLm {
       .select(col("word"), col("n_pieces"), col("total_cost"))
     docs.select(col(idCol),
         explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0 && !col("word").contains("|"))
+      .filter(length(col("word")) > 0 && length(col("word")) <= MaxWordLen &&
+        !col("word").contains("|"))
       .join(broadcast(seg), "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
@@ -166,7 +233,8 @@ object UnigramLm {
        |  FROM $table),
        |w AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wc FROM wt
-       |  WHERE length(word) > 0 AND word NOT LIKE '%|%'
+       |  WHERE length(word) > 0 AND length(word) <= $MaxWordLen
+       |    AND word NOT LIKE '%|%'
        |  GROUP BY word),
        |pi0 AS (
        |  SELECT word, wc, CAST(unnest(range(1, length(word) + 1)) AS BIGINT) AS i
@@ -179,12 +247,18 @@ object UnigramLm {
        |pi AS (SELECT substr(word, i, l) AS piece, wc FROM pi1),
        |p AS (
        |  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM pi GROUP BY piece),
-       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+       |mk AS (
+       |  SELECT piece, cnt FROM p WHERE length(piece) > 1
+       |  ORDER BY cnt DESC, piece LIMIT $MaxVocab),
+       |kept AS (
+       |  SELECT piece, cnt FROM p WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, cnt FROM mk),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM kept),
        |inv AS (
        |  SELECT piece, cnt,
        |    CAST(length(bin((SELECT total FROM tot)))
        |      - length(bin(cnt)) + 1 AS BIGINT) AS cost
-       |  FROM p)""".stripMargin
+       |  FROM kept)""".stripMargin
 
   /** Brute-force min-cost segmentation: enumerate every split via a
     * recursive CTE (word lengths are bounded; parts <= $MaxPieceLen),
@@ -225,7 +299,8 @@ object UnigramLm {
        |  CAST(sum(b.n_pieces) AS BIGINT) AS n_pieces,
        |  CAST(sum(b.cost) AS BIGINT) AS total_bits
        |FROM dw JOIN best b USING (word)
-       |WHERE length(word) > 0 AND word NOT LIKE '%|%'
+       |WHERE length(word) > 0 AND length(word) <= $MaxWordLen
+       |  AND word NOT LIKE '%|%'
        |GROUP BY $idCol""".stripMargin
 
   def refitOracleSql(table: String, textCol: String): String =

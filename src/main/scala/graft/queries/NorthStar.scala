@@ -198,6 +198,20 @@ object NorthStar {
     graft.ext.SimSearch.ivfTopKWithCentroids(t(s, dir, "embeddings"), 100,
       lockedParams(s, dir).probes, trainedCents(s, dir))
 
+  /** Filtered ANN through the trained IVF index — the 100 TB serving
+    * shape: the label predicate composes INTO the inverted lists (only
+    * eligible vectors enter the cells), probe + exact re-rank top-5.
+    * [[simTopKFiltered]] stays registered as the exact-recall
+    * contrast; the oracle replays training + assignment + predicate +
+    * probe ([[graft.ext.SimSearch.ivfTrainedFilteredOracleSql]]).
+    */
+  def simTopKFilteredIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.SimSearch.ivfTopKNFilteredWithCentroids(
+      t(s, dir, "embeddings"), 100, 5, lockedParams(s, dir).probes,
+      trainedCents(s, dir), $"label" === 1)
+  }
+
   /** Semantic clustering of the embedding corpus (16 locked-trained
     * cells): the curation primitive for topic balance / per-cluster
     * sampling. Oracle replays the training.
@@ -1218,6 +1232,7 @@ object NorthStar {
     "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
     "sim_topk_filtered" -> (simTopKFiltered _),
+    "sim_topk_filtered_ivf" -> (simTopKFilteredIvf _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
     "span_dedup" -> (spanDedup _),
@@ -1539,6 +1554,9 @@ object NorthStar {
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "sim_topk_filtered" ->
       graft.ext.SimSearch.bruteTopKNFilteredOracleSql(100, 5, "c.label = 1"),
+    "sim_topk_filtered_ivf" ->
+      graft.ext.SimSearch.ivfTrainedFilteredOracleSql(100, 5, LockedIters,
+        EmbDim, "e.label = 1"),
     "dedup_near" ->
       s"""WITH $ShingleCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

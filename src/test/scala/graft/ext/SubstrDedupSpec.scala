@@ -135,4 +135,18 @@ class SubstrDedupSpec extends SparkTestBase {
     assert(agg.getAs[Long]("rem") > 0L) // near-dup fixture must trigger it
     assert(agg.getAs[Long]("bad") === 0L) // kept + removed = total tokens
   }
+
+  test("a doc id outside [0, 2^31) fails loudly instead of silently wrapping") {
+    // 2^31 would overflow the id*2^32+pos BIGINT packing; the guard
+    // must raise, not pick a wrapped canonical occurrence.
+    val bad = docs((1L << 31, "a b c d a b c d"), (1L, "a b c d x"))
+    val e = intercept[Exception] {
+      SubstrDedup.dedup(bad, "doc_id", "text", L).collect()
+    }
+    assert(e.getMessage.contains("not packable") ||
+      Option(e.getCause).exists(_.getMessage.contains("not packable")))
+    // In-range ids are untouched by the guard.
+    val ok = docs((Int.MaxValue.toLong, "a b c d a b c d"))
+    assert(SubstrDedup.dedup(ok, "doc_id", "text", L).count() === 1L)
+  }
 }

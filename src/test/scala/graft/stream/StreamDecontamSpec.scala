@@ -50,7 +50,7 @@ class StreamDecontamSpec extends SparkTestBase {
         "doc_id", "text", L, out, ckpt)
       try {
         corpus.grouped(split).foreach(g => { ms.addData(g); q.processAllAvailable() })
-        val got = s.read.parquet(out).collect().map(_.toSeq).toSet
+        val got = StreamDecontam.readOutput(s, out).collect().map(_.toSeq).toSet
         assert(got == truth, s"split=$split")
       } finally q.stop()
     }
@@ -67,7 +67,7 @@ class StreamDecontamSpec extends SparkTestBase {
     try {
       ms.addData(corpus)
       q.processAllAvailable()
-      val flagged = s.read.parquet(out)
+      val flagged = StreamDecontam.readOutput(s, out)
         .filter(col("contaminated")).select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(flagged === Set(3L))
@@ -90,8 +90,25 @@ class StreamDecontamSpec extends SparkTestBase {
       "doc_id", "text", L, out, ckpt)
     try {
       ms.addData(corpus.drop(2)); q2.processAllAvailable()
-      val got = s.read.parquet(out).collect().map(_.toSeq).toSet
+      val got = StreamDecontam.readOutput(s, out).collect().map(_.toSeq).toSet
       assert(got == batchTruth) // no duplicates from re-scoring
     } finally q2.stop()
+  }
+
+  test("a replayed micro-batch is idempotent: same batchId overwrites, not appends") {
+    val s = spark; import s.implicits._
+    val out = Files.createTempDirectory("sdc_out4").toString
+    // Simulate the at-least-once failure mode: the checkpoint commit is
+    // lost after the parquet write, so the SAME (batch, batchId) is
+    // delivered to the sink again on restart.
+    StreamDecontam.writeBatch(corpus.toDF(), 7L, evalSet, "doc_id", "text", L, out)
+    StreamDecontam.writeBatch(corpus.toDF(), 7L, evalSet, "doc_id", "text", L, out)
+    val got = StreamDecontam.readOutput(s, out).collect().map(_.toSeq)
+    assert(got.length === got.toSet.size) // no duplicated rows
+    assert(got.map(_.toSeq).toSet == batchTruth)
+    // A DIFFERENT batchId lands alongside, untouched by the replay.
+    StreamDecontam.writeBatch(corpus.take(1).toDF(), 8L, evalSet, "doc_id", "text", L, out)
+    StreamDecontam.writeBatch(corpus.toDF(), 7L, evalSet, "doc_id", "text", L, out)
+    assert(StreamDecontam.readOutput(s, out).count() === (batchTruth.size + 1).toLong)
   }
 }
