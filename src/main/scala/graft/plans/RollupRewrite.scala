@@ -1,26 +1,31 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** One registered rollup: a landed pre-aggregate of `basePath` grouped
   * by `groupCols`, carrying `countCol` = count(*) and, for each base
-  * measure column in `sumCols`, its sum under the mapped rollup column
-  * name. The rollup must be maintained consistent with the base (built
-  * from it, refreshed via [[graft.transform.IncrementalAgg]]) — the
-  * rewrite assumes, not checks, freshness, exactly like every MV
-  * router.
+  * measure column in `sumCols`/`minCols`/`maxCols`, its
+  * sum/min/max under the mapped rollup column name. sum+count also
+  * serve `avg(col)` (rewritten as sum/count — avg is not itself
+  * mergeable, its pieces are). The rollup must be maintained
+  * consistent with the base (built from it, refreshed via
+  * [[graft.transform.IncrementalAgg]]) — the rewrite assumes, not
+  * checks, freshness, exactly like every MV router.
   */
 final case class RollupTarget(
     basePath: String,
     rollupPath: String,
     groupCols: Seq[String],
     countCol: String,
-    sumCols: Map[String, String])
+    sumCols: Map[String, String],
+    minCols: Map[String, String] = Map.empty,
+    maxCols: Map[String, String] = Map.empty)
 
 /** Materialized-rollup query routing — the Calcite-style MV rewrite as
   * a Catalyst `Rule[LogicalPlan]`: an `Aggregate` whose child is the
@@ -69,6 +74,12 @@ case class RollupRewrite(spark: SparkSession, target: RollupTarget)
       ae.aggregateFunction match {
         case Count(Seq(Literal(1, _))) => true
         case Sum(a: AttributeReference, _) => target.sumCols.contains(a.name)
+        case Min(a: AttributeReference) => target.minCols.contains(a.name)
+        case Max(a: AttributeReference) => target.maxCols.contains(a.name)
+        // avg = covered sum / count(*): exact whenever the suite-wide
+        // order-independent-sum discipline holds (integer-valued
+        // measures — the division is then one deterministic double op).
+        case Average(a: AttributeReference, _) => target.sumCols.contains(a.name)
         case _ => false
       }
     case _ => false
@@ -101,6 +112,14 @@ case class RollupRewrite(spark: SparkSession, target: RollupTarget)
             Alias(rattr(target.countCol), name)(exprId = al.exprId)
           case Sum(a: AttributeReference, _) =>
             Alias(rattr(target.sumCols(a.name)), name)(exprId = al.exprId)
+          case Min(a: AttributeReference) =>
+            Alias(rattr(target.minCols(a.name)), name)(exprId = al.exprId)
+          case Max(a: AttributeReference) =>
+            Alias(rattr(target.maxCols(a.name)), name)(exprId = al.exprId)
+          case Average(a: AttributeReference, _) =>
+            Alias(Divide(
+              Cast(rattr(target.sumCols(a.name)), DoubleType),
+              Cast(rattr(target.countCol), DoubleType)), name)(exprId = al.exprId)
           case other => throw new IllegalStateException(
             s"unreachable: unmatched aggregate $other")
         }

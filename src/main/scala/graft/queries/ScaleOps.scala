@@ -722,8 +722,42 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** MV routing over the full mergeable-aggregate family: the rollup
+    * additionally lands min/max per group, and the registered query
+    * asks min / max / avg / count — min and max route to their landed
+    * columns, avg rewrites to sum_qty / n_rows (avg itself is not
+    * mergeable; its pieces are), count to n_rows. Exactness of the avg
+    * path rides the integral-valued-measure discipline (sum and count
+    * are exact, so the one double division is deterministic on both
+    * engines).
+    */
+  def mvRewriteMinmax(s: SparkSession, dir: String): DataFrame = {
+    val base = s"$dir/lineitem.parquet"
+    val rollupPath = s"/tmp/graft_mv_mm/${graft.Tables.pathTag(dir)}"
+    graft.Tables.landOnce(rollupPath) {
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .write.mode("overwrite").parquet(rollupPath)
+    }
+    graft.plans.RollupRewrite.install(s, graft.plans.RollupTarget(
+      base, rollupPath, Seq("l_returnflag", "l_linestatus"), "n_rows",
+      Map("l_quantity" -> "sum_qty"),
+      minCols = Map("l_quantity" -> "min_qty"),
+      maxCols = Map("l_quantity" -> "max_qty")))
+    s.read.parquet(base)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rewrite" -> (mvRewriteScan _),
+    "mv_rewrite_minmax" -> (mvRewriteMinmax _),
     "bloomskip_scan" -> (bloomskipScan _),
     "zonemap_scan" -> (zonemapScan _),
     "bloom_join" -> (bloomJoin _),
@@ -761,6 +795,11 @@ object ScaleOps {
     "mv_rewrite" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "mv_rewrite_minmax" ->
+      """SELECT l_returnflag, l_linestatus,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | sum(l_quantity) / count(*) AS avg_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "bloomskip_scan" ->
       """SELECT l_orderkey, l_linenumber,

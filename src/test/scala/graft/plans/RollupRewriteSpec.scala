@@ -69,6 +69,68 @@ class RollupRewriteSpec extends SparkTestBase {
     assert(scanPaths(wrongGroups).exists(_.endsWith("base.parquet")))
   }
 
+  private def landedMm(): (String, String, RollupTarget) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-mm").toString
+    val base = s"$dir/base.parquet"
+    val rollup = s"$dir/rollup.parquet"
+    (0 until 1000).map(i => (s"g${i % 3}", s"h${i % 2}", (i % 7).toDouble, i.toLong))
+      .toDF("g", "h", "m", "extra")
+      .write.parquet(base)
+    spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(count(lit(1)).as("n_rows"), sum($"m").as("sum_m"),
+        min($"m").as("min_m"), max($"m").as("max_m"))
+      .write.parquet(rollup)
+    (base, rollup,
+      RollupTarget(base, rollup, Seq("g", "h"), "n_rows", Map("m" -> "sum_m"),
+        minCols = Map("m" -> "min_m"), maxCols = Map("m" -> "max_m")))
+  }
+
+  test("min/max/avg route to the rollup and stay exact") {
+    val (base, _, target) = landedMm()
+    val q = () => spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(min($"m").as("mn"), max($"m").as("mx"),
+        avg($"m").as("av"), count(lit(1)).as("n"))
+    val expect = q().collect().map(r => (r.getString(0), r.getString(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    RollupRewrite.install(spark, target)
+    val routed = q()
+    val paths = scanPaths(routed)
+    assert(paths.exists(_.endsWith("rollup.parquet")),
+      s"rewrite did not fire; scans: $paths")
+    assert(!paths.exists(_.endsWith("base.parquet")))
+    val got = routed.collect().map(r => (r.getString(0), r.getString(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(got === expect)
+  }
+
+  test("per-aggregate non-covered lanes: unregistered column defeats each new rewrite") {
+    val (base, _, target) = landedMm()
+    RollupRewrite.install(spark, target)
+    // min over a column with no minCols mapping.
+    val minNc = spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(min($"extra").as("mn"))
+    assert(scanPaths(minNc).exists(_.endsWith("base.parquet")))
+    // max over a column with no maxCols mapping.
+    val maxNc = spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(max($"extra").as("mx"))
+    assert(scanPaths(maxNc).exists(_.endsWith("base.parquet")))
+    // avg over a column with no sum coverage.
+    val avgNc = spark.read.parquet(base).groupBy($"g", $"h")
+      .agg(avg($"extra").as("av"))
+    assert(scanPaths(avgNc).exists(_.endsWith("base.parquet")))
+    // A SUM-only target (no minCols/maxCols) must not route min/max/avg
+    // it can't serve — min on the sum-covered measure still defeats it.
+    val (base2, _, sumOnly) = landed()
+    RollupRewrite.install(spark, sumOnly)
+    val minOnSumOnly = spark.read.parquet(base2).groupBy($"g", $"h")
+      .agg(min($"m").as("mn"))
+    assert(scanPaths(minOnSumOnly).exists(_.endsWith("base.parquet")))
+    // ...while avg IS routable there (sum+count cover it).
+    val avgOnSumOnly = spark.read.parquet(base2).groupBy($"g", $"h")
+      .agg(avg($"m").as("av"))
+    assert(scanPaths(avgOnSumOnly).exists(_.endsWith("rollup.parquet")))
+  }
+
   test("incrementally-maintained rollup keeps routed answers fresh") {
     // The maintenance loop the rule assumes: base grows by a delta,
     // the rollup folds the delta via IncrementalAgg (never recomputing
