@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   * between engines; the mean word length is exported as the scaled
   * integer (10^6 · chars) div words for the same reason.
   *
-  * The fixture corpus has no newlines, so the paper's line-shaped
-  * rules (bullet-line and ellipsis-line fractions) have no line
-  * structure to count; the ellipsis/symbol signal is kept as the
+  * The paper's line-shaped rules (bullet-line and ellipsis-line
+  * fractions) live in [[lineRules]] over newline-segmented text; the
+  * fixture corpus carries no newlines, so its `gopher_rules_lines`
+  * query derives a deterministic newline-bearing lane from the token
+  * stream (oracle-replayed) rather than editing the fixture. The
+  * ellipsis/symbol signal additionally stays in this battery as the
   * symbol-to-word ratio over '#' and '...' occurrences — the same
-  * symbols the paper names — and the line rules are a segmentation
-  * parameter away if a corpus carries newlines.
+  * symbols the paper names.
   *
   * Scale: one codegen'd map-only projection over the corpus — no
   * exchange at all; the quality columns land next to the document for
@@ -68,6 +70,59 @@ object GopherRules {
         // alphabetic-word fraction > 0.8  <=>  10*alpha > 8*words
         col("n_alpha_words") * 10 > col("n_words") * 8 &&
         col("n_stop") >= 2)
+  }
+
+  /** Bullet markers the line rule recognizes (Rae et al. table A1
+    * names bullet points; these are the common plain-text forms).
+    */
+  val BulletMarkers: Seq[String] = Seq("- ", "* ", "• ")
+
+  /** The LINE-shaped Gopher rules (Rae et al. table A1): at most 90%
+    * of lines may start with a bullet marker and at most 30% may end
+    * with an ellipsis. Lines are the '\n' segmentation of `textCol`
+    * (empty lines dropped); thresholds are exact-integer
+    * cross-multiplications like the word battery. Map-only projection,
+    * no exchange.
+    */
+  def lineRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ls = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => length(l) > 0)
+    val base = docs.select(col(idCol), ls.as("__lines"))
+    val isBullet = (l: Column) =>
+      BulletMarkers.map(m => l.startsWith(m)).reduce(_ || _)
+    base.select(
+        col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(filter(col("__lines"), isBullet)).cast("long").as("n_bullet"),
+        size(filter(col("__lines"), l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis"))
+      .withColumn("passes_lines",
+        // bullet-line fraction <= 0.9 <=> 10*bullets <= 9*lines
+        col("n_bullet") * 10 <= col("n_lines") * 9 &&
+        // ellipsis-line fraction <= 0.3 <=> 10*ellipses <= 3*lines
+        col("n_ellipsis") * 10 <= col("n_lines") * 3)
+  }
+
+  /** DuckDB twin of [[lineRules]]; `linedCte` must define a CTE named
+    * `lined(idCol, t2)` supplying the newline-bearing text.
+    */
+  def lineRulesOracleSql(linedCte: String, idCol: String): String = {
+    val bulletSql = BulletMarkers
+      .map(m => s"starts_with(x, '$m')").mkString(" OR ")
+    s"""WITH $linedCte,
+       |l AS (SELECT $idCol,
+       |    list_filter(string_split(t2, chr(10)), x -> length(x) > 0) AS ls
+       |  FROM lined),
+       |m AS (SELECT $idCol,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, x -> $bulletSql)) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS BIGINT)
+       |      AS n_ellipsis
+       |  FROM l)
+       |SELECT $idCol, n_lines, n_bullet, n_ellipsis,
+       |  (n_bullet * 10 <= n_lines * 9 AND n_ellipsis * 10 <= n_lines * 3)
+       |    AS passes_lines
+       |FROM m""".stripMargin
   }
 
   /** DuckDB twin: same tokenization, same integer cross-multiplied

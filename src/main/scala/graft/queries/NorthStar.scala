@@ -551,6 +551,52 @@ object NorthStar {
   def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.GopherRules.battery(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Deterministic newline-bearing lane for the LINE-shaped Gopher
+    * rules: the fixture text carries no newlines, so the token stream
+    * is re-segmented into 7-word lines, every (doc_id + line) % 5 == 0
+    * line bullet-prefixed (EVERY line for doc_id % 13 == 0, putting
+    * those docs over the 90% bullet threshold) and every % 7 == 0
+    * line ellipsis-suffixed —
+    * a pure function of the fixture, replayed identically by the
+    * oracle's lined CTE, giving the published bullet/ellipsis rules
+    * real line structure to count and rows on BOTH sides of BOTH
+    * thresholds (spec-asserted).
+    */
+  private val LinedDeriveSql =
+    """array_join(transform(
+      |  sequence(0, (size(split(trim(coalesce(text, '')), '\\s+')) - 1) div 7),
+      |  i -> concat(
+      |    case when doc_id % 13 = 0 or (doc_id + i) % 5 = 0
+      |      then '- ' else '' end,
+      |    array_join(slice(split(trim(coalesce(text, '')), '\\s+'),
+      |      cast(i * 7 + 1 as int), 7), ' '),
+      |    case when (doc_id + i) % 7 = 0 then ' ...' else '' end)),
+      |'\n')""".stripMargin
+
+  private[graft] def linedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr(LinedDeriveSql).as("text"))
+
+  /** The line-half of the Gopher battery over the derived
+    * newline-bearing lane — [[graft.ext.GopherRules.lineRules]].
+    */
+  def gopherRulesLinesQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.GopherRules.lineRules(linedDocs(s, dir), "doc_id", "text")
+
+  private[queries] val LinedCteSql =
+    """lined AS (
+      |  SELECT doc_id, array_to_string(list_transform(
+      |      range(0, (len(ws) - 1) // 7 + 1),
+      |      i -> concat(
+      |        CASE WHEN doc_id % 13 = 0 OR (doc_id + i) % 5 = 0
+      |          THEN '- ' ELSE '' END,
+      |        array_to_string(list_slice(ws, i * 7 + 1, i * 7 + 7), ' '),
+      |        CASE WHEN (doc_id + i) % 7 = 0 THEN ' ...' ELSE '' END)),
+      |    chr(10)) AS t2
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
+      |        FROM documents))""".stripMargin
+
   /** PaLM-style substring contamination rate: per corpus document, the
     * fraction of sliding windows also present in the held-out eval set
     * (same doc_id % 97 split as [[decontam]]) with the integer-exact
@@ -1240,6 +1286,7 @@ object NorthStar {
     "substr_dedup" -> (substrDedupQ _),
     "decontam_substr" -> (decontamSubstrQ _),
     "gopher_rules" -> (gopherRulesQ _),
+    "gopher_rules_lines" -> (gopherRulesLinesQ _),
     "token_shards" -> (tokenShardsQ _),
     "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
@@ -1354,6 +1401,8 @@ object NorthStar {
         "text", SubstrWindow, "id % 97 <> 0", "id % 97 = 0"),
     "gopher_rules" ->
       graft.ext.GopherRules.oracleSql("documents", "doc_id", "text"),
+    "gopher_rules_lines" ->
+      graft.ext.GopherRules.lineRulesOracleSql(LinedCteSql, "doc_id"),
     "tfidf_terms" ->
       graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the

@@ -72,4 +72,55 @@ class GopherRulesSpec extends SparkTestBase {
       sum(when(!col("passes"), 1).otherwise(0)).as("f")).collect().head
     assert(agg.getLong(0) > 0L && agg.getLong(1) > 0L)
   }
+
+  private def runLines(rows: (Long, String)*) = {
+    val s2 = spark; import s2.implicits._
+    GopherRules.lineRules(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("line rules: bullet fraction at the 90% edge (9/10 passes, 10/10 fails)") {
+    val nine = ((1 to 9).map(i => s"- item $i") :+ "plain line").mkString("\n")
+    val ten = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val out = runLines(1L -> nine, 2L -> ten)
+    assert(out(1L).getAs[Long]("n_bullet") === 9L)
+    assert(out(1L).getAs[Boolean]("passes_lines") === true)
+    assert(out(2L).getAs[Long]("n_bullet") === 10L)
+    assert(out(2L).getAs[Boolean]("passes_lines") === false)
+  }
+
+  test("line rules: ellipsis fraction at the 30% edge (3/10 passes, 4/10 fails)") {
+    def doc(nDots: Int) = ((1 to nDots).map(i => s"line $i trails ...") ++
+      (nDots + 1 to 10).map(i => s"line $i")).mkString("\n")
+    val out = runLines(1L -> doc(3), 2L -> doc(4))
+    assert(out(1L).getAs[Long]("n_ellipsis") === 3L)
+    assert(out(1L).getAs[Boolean]("passes_lines") === true)
+    assert(out(2L).getAs[Long]("n_ellipsis") === 4L)
+    assert(out(2L).getAs[Boolean]("passes_lines") === false)
+  }
+
+  test("line rules: all bullet markers recognized; empty lines dropped") {
+    val mixed = "- dash\n* star\n\u2022 dot\n\n\nplain"
+    val out = runLines(1L -> mixed)
+    assert(out(1L).getAs[Long]("n_lines") === 4L) // empties dropped
+    assert(out(1L).getAs[Long]("n_bullet") === 3L)
+  }
+
+  test("line rules: empty text yields zero lines and passes vacuously") {
+    val out = runLines(1L -> "")
+    assert(out(1L).getAs[Long]("n_lines") === 0L)
+    assert(out(1L).getAs[Boolean]("passes_lines") === true)
+  }
+
+  test("derived fixture lane discriminates BOTH line rules at sf0.001") {
+    val lined = graft.queries.NorthStar.linedDocs(spark, sf0001)
+    val out = GopherRules.lineRules(lined, "doc_id", "text")
+    val agg = out.agg(
+      sum(when(col("n_bullet") * 10 > col("n_lines") * 9, 1).otherwise(0)),
+      sum(when(col("n_ellipsis") * 10 > col("n_lines") * 3, 1).otherwise(0)),
+      sum(when(col("passes_lines"), 1).otherwise(0))).collect().head
+    assert(agg.getLong(0) > 0L, "no bullet-rule failures")
+    assert(agg.getLong(1) > 0L, "no ellipsis-rule failures")
+    assert(agg.getLong(2) > 0L, "no passing docs")
+  }
 }
