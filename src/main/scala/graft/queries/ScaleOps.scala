@@ -468,12 +468,28 @@ object ScaleOps {
     val arr = baskets
       .groupBy(col(orderCol))
       .agg(array_sort(collect_set(col(itemCol))).as("parts"))
-    val pairs = arr.select(explode(expr(
+    // Transaction merging (the FP-growth identical-transaction
+    // collapse): baskets with the SAME item set fold into one weighted
+    // signature BEFORE the quadratic pair expansion, so the C(k,2)
+    // explode runs once per DISTINCT basket signature and the pair
+    // aggregate sums multiplicities. support = Σ multiplicity = basket
+    // count containing the pair — bit-identical to expanding every
+    // basket. At scale this bounds the expansion by the signature
+    // universe instead of the basket count (retail corpora repeat
+    // single-item and common-pair baskets heavily; the r12 sf10 probe
+    // measured 36 M → 3.6 M expansions on the replicated fixture); the
+    // worst case (all baskets distinct) adds one signature-keyed
+    // exchange of one row per basket — strictly smaller rows than the
+    // pair expansion it feeds.
+    val sigs = arr
+      .groupBy(col("parts"))
+      .agg(count(lit(1)).as("__m"))
+    val pairs = sigs.select(col("__m"), explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
-      .agg(count(lit(1)).as("support"))
+      .agg(sum(col("__m")).as("support"))
     floorFrac match {
       case None => pairs.filter(col("support") >= fixedFloor)
       case Some(frac) =>
