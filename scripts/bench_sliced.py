@@ -25,6 +25,7 @@ def main():
     sf_dir, out = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     merged, failed, fixture = {}, [], {}
+    slice_canary, query_slice = [], {}
     for k in range(n):
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
@@ -41,6 +42,8 @@ def main():
         with open("bench_last.json") as f:
             part = json.load(f)
         merged.update(part["queries"])
+        query_slice.update({q: k for q in part["queries"]})
+        slice_canary.append(round(sum(part.get("canary", {}).values()), 3))
         failed += part.get("failed_queries", [])
         stamp = part.get("fixture", {})
         if fixture and stamp and stamp != fixture:
@@ -50,13 +53,26 @@ def main():
         print(f"slice {k + 1}/{n}: {len(part['queries'])} queries, "
               f"subtotal {part['value']}s", flush=True)
     total = round(sum(merged.values()), 3)
+    # Canary normalization: each slice JVM measured the same fixed
+    # canary set warm; a slice whose canaries ran hot was a hot JVM/box
+    # window, so its rows are scaled by (median slice canary / its
+    # canary). Cross-round comparison: divide by the artifacts' canary
+    # ratio first, then call what's left a regression.
+    canary_med = sorted(slice_canary)[len(slice_canary) // 2] if slice_canary else 0.0
+    norm = {}
+    for q, v in merged.items():
+        c = slice_canary[query_slice[q]]
+        norm[q] = round(v * (canary_med / c), 3) if c > 0 else v
     doc = {"metric": "total", "value": total, "unit": "sec",
            "failed": len(failed), "failed_queries": failed, "sf": sf_dir,
            "sliced": n, "fixture": fixture,
-           "queries": dict(sorted(merged.items()))}
+           "canary_per_slice": slice_canary, "canary_med": canary_med,
+           "queries": dict(sorted(merged.items())),
+           "queries_norm": dict(sorted(norm.items()))}
     with open(out, "w") as f:
         json.dump(doc, f)
-    print(f"total {total}s over {len(merged)} queries -> {out}")
+    print(f"total {total}s over {len(merged)} queries "
+          f"(canaries {slice_canary}, med {canary_med}) -> {out}")
 
 
 if __name__ == "__main__":

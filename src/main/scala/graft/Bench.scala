@@ -53,6 +53,24 @@ object Bench {
     val picked = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .filter { case (_, i) => slice.forall { case (k, n) => i % n == k } }
       .map(_._1)
+    // Canary set: fixed, plan-diverse, code-stable queries measured
+    // warm (median of 3) in EVERY bench JVM before the main sweep.
+    // Purpose: separate machine/JVM drift from code regressions when
+    // comparing artifacts across rounds — a row that moved with the
+    // canaries is the box; a row that moved against them is the code.
+    // Every sliced JVM measures the same canaries, so per-slice health
+    // is attributable too (scripts/bench_sliced.py emits raw AND
+    // canary-normalized per-query times).
+    val canary: Seq[(String, Double)] = Canaries.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val times = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(1)
+      }
+    }
     val results = picked.map { case (name, fn) =>
       // Old-gen pressure from the 200 queries that ran BEFORE this one
       // is not this query's cost, but an in-run full GC lands in
@@ -96,7 +114,7 @@ object Bench {
     // state): makes cross-round per-query comparisons attributable —
     // same stamp → same data → a moved row is the code's.
     val stamp = FixtureStamp.stampJson(spark, sfDir)
-    val (fullLine, stdoutLine) = renderLines(results, sfDir, stamp)
+    val (fullLine, stdoutLine) = renderLines(results, sfDir, stamp, canary)
     // File copy carries the COMPLETE per-query map (debuggable even if the
     // stdout tail is lost); stdout gets the truncation-safe line as the
     // forked JVM's final output — build.sbt's StdoutOutput strategy keeps
@@ -125,7 +143,8 @@ object Bench {
     * `queries_full` points at the committed file with the complete map.
     */
   def renderLines(results: Seq[(String, Double, Boolean)], sfDir: String,
-      fixtureStamp: String = "{}"): (String, String) = {
+      fixtureStamp: String = "{}",
+      canary: Seq[(String, Double)] = Nil): (String, String) = {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fqJson(names: Seq[String]): String =
       names.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
@@ -135,11 +154,17 @@ object Bench {
     def line(qEntries: Seq[String], fq: Seq[String], extra: String): String =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"failed_queries":${fqJson(fq)},"sf":"$sfDir"$extra,"queries":${qEntries.mkString("{", ",", "}")}}"""
     val allEntries = results.sortBy(_._1).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-    // The full file line carries the complete fixture stamp; stdout
-    // (truncation-budgeted) carries only the short combined hash.
-    val fullLine = line(allEntries, failedNames, s""","fixture":$fixtureStamp""")
+    val canaryJson = canary.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val canaryTotal = canary.map(_._2).sum
+    // The full file line carries the complete fixture stamp AND the
+    // per-canary map; stdout (truncation-budgeted) carries the short
+    // combined hash plus the one-number canary total.
+    val fullLine = line(allEntries, failedNames,
+      s""","fixture":$fixtureStamp,"canary":$canaryJson""")
     val stdoutExtra = StdoutExtra +
-      s""","fixture_hash":"${FixtureStamp.shortHash(fixtureStamp)}""""
+      s""","fixture_hash":"${FixtureStamp.shortHash(fixtureStamp)}"""" +
+      s""","canary_sec":${ms(canaryTotal)}"""
     // Stdout: failed_queries is capped too — a mass-failure round (the
     // rounds where the report matters most) must not overflow the tail
     // window through the failure list; `failed` carries the true count
@@ -157,5 +182,13 @@ object Bench {
   val StdoutBudget = 1000
   /** Max failure names on stdout (~25 bytes each ≤ 200 of the budget). */
   val MaxStdoutFailures = 8
+  /** The fixed canary set: mid-weight (~1 s at sf0.1), plan-diverse
+    * (two TPC-H joins, a window/stat battery, text scoring, a
+    * profiling join), and code-stable across rounds — these five are
+    * deliberately never re-planned, so their drift measures the BOX,
+    * not the code.
+    */
+  val Canaries: Seq[String] =
+    Seq("bm25_topk", "fk_discovery", "ks_test", "q5_region", "q7_volume")
   private val StdoutExtra = ""","queries_full":"bench_last.json""""
 }
