@@ -183,7 +183,8 @@ object ConfigLoader {
             refWhere = optStr(lb, "ref_where"))
         },
         gopher = obj(c, "gopher").map { g =>
-          GopherConfig(flagOnly = bool(g, "flag_only", default = true))
+          GopherConfig(flagOnly = bool(g, "flag_only", default = true),
+            lineRules = bool(g, "line_rules", default = false))
         })
     }
 

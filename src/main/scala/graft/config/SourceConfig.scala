@@ -226,10 +226,14 @@ final case class SubstrDedupConfig(
 /** `curation.gopher:` — the Gopher/MassiveText heuristic battery
   * ([[graft.ext.GopherRules]]); `flag_only` keeps every document and
   * lands the rule columns (the audit shape), false filters to
-  * passing documents (the gate shape).
+  * passing documents (the gate shape). `line_rules` switches to the
+  * LINE-shaped half of the published battery
+  * ([[graft.ext.GopherRules.lineRules]] — bullet/ellipsis line
+  * fractions over '\n'-segmented text) instead of the word battery.
   */
 final case class GopherConfig(
-    flagOnly: Boolean = true)
+    flagOnly: Boolean = true,
+    lineRules: Boolean = false)
 
 /** `curation.lm_buckets:` — CCNet-style per-language head/middle/tail
   * quality terciles by bigram bit-length cross-entropy

@@ -143,7 +143,9 @@ object UnigramLm {
     * UTF8String and DuckDB's memcmp both apply to string ORDER BY, so
     * JVM-side tie-breaks match the oracle's even off the BMP (Java's
     * String.compareTo orders by UTF-16 units, which disagrees with
-    * UTF-8 byte order for supplementary-plane vs + characters).
+    * UTF-8 byte order: a supplementary-plane character ranks BELOW
+    * BMP characters ≥ U+E000 in UTF-16 units, the inverse of its
+    * UTF-8 bytes).
     */
   private[ext] def utf8Less(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)

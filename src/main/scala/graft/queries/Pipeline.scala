@@ -333,6 +333,31 @@ object Pipeline {
       t(s, dir, "documents"))
   }
 
+  /** The LINE-shaped Gopher half declared in pure config (`line_rules:
+    * true`), over the same derived newline lane as `gopher_rules_lines`
+    * — hash-equal to the Scala composition's oracle.
+    */
+  private val gopherLinesYaml =
+    """source:
+      |  name: corpus_gopher_lines
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    gopher:
+      |      flag_only: true
+      |      line_rules: true
+      |""".stripMargin
+
+  def cfgGopherLines(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(gopherLinesYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val g = cu.gopher.getOrElse(
+      throw new IllegalStateException("gopher section failed to parse"))
+    graft.transform.CurationCompiler.compileGopher(g, cu.idField, cu.textField)(
+      NorthStar.linedDocs(s, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
     "cfg_curation" -> (cfgCuration _),
@@ -342,6 +367,7 @@ object Pipeline {
     "cfg_substr_dedup" -> (cfgSubstrDedup _),
     "cfg_lm_buckets" -> (cfgLmBuckets _),
     "cfg_gopher" -> (cfgGopher _),
+    "cfg_gopher_lines" -> (cfgGopherLines _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -356,6 +382,7 @@ object Pipeline {
     "cfg_substr_dedup" -> NorthStar.oracle("substr_dedup"),
     "cfg_lm_buckets" -> NorthStar.oracle("ccnet_buckets"),
     "cfg_gopher" -> NorthStar.oracle("gopher_rules"),
+    "cfg_gopher_lines" -> NorthStar.oracle("gopher_rules_lines"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

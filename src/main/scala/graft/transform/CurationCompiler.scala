@@ -142,15 +142,20 @@ object CurationCompiler {
   }
 
   /** Compiles a `curation.gopher:` section onto
-    * [[graft.ext.GopherRules.battery]]: the heuristic battery lands
+    * [[graft.ext.GopherRules.battery]] (or, with `line_rules: true`,
+    * [[graft.ext.GopherRules.lineRules]]): the heuristic battery lands
     * either as audit columns on every document (`flag_only: true`) or
     * as the filtered passing subset (the gate shape).
     */
   def compileGopher(g: graft.config.GopherConfig, idField: String,
-      textField: String)(docs: DataFrame): DataFrame = {
-    val scored = graft.ext.GopherRules.battery(docs, idField, textField)
-    if (g.flagOnly) scored else scored.filter(col("passes"))
-  }
+      textField: String)(docs: DataFrame): DataFrame =
+    if (g.lineRules) {
+      val scored = graft.ext.GopherRules.lineRules(docs, idField, textField)
+      if (g.flagOnly) scored else scored.filter(col("passes_lines"))
+    } else {
+      val scored = graft.ext.GopherRules.battery(docs, idField, textField)
+      if (g.flagOnly) scored else scored.filter(col("passes"))
+    }
 
   /** Compiles a `curation.decontam:` section onto
     * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
