@@ -85,7 +85,11 @@ object GopherRules {
     * no exchange.
     */
   def lineRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ls = filter(split(coalesce(col(textCol), lit("")), "\n"),
+    // \r?\n, not '\n': CRLF corpora would otherwise leave a trailing
+    // '\r' on every line, so endsWith("...") never fires (the oracle
+    // twin splits the same way — both engines must agree on Windows
+    // text, not just on the fixture).
+    val ls = filter(split(coalesce(col(textCol), lit("")), "\\r?\\n"),
       l => length(l) > 0)
     val base = docs.select(col(idCol), ls.as("__lines"))
     val isBullet = (l: Column) =>
@@ -111,7 +115,7 @@ object GopherRules {
       .map(m => s"starts_with(x, '$m')").mkString(" OR ")
     s"""WITH $linedCte,
        |l AS (SELECT $idCol,
-       |    list_filter(string_split(t2, chr(10)), x -> length(x) > 0) AS ls
+       |    list_filter(string_split_regex(t2, '\r?\n'), x -> length(x) > 0) AS ls
        |  FROM lined),
        |m AS (SELECT $idCol,
        |    CAST(len(ls) AS BIGINT) AS n_lines,

@@ -627,8 +627,20 @@ object TextAnalysis {
     * an unlabeled document has no place in a keyed mixture — route
     * nulls through a sentinel key upstream if they should participate.
     */
-  def temperatureMix(docs: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val counts = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+  def temperatureMix(docs: DataFrame, idCol: String, keyCol: String): DataFrame =
+    temperatureMixWithCounts(docs, idCol, keyCol,
+      docs.groupBy(col(keyCol)).agg(count(lit(1)).as("__n")))
+
+  /** [[temperatureMix]] with the per-key count table supplied by the
+    * caller instead of derived from `docs` — the incrementally-
+    * maintained-counts form ([[graft.stream.StreamCuration]] folds the
+    * counts per micro-batch and passes them here, so the keep rule is
+    * shared code, not a re-implementation). `counts` must have columns
+    * (keyCol, __n); when it equals docs.groupBy(keyCol).count the
+    * result is [[temperatureMix]] exactly.
+    */
+  def temperatureMixWithCounts(docs: DataFrame, idCol: String,
+      keyCol: String, counts: DataFrame): DataFrame = {
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val bucket = pmod(tokenHash(col(idCol).cast("string")), lit(100L))
     docs.join(broadcast(counts.crossJoin(nmin)), Seq(keyCol))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** One registered rollup: a landed pre-aggregate of `basePath` grouped
   * by `groupCols`, carrying `countCol` = count(*) and, for each base
@@ -79,7 +79,13 @@ case class RollupRewrite(spark: SparkSession, target: RollupTarget)
         // avg = covered sum / count(*): exact whenever the suite-wide
         // order-independent-sum discipline holds (integer-valued
         // measures — the division is then one deterministic double op).
-        case Average(a: AttributeReference, _) => target.sumCols.contains(a.name)
+        // Decimal measures are excluded: Spark's native avg over
+        // DecimalType returns a decimal with widened precision, while
+        // this route returns DoubleType — the result schema would then
+        // depend on whether the rule fired.
+        case Average(a: AttributeReference, _) =>
+          target.sumCols.contains(a.name) &&
+            !a.dataType.isInstanceOf[DecimalType]
         case _ => false
       }
     case _ => false

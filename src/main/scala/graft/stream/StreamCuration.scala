@@ -1,10 +1,13 @@
 package graft.stream
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 import graft.config.CurationConfig
+import graft.ext.{NearDup, TextAnalysis}
 import graft.transform.CurationCompiler
 
 /** The FULL config-compiled curation chain as a stream: documents
@@ -15,32 +18,110 @@ import graft.transform.CurationCompiler
   * `cfg_curation` registered query gates). The streaming twin of
   * `cfg_curation`, driven from the same `curation:` config section.
   *
-  * Why re-materialize instead of per-row state: the chain's tail
-  * stages are CORPUS-GLOBAL by definition — exact dedup keeps each
-  * digest's min id over all documents ever seen, the temperature mix
-  * flattens the stratum distribution of the whole corpus, and token
-  * sharding is a global prefix sum — so the correct streaming
-  * semantics is a maintained MATERIALIZATION (recompute over the
-  * accumulated landing zone, the K17 streaming-maintained-rollup
-  * shape), not incremental row state. Batch parity across any
-  * micro-batch slicing is then structural: after the last batch, the
-  * output IS `compile(cu)(allDocs)`. The per-stage incremental twins
-  * exist separately where semantics allow (St9 incremental dedup,
-  * St13 exactly-once rollup, St16 self-contained decontam scoring).
+  * Two maintenance modes:
   *
-  * Exactly-once: the landing append is idempotent per batchId (dynamic
-  * partition overwrite, the [[StreamDecontam]] sink contract), and the
-  * output is a full overwrite of a deterministic function of the
-  * landing zone — a replayed micro-batch reproduces byte-identical
-  * state.
+  * **Re-materialize** ([[start]]): each micro-batch re-runs the batch
+  * chain over the accumulated landing zone. Semantically bulletproof
+  * (after the last batch the output IS `compile(cu)(allDocs)` by
+  * construction) but O(corpus) work per batch — the right mode for
+  * bounded corpora or slow triggers.
   *
-  * Scale: each re-materialization is one run of the batch chain the
-  * library already bounds (map-only gate, digest-width dedup shuffle,
-  * broadcast mix gate, prefix-sum shards); production paces the
-  * trigger interval so recompute cost amortizes over arrival volume,
-  * exactly like any streamed MV maintenance.
+  * **Incremental** ([[startIncremental]]): per-batch work touching
+  * TEXT is bounded by the batch — the quality gate, digesting,
+  * chunking, and shingling run on batch rows only — and everything
+  * corpus-global is maintained as fixed-width metadata state:
+  *  - `index/v=N`: the exact-dedup winner per digest (digest, min id,
+  *    stratum) — the min-merge against each batch is the
+  *    incremental-rollup fold, replay-idempotent because version N is
+  *    a deterministic function of version N-1 plus batch N.
+  *  - `counts/v=N`: per-stratum winner counts for the temperature
+  *    mix, folded from batch deltas (+ new winner, − displaced,
+  *    − revoked), never recomputed from the corpus. NULL strata keep
+  *    their group: the batch chain's count table includes it (it
+  *    participates in n_min even though the mix join drops null-key
+  *    rows), so the fold must too.
+  *  - `chunks/batch_id=N`: context-window chunk METADATA (id,
+  *    chunk_id, n_chunk_tokens, chunk_hash, __key) of the batch's new
+  *    winners — chunking is per-doc deterministic, so chunks computed
+  *    at arrival equal chunks computed over the full corpus. No text
+  *    column is ever stored.
+  *  - `shingles/batch_id=N` + `evalsh/batch_id=N` (decontam only):
+  *    hashed shingle sets per NEW digest and per eval row. Arriving
+  *    candidates are checked against the full eval state; arriving
+  *    eval rows retroactively REVOKE already-accepted digests (the
+  *    full-recompute semantics: an eval row contaminates documents
+  *    that arrived before it). Each (doc, eval) pair is checked
+  *    exactly once — at whichever arrives later — with both shingle
+  *    sets complete, so the monotone contamination verdict matches
+  *    the batch chain. Identical text ⇒ identical digest ⇒ identical
+  *    shingles, so a digest group is contaminated all-or-nothing and
+  *    revocation can operate on winners alone.
+  *
+  * Only the OUTPUT-sized tail (mix keep + shard prefix sum over chunk
+  * metadata) re-materializes per batch — the streamed-MV maintenance
+  * shape, all fixed-width columns, no text.
+  *
+  * Exactly-once (both modes): state writes are deterministic
+  * functions of (prior-version state, batch) keyed by batchId, and
+  * the output commit is one ATOMIC pointer swap — `v=<batchId>` dirs
+  * plus a `_CURRENT` pointer file renamed into place with
+  * Rename.OVERWRITE, so [[readOutput]] sees old-or-new, never a
+  * half-overwritten directory (and a replayed micro-batch reproduces
+  * byte-identical state).
   */
 object StreamCuration {
+
+  // ---------------------------------------------------------------
+  // Atomic versioned output publish (shared by both modes)
+  // ---------------------------------------------------------------
+
+  /** Write `df` as `outDir/v=<version>` and atomically re-point
+    * `_CURRENT` at it. Retention keeps the two newest versions so an
+    * in-flight reader of the previous version finishes its scan.
+    */
+  private[stream] def publishOutput(df: DataFrame, outDir: String,
+      version: Long): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    df.write.mode("overwrite").parquet(s"$outDir/v=$version")
+    val dir = new Path(outDir)
+    val fc = FileContext.getFileContext(dir.toUri, conf)
+    val tmp = new Path(dir, s"_CURRENT.tmp.$version")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(s"v=$version".getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new Path(dir, "_CURRENT"), Options.Rename.OVERWRITE)
+    // Retention AFTER the swap: drop all but the two newest versions.
+    val fs = dir.getFileSystem(conf)
+    val vs = fs.listStatus(dir).map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n.startsWith("v=")) scala.util.Try(n.drop(2).toLong).toOption.map(_ -> p)
+      else None
+    }.sortBy(-_._1)
+    vs.drop(2).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Read the currently-published output: follow the `_CURRENT`
+    * pointer (atomic with the publish — never a partial directory).
+    */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new Path(outDir, "_CURRENT")
+    val fs = cur.getFileSystem(conf)
+    val version =
+      if (fs.exists(cur)) {
+        val in = fs.open(cur)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } else throw new IllegalStateException(
+        s"$outDir has no _CURRENT pointer — no batch has published yet")
+    spark.read.parquet(s"$outDir/$version")
+  }
+
+  // ---------------------------------------------------------------
+  // Re-materialize mode (the semantics baseline)
+  // ---------------------------------------------------------------
 
   /** The curation chain over the accumulated landing zone: drop eval
     * rows and contaminated documents when a `decontam:` section is
@@ -63,7 +144,7 @@ object StreamCuration {
 
   /** One micro-batch: idempotent landing append (batchId partition,
     * overwritten on replay) + re-materialization of the curated
-    * output.
+    * output, committed by one atomic pointer swap.
     */
   def writeBatch(batch: DataFrame, batchId: Long, cu: CurationConfig,
       landingDir: String, outDir: String): Unit = {
@@ -72,8 +153,7 @@ object StreamCuration {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(landingDir)
-    curate(batch.sparkSession, cu, landingDir)
-      .write.mode("overwrite").parquet(outDir)
+    publishOutput(curate(batch.sparkSession, cu, landingDir), outDir, batchId)
   }
 
   def start(spark: SparkSession, docs: DataFrame, cu: CurationConfig,
@@ -86,6 +166,289 @@ object StreamCuration {
       }
       .start()
 
-  def readOutput(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir)
+  // ---------------------------------------------------------------
+  // Incremental mode (bounded per-batch text work)
+  // ---------------------------------------------------------------
+
+  /** Newest state version strictly below `below`, or None before the
+    * first batch. Strictness is the replay guarantee: a replayed
+    * batch N reads version N-1 (still retained), never its own
+    * possibly-partial v=N.
+    */
+  private def latestVersion(spark: SparkSession, dir: String,
+      below: Long): Option[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
+      .filter(_ < below)
+      .maxOption
+  }
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def chunkSchema(cu: CurationConfig): StructType = StructType(Seq(
+    StructField(cu.idField, LongType), StructField("chunk_id", LongType),
+    StructField("n_chunk_tokens", LongType), StructField("chunk_hash", StringType),
+    StructField("__key", LongType)))
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** One incremental micro-batch. All text-bearing work (decontam
+    * check, gate, digest, chunking, shingling) reads ONLY `batch0`;
+    * the maintained state and the re-materialized tail are fixed-width
+    * metadata.
+    */
+  def writeBatchIncremental(batch0: DataFrame, batchId: Long,
+      cu: CurationConfig, stateDir: String, outDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val idF = cu.idField; val textF = cu.textField; val stratF = cu.stratumField
+    val batch = batch0.cache()
+    val prevV = latestVersion(spark, s"$stateDir/index", below = batchId)
+    val oldIndex = prevV.map(v => spark.read.parquet(s"$stateDir/index/v=$v"))
+    val oldCounts = prevV.map(v => spark.read.parquet(s"$stateDir/counts/v=$v"))
+
+    // -- 1. decontam: land the batch's eval shingles, then gate
+    //    arriving candidates against the FULL eval state (old evals +
+    //    this batch's). Per-(doc, eval) check with complete shingle
+    //    sets — the later arrival pays it.
+    val cand = cu.decontam match {
+      case Some(dc) =>
+        val evalPred = expr(dc.evalWhere)
+        val newEvalSh = NearDup.shingleSets(
+            batch.filter(evalPred), idF, textF, dc.shingleLen)
+          .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+        newEvalSh.write.mode("overwrite")
+          .parquet(s"$stateDir/evalsh/batch_id=$batchId")
+        val evalShAll = spark.read.parquet(s"$stateDir/evalsh")
+          .select(col("eval_id"), col("h"))
+        val candDocs = batch.filter(!evalPred)
+        val candSh = NearDup.shingleSets(candDocs, idF, textF, dc.shingleLen)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+        // hs arrays are distinct, so count(*) is the distinct-shared count.
+        val contaminated = candSh.join(broadcast(evalShAll), Seq("h"))
+          .groupBy(col("doc_id"), col("eval_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= dc.minShared)
+          .select(col("doc_id").as(idF)).distinct()
+        candDocs.join(contaminated, Seq(idF), "left_anti")
+      case None => batch.toDF()
+    }
+
+    // -- 2. gate (the batch chain's exact expressions) + digest
+    val gated = CurationCompiler.gate(cu)(cand).cache()
+    val digest = cu.dedup match {
+      case "exact" => md5(col(textF).cast("binary"))
+      // 'none' still flows through the index: a unique per-id digest
+      // makes every gated row its own singleton winner.
+      case "none" => concat(lit("id:"), col(idF).cast("string"))
+      case other => throw new IllegalArgumentException(
+        s"curation.dedup must be 'exact' or 'none', got '$other'")
+    }
+    val batchBest = gated.withColumn("__h", digest)
+      .groupBy(col("__h"))
+      .agg(min(col(idF)).as("b_id"),
+        min_by(col(stratF), col(idF)).as("b_stratum"),
+        min_by(col(textF), col(idF)).as("b_text"))
+
+    // -- 3. the min-merge fold: old index FULL OUTER batch winners
+    // Fresh empty relation (not batchBest.limit(0)): sharing lineage
+    // with batchBest would make the full-outer below a self-join.
+    val o = oldIndex.getOrElse {
+      val bs = batchBest.schema
+      emptyDf(spark, StructType(Seq(
+        StructField("__h", bs("__h").dataType),
+        StructField("id", bs("b_id").dataType),
+        StructField("stratum", bs("b_stratum").dataType))))
+    }
+    val joined = o.select(col("__h"), col("id").as("o_id"),
+        col("stratum").as("o_stratum"))
+      .join(batchBest, Seq("__h"), "full_outer")
+      .cache()
+    val batchWins = col("b_id").isNotNull &&
+      (col("o_id").isNull || col("b_id") < col("o_id"))
+    val newWinners = joined.filter(batchWins)
+      .select(col("__h"), col("b_id").as("id"), col("b_stratum").as("stratum"),
+        col("b_text").as("text"), col("o_id"))
+      .cache() // batch-bounded
+    val displacedOld = joined.filter(col("o_id").isNotNull && batchWins)
+      .select(col("__h"), col("o_stratum"))
+    val merged = joined.select(col("__h"),
+      when(batchWins, col("b_id")).otherwise(col("o_id")).as("id"),
+      when(batchWins, col("b_stratum")).otherwise(col("o_stratum")).as("stratum"))
+
+    // -- 4. retroactive revocation: digests accepted BEFORE this batch
+    //    whose text is contaminated by this batch's NEW eval rows.
+    //    (New digests were already checked against the full eval state
+    //    at arrival, so only old-index digests need the delta check.)
+    val revoked: DataFrame = cu.decontam match {
+      case Some(dc) if prevV.isDefined &&
+          dirExists(spark, s"$stateDir/shingles") &&
+          dirExists(spark, s"$stateDir/evalsh/batch_id=$batchId") =>
+        val shState = spark.read.parquet(s"$stateDir/shingles")
+          .select(col("__h"), col("h"))
+          .join(o.select(col("__h")), Seq("__h"), "left_semi")
+        val newEvalShPart =
+          spark.read.parquet(s"$stateDir/evalsh/batch_id=$batchId")
+        shState.join(broadcast(newEvalShPart.select(col("eval_id"), col("h"))),
+            Seq("h"))
+          .groupBy(col("__h"), col("eval_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= dc.minShared)
+          .select(col("__h")).distinct()
+      case _ => emptyDf(spark, StructType(Seq(StructField("__h", StringType))))
+    }
+    // Eagerly materialized (it is revoked-digest-sized): its plan reads
+    // the shingle store, whose batch-N partition step 6 OVERWRITES on a
+    // replay — without the checkpoint a later action re-executing this
+    // plan would chase deleted files.
+    val revokedM = revoked.localCheckpoint(true)
+    val newIndex = merged.join(revokedM, Seq("__h"), "left_anti")
+    newIndex.write.mode("overwrite").parquet(s"$stateDir/index/v=$batchId")
+
+    // -- 5. stratum-count fold (the incremental-agg shape): batch
+    //    deltas only, never a corpus recount. groupBy keeps the NULL
+    //    stratum group, matching the batch chain's count table.
+    val adds = newWinners.join(revokedM, Seq("__h"), "left_anti")
+      .select(col("stratum").as(stratF), lit(1L).as("__d"))
+    val dropsDisplaced = displacedOld.join(revokedM, Seq("__h"), "left_anti")
+      .select(col("o_stratum").as(stratF), lit(-1L).as("__d"))
+    val dropsRevoked = o.join(revokedM, Seq("__h"), "left_semi")
+      .select(col("stratum").as(stratF), lit(-1L).as("__d"))
+    val prior = oldCounts.getOrElse(
+        emptyDf(spark, StructType(Seq(
+          StructField(stratF, newIndex.schema("stratum").dataType),
+          StructField("__n", LongType)))))
+      .select(col(stratF), col("__n").as("__d"))
+    val newCounts = prior.unionByName(adds).unionByName(dropsDisplaced)
+      .unionByName(dropsRevoked)
+      .groupBy(col(stratF)).agg(sum(col("__d")).as("__n"))
+      .filter(col("__n") > 0)
+    newCounts.write.mode("overwrite").parquet(s"$stateDir/counts/v=$batchId")
+
+    // -- 6. chunk metadata for this batch's new winners (per-doc
+    //    deterministic ⇒ arrival-time chunks equal corpus chunks);
+    //    shingle sets for NEW digests (revocation state).
+    val newWinDocs = newWinners.select(col("id").as(idF), col("text").as(textF))
+    CurationCompiler.chunksKeyed(cu)(newWinDocs)
+      .select(col(idF), col("chunk_id"), col("n_chunk_tokens"),
+        col("chunk_hash"), col("__key"))
+      .write.mode("overwrite").parquet(s"$stateDir/chunks/batch_id=$batchId")
+    if (cu.decontam.isDefined) {
+      NearDup.shingleSets(
+          newWinners.filter(col("o_id").isNull)
+            .select(col("__h"), col("text").as(textF)),
+          "__h", textF, cu.decontam.get.shingleLen)
+        .select(col("doc_id").as("__h"), explode(col("hs")).as("h"))
+        .write.mode("overwrite")
+        .parquet(s"$stateDir/shingles/batch_id=$batchId")
+    }
+
+    // -- 7. bounded-work stats (the per-batch evidence): every count
+    //    here is a function of the BATCH, not the corpus, except
+    //    index_rows which records the state size.
+    val stats = Map(
+      "batch_rows" -> batch.count(),
+      "gated_rows" -> gated.count(),
+      "new_winner_rows" -> newWinners.count(),
+      "index_rows" -> newIndex.count())
+    writeStats(spark, s"$stateDir/stats/p=$batchId", batchId, stats)
+
+    // -- 8. output tail over metadata only + atomic publish
+    publishOutput(buildOutput(spark, cu, stateDir, batchId), outDir, batchId)
+
+    // Retention: state versions older than prevV are no longer needed
+    // even by a replay (a replayed batch N reads exactly v=N-1).
+    prevV.foreach { pv =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq("index", "counts").foreach { sub =>
+        val d = new Path(s"$stateDir/$sub")
+        val fs = d.getFileSystem(conf)
+        if (fs.exists(d)) fs.listStatus(d).map(_.getPath).foreach { p =>
+          scala.util.Try(p.getName.drop(2).toLong).toOption
+            .filter(v => p.getName.startsWith("v=") && v < pv)
+            .foreach(_ => fs.delete(p, true))
+        }
+      }
+    }
+    joined.unpersist(); newWinners.unpersist(); gated.unpersist()
+    batch.unpersist()
+  }
+
+  /** The output-sized tail over state version `v`: winners → mix keep
+    * (maintained counts) → chunk-metadata join → shard prefix sum.
+    * Reads only fixed-width state — no scan in this plan carries the
+    * text column (spec-asserted).
+    */
+  private def buildOutput(spark: SparkSession, cu: CurationConfig,
+      stateDir: String, v: Long): DataFrame = {
+    val winners = spark.read.parquet(s"$stateDir/index/v=$v")
+      .select(col("id").as(cu.idField), col("stratum").as(cu.stratumField))
+    val kept =
+      if (cu.mix) {
+        val counts = spark.read.parquet(s"$stateDir/counts/v=$v")
+        TextAnalysis.temperatureMixWithCounts(
+          winners, cu.idField, cu.stratumField, counts)
+      } else winners
+    val chunkStore =
+      if (dirExists(spark, s"$stateDir/chunks"))
+        spark.read.parquet(s"$stateDir/chunks").drop("batch_id")
+      else emptyDf(spark, chunkSchema(cu))
+    val keptChunks = chunkStore
+      .join(kept.select(col(cu.idField)), Seq(cu.idField), "left_semi")
+    CurationCompiler.shardJoin(cu)(keptChunks)
+  }
+
+  /** The current incremental output as a DataFrame built from state —
+    * the spec's plan-assert hook (no text column in any scan, every
+    * scan under `stateDir`).
+    */
+  def incrementalOutput(spark: SparkSession, cu: CurationConfig,
+      stateDir: String): DataFrame = {
+    val v = latestVersion(spark, s"$stateDir/index", below = Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"$stateDir has no index versions — no batch has run yet"))
+    buildOutput(spark, cu, stateDir, v)
+  }
+
+  /** Per-batch stats as written by [[writeBatchIncremental]] — the
+    * bounded-work audit trail. Returns (batch_id → stat map).
+    */
+  def readStats(spark: SparkSession,
+      stateDir: String): Map[Long, Map[String, Long]] = {
+    if (!dirExists(spark, s"$stateDir/stats")) return Map.empty
+    spark.read.parquet(s"$stateDir/stats").drop("p").collect().map { r =>
+      r.getAs[Long]("batch_id") -> Map(
+        "batch_rows" -> r.getAs[Long]("batch_rows"),
+        "gated_rows" -> r.getAs[Long]("gated_rows"),
+        "new_winner_rows" -> r.getAs[Long]("new_winner_rows"),
+        "index_rows" -> r.getAs[Long]("index_rows"))
+    }.toMap
+  }
+
+  private def writeStats(spark: SparkSession, dir: String, batchId: Long,
+      stats: Map[String, Long]): Unit = {
+    import spark.implicits._
+    Seq((batchId, stats("batch_rows"), stats("gated_rows"),
+        stats("new_winner_rows"), stats("index_rows")))
+      .toDF("batch_id", "batch_rows", "gated_rows", "new_winner_rows",
+        "index_rows")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def startIncremental(spark: SparkSession, docs: DataFrame,
+      cu: CurationConfig, stateDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIncremental(batch, batchId, cu, stateDir, outDir)
+      }
+      .start()
 }

@@ -33,15 +33,7 @@ object CurationCompiler {
     val id = col(cu.idField)
     val text = col(cu.textField)
 
-    val gated = docs
-      .withColumn("__ntok", TextAnalysis.qualityTokenCount(text).cast("long"))
-      .withColumn("__nstop", TextAnalysis.qualityStopwordCount(text).cast("double"))
-      // Nondeterministic barrier: keeps the tokenize in ONE codegen'd
-      // Project instead of being re-inlined into the Filter twice.
-      .withColumn("__barrier", monotonically_increasing_id())
-      .filter(col("__ntok") >= cu.minTokens && col("__ntok") <= cu.maxTokens &&
-        col("__nstop") / col("__ntok") >= cu.minStopRatio && col("__barrier") >= 0)
-      .select(id, text, col(cu.stratumField))
+    val gated = gate(cu)(docs)
 
     val survivors = cu.dedup match {
       case "exact" =>
@@ -57,17 +49,51 @@ object CurationCompiler {
       if (cu.mix) TextAnalysis.temperatureMix(survivors, cu.idField, cu.stratumField)
       else survivors
 
-    val chunks = TextAnalysis.docChunks(
-      mixed, cu.idField, cu.textField, cu.chunkTokens, cu.chunkOverlap)
-    // Composite (doc, chunk) order key — chunk_id < 2^20 by
-    // construction at any realistic chunk count per document.
-    val keyed = chunks.withColumn("__key", id * (1L << 20) + col("chunk_id"))
+    shardJoin(cu)(chunksKeyed(cu)(mixed))
+  }
+
+  /** The quality gate stage of [[compile]] on its own: (id, text,
+    * stratum) rows passing the token/stop-ratio thresholds. Factored
+    * so the incremental streaming twin
+    * ([[graft.stream.StreamCuration]]) gates each micro-batch with the
+    * EXACT expressions the batch chain applies — per-doc, so gating a
+    * batch equals gating its rows inside the full corpus.
+    */
+  def gate(cu: CurationConfig)(docs: DataFrame): DataFrame = {
+    val text = col(cu.textField)
+    docs
+      .withColumn("__ntok", TextAnalysis.qualityTokenCount(text).cast("long"))
+      .withColumn("__nstop", TextAnalysis.qualityStopwordCount(text).cast("double"))
+      // Nondeterministic barrier: keeps the tokenize in ONE codegen'd
+      // Project instead of being re-inlined into the Filter twice.
+      .withColumn("__barrier", monotonically_increasing_id())
+      .filter(col("__ntok") >= cu.minTokens && col("__ntok") <= cu.maxTokens &&
+        col("__nstop") / col("__ntok") >= cu.minStopRatio && col("__barrier") >= 0)
+      .select(col(cu.idField), text, col(cu.stratumField))
+  }
+
+  /** Context-window chunks of `docs` with the composite (doc, chunk)
+    * order key — chunk_id < 2^20 by construction at any realistic
+    * chunk count per document. Per-doc deterministic: a doc's chunk
+    * rows are the same whether computed at arrival (streaming) or over
+    * the full corpus (batch).
+    */
+  def chunksKeyed(cu: CurationConfig)(docs: DataFrame): DataFrame =
+    TextAnalysis.docChunks(
+        docs, cu.idField, cu.textField, cu.chunkTokens, cu.chunkOverlap)
+      .withColumn("__key", col(cu.idField) * (1L << 20) + col("chunk_id"))
+
+  /** The token-budget shard assignment over keyed chunk METADATA
+    * (needs only __key + n_chunk_tokens — no text): the corpus-global
+    * prefix-sum tail of [[compile]].
+    */
+  def shardJoin(cu: CurationConfig)(keyed: DataFrame): DataFrame = {
     val shards = SeqPack.tokenShards(
       keyed.select(col("__key"), col("n_chunk_tokens")),
       "__key", "n_chunk_tokens", cu.shardBudget, cu.shardBucketWidth)
     keyed.join(shards.select(col("__key"), col("shard_id")), "__key")
-      .select(id, col("chunk_id"), col("n_chunk_tokens"), col("chunk_hash"),
-        col("shard_id"))
+      .select(col(cu.idField), col("chunk_id"), col("n_chunk_tokens"),
+        col("chunk_hash"), col("shard_id"))
   }
 
   /** Compiles a `curation.semantic_dedup:` section onto the SemDeDup

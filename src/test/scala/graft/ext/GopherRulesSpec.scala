@@ -106,6 +106,16 @@ class GopherRulesSpec extends SparkTestBase {
     assert(out(1L).getAs[Long]("n_bullet") === 3L)
   }
 
+  test("line rules: CRLF line endings — ellipsis still detected, no phantom '\\r' lines") {
+    // Windows-style text: every line ends "\r\n". Before the \r?\n
+    // split, each line kept a trailing '\r' so endsWith("...") never
+    // matched and a final "\r\n" produced a phantom "\r" line.
+    val crlf = "one trails ...\r\nline 2\r\nline 3\r\nline 4\r\n"
+    val out = runLines(1L -> crlf)
+    assert(out(1L).getAs[Long]("n_lines") === 4L)
+    assert(out(1L).getAs[Long]("n_ellipsis") === 1L)
+  }
+
   test("line rules: empty text yields zero lines and passes vacuously") {
     val out = runLines(1L -> "")
     assert(out(1L).getAs[Long]("n_lines") === 0L)

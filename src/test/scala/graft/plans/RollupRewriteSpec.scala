@@ -131,6 +131,27 @@ class RollupRewriteSpec extends SparkTestBase {
     assert(scanPaths(avgOnSumOnly).exists(_.endsWith("rollup.parquet")))
   }
 
+  test("avg over a DECIMAL measure does not route (schema would flip to double)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-dec").toString
+    val base = s"$dir/base.parquet"
+    val rollup = s"$dir/rollup.parquet"
+    (0 until 100).map(i => (s"g${i % 3}", BigDecimal(i).setScale(2)))
+      .toDF("g", "m").write.parquet(base)
+    spark.read.parquet(base).groupBy($"g")
+      .agg(count(lit(1)).as("n_rows"), sum($"m").as("sum_m"))
+      .write.parquet(rollup)
+    RollupRewrite.install(spark,
+      RollupTarget(base, rollup, Seq("g"), "n_rows", Map("m" -> "sum_m")))
+    val q = spark.read.parquet(base).groupBy($"g").agg(avg($"m").as("av"))
+    // Must keep the base scan: native avg(decimal) returns DecimalType,
+    // the routed Divide(cast double) would return DoubleType.
+    assert(scanPaths(q).exists(_.endsWith("base.parquet")))
+    assert(q.schema("av").dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    // sum over the same decimal measure still routes (types agree).
+    val qs = spark.read.parquet(base).groupBy($"g").agg(sum($"m").as("s"))
+    assert(scanPaths(qs).exists(_.endsWith("rollup.parquet")))
+  }
+
   test("incrementally-maintained rollup keeps routed answers fresh") {
     // The maintenance loop the rule assumes: base grows by a delta,
     // the rollup folds the delta via IncrementalAgg (never recomputing

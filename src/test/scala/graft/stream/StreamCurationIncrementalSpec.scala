@@ -1,0 +1,240 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.SparkTestBase
+
+/** The bounded-work streaming curation mode: per-batch TEXT work is
+  * bounded by the batch (gate/digest/chunk/shingle run on batch rows
+  * only — plan-asserted, not prose), corpus-global stages are
+  * maintained as fixed-width metadata state (min-merge dedup index,
+  * folded stratum counts, chunk-metadata store, shingle revocation
+  * state), and the materialized output equals
+  * `CurationCompiler.compile` over the accumulated corpus after EVERY
+  * batch — including retroactive decontamination (an eval row
+  * revoking documents that arrived before it) and dedup displacement
+  * (a smaller id arriving after the incumbent winner).
+  */
+class StreamCurationIncrementalSpec extends SparkTestBase {
+
+  private def cu = graft.config.ConfigLoader.fromYaml(
+    """source:
+      |  name: stream_curation_inc
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    stratum_field: lang
+      |    quality:
+      |      min_tokens: 3
+      |      max_tokens: 100
+      |      min_stop_ratio: 0.0
+      |    dedup: exact
+      |    mix: true
+      |    chunk:
+      |      tokens: 4
+      |      overlap: 1
+      |    shard:
+      |      budget: 16
+      |      bucket_width: 64
+      |    decontam:
+      |      eval_where: "doc_id >= 100"
+      |      shingle_len: 3
+      |      min_shared: 1
+      |""".stripMargin)
+    .curation.getOrElse(throw new IllegalStateException("no curation section"))
+
+  // Same corpus as StreamCurationSpec: doc 100 is the eval row and
+  // ARRIVES LAST, so under any multi-batch slicing the contaminated
+  // doc 7 is accepted first and must be retroactively revoked.
+  private val corpus = Seq(
+    ScDoc(1L, "the quick brown fox jumps over fences", "en"),
+    ScDoc(2L, "data pipelines shuffle rows across executors", "en"),
+    ScDoc(3L, "les pipelines de données sont distribués", "fr"),
+    ScDoc(4L, "warum ist verteiltes rechnen so schwer", "de"),
+    ScDoc(7L, "benchmark answer key leaked here sadly", "en"),
+    ScDoc(8L, "data pipelines shuffle rows across executors", "en"),
+    ScDoc(9L, "too short", "en"),
+    ScDoc(100L, "benchmark answer key held out", "en"))
+
+  private def batchTruth(docs: Seq[ScDoc] = corpus) = {
+    val s = spark; import s.implicits._
+    StreamCurationSpecHelper.landAndCurate(s, cu, docs.toDF())
+  }
+
+  private def tmp(tag: String) = Files.createTempDirectory(tag).toString
+
+  private def runStream(docs: Seq[ScDoc], split: Int,
+      stateDir: String, outDir: String, ckpt: String): Unit = {
+    val s = spark
+    val ms = MemoryStream[ScDoc](
+      org.apache.spark.sql.Encoders.product[ScDoc], s.sqlContext)
+    val q = StreamCuration.startIncremental(s, ms.toDF(), cu, stateDir, outDir, ckpt)
+    try docs.grouped(split).foreach { g => ms.addData(g); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("incremental output equals the batch chain across slicings (incl. late eval)") {
+    val truth = batchTruth()
+    assert(truth.nonEmpty)
+    for (split <- Seq(2, 8)) {
+      val (st, out, ck) = (tmp("sci_st"), tmp("sci_out"), tmp("sci_ck"))
+      runStream(corpus, split, st, out, ck)
+      val got = StreamCuration.readOutput(spark, out).collect().map(_.toSeq).toSet
+      assert(got == truth, s"split=$split")
+      // Folded counts equal a recount over the index at the final version.
+      val idx = StreamCuration.incrementalOutput(spark, cu, st)
+      assert(idx.collect().map(_.toSeq).toSet == truth, s"split=$split state rebuild")
+    }
+  }
+
+  test("retroactive revocation: contaminated doc is present until its eval arrives") {
+    val (st, out, ck) = (tmp("sci_st2"), tmp("sci_out2"), tmp("sci_ck2"))
+    val s = spark
+    val ms = MemoryStream[ScDoc](
+      org.apache.spark.sql.Encoders.product[ScDoc], s.sqlContext)
+    val q = StreamCuration.startIncremental(s, ms.toDF(), cu, st, out, ck)
+    try {
+      // Winner-set membership is read from the INDEX state (the output
+      // additionally applies the mix gate, which is hash-dependent).
+      def indexIds(): Set[Long] = {
+        val d = new java.io.File(s"$st/index")
+        val v = d.listFiles().map(_.getName).filter(_.startsWith("v="))
+          .map(_.drop(2).toLong).max
+        s.read.parquet(s"$st/index/v=$v")
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
+      ms.addData(corpus.filter(_.doc_id != 100L)); q.processAllAvailable()
+      assert(indexIds().contains(7L),
+        "doc 7 must be accepted before its eval arrives")
+      ms.addData(Seq(corpus.last)); q.processAllAvailable()
+      assert(!indexIds().contains(7L),
+        "doc 7 must be revoked by the late eval row")
+      assert(StreamCuration.readOutput(s, out).collect().map(_.toSeq).toSet
+        == batchTruth())
+    } finally q.stop()
+  }
+
+  test("dedup displacement: a smaller id arriving later replaces the winner") {
+    val dup = Seq(
+      ScDoc(50L, "alpha beta gamma delta epsilon zeta", "en"),
+      ScDoc(51L, "one two three four five six seven", "en"),
+      ScDoc(10L, "alpha beta gamma delta epsilon zeta", "en"))
+    val (st, out, ck) = (tmp("sci_st3"), tmp("sci_out3"), tmp("sci_ck3"))
+    runStream(dup, 2, st, out, ck) // 10 arrives after 50
+    val got = StreamCuration.readOutput(spark, out).collect().map(_.toSeq).toSet
+    assert(got == batchTruth(dup))
+    val ids = got.map(_.head.asInstanceOf[Long])
+    assert(ids.contains(10L) && !ids.contains(50L))
+  }
+
+  test("restart resumes from checkpointed state and converges") {
+    val (st, out, ck) = (tmp("sci_st4"), tmp("sci_out4"), tmp("sci_ck4"))
+    val s = spark
+    val ms = MemoryStream[ScDoc](
+      org.apache.spark.sql.Encoders.product[ScDoc], s.sqlContext)
+    val q1 = StreamCuration.startIncremental(s, ms.toDF(), cu, st, out, ck)
+    try { ms.addData(corpus.take(4)); q1.processAllAvailable() } finally q1.stop()
+    val q2 = StreamCuration.startIncremental(s, ms.toDF(), cu, st, out, ck)
+    try {
+      ms.addData(corpus.drop(4)); q2.processAllAvailable()
+      val got = StreamCuration.readOutput(s, out).collect().map(_.toSeq).toSet
+      assert(got == batchTruth())
+    } finally q2.stop()
+  }
+
+  test("a replayed micro-batch reproduces identical state and output") {
+    val s = spark; import s.implicits._
+    val (st, out) = (tmp("sci_st5"), tmp("sci_out5"))
+    StreamCuration.writeBatchIncremental(corpus.take(4).toDF(), 0L, cu, st, out)
+    StreamCuration.writeBatchIncremental(corpus.drop(4).toDF(), 1L, cu, st, out)
+    val once = StreamCuration.readOutput(s, out).collect().map(_.toSeq).toSet
+    // The at-least-once failure mode: batch 1 delivered again.
+    StreamCuration.writeBatchIncremental(corpus.drop(4).toDF(), 1L, cu, st, out)
+    val replayed = StreamCuration.readOutput(s, out).collect().map(_.toSeq).toSet
+    assert(replayed == once)
+    assert(replayed == batchTruth())
+  }
+
+  test("empty micro-batch is a no-op that still advances state versions") {
+    val s = spark; import s.implicits._
+    val (st, out) = (tmp("sci_st6"), tmp("sci_out6"))
+    StreamCuration.writeBatchIncremental(corpus.take(4).toDF(), 0L, cu, st, out)
+    StreamCuration.writeBatchIncremental(
+      corpus.take(0).toDF(), 1L, cu, st, out)
+    StreamCuration.writeBatchIncremental(corpus.drop(4).toDF(), 2L, cu, st, out)
+    val got = StreamCuration.readOutput(s, out).collect().map(_.toSeq).toSet
+    assert(got == batchTruth())
+  }
+
+  test("bounded work: the output plan reads only fixed-width state, never text") {
+    val s = spark; import s.implicits._
+    val (st, out) = (tmp("sci_st7"), tmp("sci_out7"))
+    StreamCuration.writeBatchIncremental(corpus.toDF(), 0L, cu, st, out)
+    val plan = StreamCuration.incrementalOutput(s, cu, st)
+      .queryExecution.optimizedPlan
+    val rels = plan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs
+    }
+    assert(rels.nonEmpty)
+    rels.foreach { fs =>
+      fs.location.rootPaths.foreach { p =>
+        assert(p.toUri.getPath.startsWith(st),
+          s"scan outside state dir: $p")
+      }
+      assert(!fs.dataSchema.fieldNames.contains(cu.textField),
+        s"a state scan carries the text column: ${fs.dataSchema.fieldNames.toSeq}")
+    }
+  }
+
+  test("bounded work: per-batch stats are batch-sized, not corpus-sized") {
+    val (st, out, ck) = (tmp("sci_st8"), tmp("sci_out8"), tmp("sci_ck8"))
+    runStream(corpus, 2, st, out, ck)
+    val stats = StreamCuration.readStats(spark, st)
+    assert(stats.size >= 4)
+    stats.foreach { case (bid, m) =>
+      assert(m("batch_rows") <= 2L, s"batch $bid saw ${m("batch_rows")} rows")
+      assert(m("gated_rows") <= m("batch_rows"),
+        s"batch $bid gated more rows than arrived")
+    }
+    assert(stats.values.map(_("batch_rows")).sum == corpus.size.toLong)
+    // The state index carries the corpus, the per-batch text work does not.
+    val lastBid = stats.keys.max
+    assert(stats.values.map(_("new_winner_rows")).sum ==
+      stats(lastBid)("index_rows") + 1) // +1: doc 7 won, then was revoked
+  }
+
+  test("counts fold equals a recount over the final index") {
+    val s = spark; import s.implicits._
+    val (st, out) = (tmp("sci_st9"), tmp("sci_out9"))
+    corpus.grouped(3).zipWithIndex.foreach { case (g, i) =>
+      StreamCuration.writeBatchIncremental(g.toDF(), i.toLong, cu, st, out)
+    }
+    val v = (0 until 3).map(i => s"$st/index/v=$i")
+      .filter(p => new java.io.File(p).exists()).last
+    val idx = s.read.parquet(v)
+    val recount = idx.groupBy($"stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val folded = s.read.parquet(v.replace("/index/", "/counts/"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == recount)
+  }
+
+  test("mix=false / dedup=none variant matches the batch chain") {
+    val cu2 = cu.copy(mix = false, dedup = "none", decontam = None)
+    val s = spark; import s.implicits._
+    val truth = {
+      val landing = Files.createTempDirectory("sci_truth").toString
+      corpus.toDF().write.mode("overwrite").parquet(landing)
+      StreamCuration.curate(s, cu2, landing).collect().map(_.toSeq).toSet
+    }
+    val (st, out) = (tmp("sci_st10"), tmp("sci_out10"))
+    corpus.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      StreamCuration.writeBatchIncremental(g.toDF(), i.toLong, cu2, st, out)
+    }
+    assert(StreamCuration.readOutput(s, out).collect().map(_.toSeq).toSet == truth)
+  }
+}
