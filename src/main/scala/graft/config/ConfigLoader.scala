@@ -163,6 +163,12 @@ object ConfigLoader {
             policy = str(sd, "policy", "min_id"),
             qualityField = str(sd, "quality_field", "label"))
         },
+        similarity = obj(c, "similarity").map { si =>
+          SimilarityConfig(
+            queryBound = int(si, "query_bound", 100),
+            k = int(si, "k", 5),
+            candWhere = optStr(si, "cand_where"))
+        },
         decontam = obj(c, "decontam").map { dc =>
           DecontamConfig(
             evalWhere = str(dc, "eval_where"),

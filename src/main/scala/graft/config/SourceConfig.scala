@@ -174,6 +174,7 @@ final case class CurationConfig(
     shardBudget: Long = 2048,
     shardBucketWidth: Long = 64L << 20,
     semanticDedup: Option[SemanticDedupConfig] = None,
+    similarity: Option[SimilarityConfig] = None,
     decontam: Option[DecontamConfig] = None,
     dsir: Option[DsirConfig] = None,
     substrDedup: Option[SubstrDedupConfig] = None,
@@ -192,6 +193,21 @@ final case class SemanticDedupConfig(
     tau: Double = 0.4,
     policy: String = "min_id",
     qualityField: String = "label")
+
+/** `curation.similarity:` — ANN top-k serving declared in pure config.
+  * The index CHOICE is not a config knob: it derives from corpus size
+  * by the documented [[graft.transform.CurationCompiler.dispatchFor]]
+  * rule (small → exact brute, medium → trained IVF, huge → PQ codes),
+  * the same way index GEOMETRY already derives via
+  * [[graft.ext.SimSearch.IvfParams.forCorpus]] — a config cannot pin a
+  * fixture-tuned index choice onto 100 TB. `cand_where` is an optional
+  * SQL predicate over the embedding table's metadata columns
+  * (filtered serving); absent means unrestricted candidates.
+  */
+final case class SimilarityConfig(
+    queryBound: Int = 100,
+    k: Int = 5,
+    candWhere: Option[String] = None)
 
 /** `curation.decontam:` — eval-set decontamination: flag corpus
   * documents sharing ≥ `min_shared` distinct `shingle_len`-shingles

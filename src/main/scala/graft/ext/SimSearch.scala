@@ -1337,6 +1337,51 @@ object SimSearch {
     rerank(pairs, ndot)
   }
 
+  /** Filtered PQ ANN serving — [[pqTopKFromCodes]] with the metadata
+    * predicate composed INTO the code scan (the filtered-trained-IVF
+    * pattern): the landed code table carries the filter columns, so
+    * eligibility is decided at the parquet scan (a pushed filter — no
+    * post-hoc discard of ineligible ADC winners, which would starve a
+    * selective predicate's top-k), the ADC pass scores only eligible
+    * candidates, and the exact re-rank touches only eligible vectors.
+    * Every retrieved row is eligible by construction; one full-corpus
+    * code table serves any predicate. Returns top-`k` per query with
+    * `rank` (the filtered-family contract).
+    */
+  def pqTopKNFilteredFromCodes(codes: DataFrame, emb: DataFrame,
+      queryBound: Int, k: Int, dim: Int, candWhere: Column,
+      shortlist: Int = 20): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val codesF = codes.filter(candWhere)
+      .select(col("vec_id"), col("m"), col("code"))
+    val lut = pqSubs(emb.filter(col("vec_id") < queryBound), dim)
+      .join(pqCodebook(emb, dim), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cw"),
+        ndot(col("us"), col("cs")).as("dp"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    val cand = codesF.join(broadcast(lut),
+        codesF("m") === lut("m") && codesF("code") === lut("cw"))
+      .groupBy(col("qid"), codesF("vec_id").as("cid"))
+      .agg(sum(col("dp")).as("score"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "cid")
+    val pairs = cand
+      .join(broadcast(emb.filter(col("vec_id") < queryBound)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(ndot(col("embedding"), col("embedding"))).as("qn"))), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        sqrt(ndot(col("embedding"), col("embedding"))).as("cn")), "cid")
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    pairs.select(col("qid"), col("cid"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
   /** One-stop PQ top-1 (encode + ADC + re-rank) for specs and small
     * corpora.
     */
@@ -1453,6 +1498,54 @@ object SimSearch {
        |  SELECT qid, cid, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
        |  FROM p) WHERE rn = 1""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pqTopKNFilteredFromCodes]]: replays
+    * quantization, first-K codebook construction, nearest-codeword
+    * encoding, the ELIGIBILITY predicate on the code table, integer
+    * ADC scoring over eligible candidates only, the shortlist cut, and
+    * the exact-cosine top-k re-rank. `candWhere` is a SQL predicate
+    * over the embeddings columns.
+    */
+  def pqFilteredOracleSql(queryBound: Int, k: Int, dim: Int,
+      candWhere: String, shortlist: Int = 20): String = {
+    val sub = dim / PqM
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |el AS (SELECT vec_id FROM embeddings WHERE $candWhere),
+       |u AS (SELECT vec_id, CASE WHEN list_dot_product(v, v) = 0
+       |        THEN list_transform(v, x -> 0.0)
+       |        ELSE list_transform(v,
+       |          x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) END AS u
+       |      FROM d),
+       |s AS (SELECT vec_id, m,
+       |        list_slice(u, m * $sub + 1, m * $sub + $sub) AS us
+       |      FROM u CROSS JOIN range($PqM) r(m)),
+       |cb AS (SELECT m, vec_id AS cw, us AS cs FROM s WHERE vec_id < $PqK),
+       |asn AS (SELECT s.vec_id, s.m, cb.cw,
+       |         list_dot_product(s.us, s.us) - 2 * list_dot_product(s.us, cb.cs)
+       |           + list_dot_product(cb.cs, cb.cs) AS l2
+       |        FROM s JOIN cb USING (m)),
+       |code AS (SELECT vec_id, m, cw FROM (
+       |        SELECT vec_id, m, cw,
+       |          row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, cw) AS rn
+       |        FROM asn) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS qid, q.m, cb.cw,
+       |          CAST(list_dot_product(q.us, cb.cs) AS BIGINT) AS dp
+       |        FROM s q JOIN cb USING (m) WHERE q.vec_id < $queryBound),
+       |sc AS (SELECT lut.qid, code.vec_id AS cid, CAST(sum(lut.dp) AS BIGINT) AS score
+       |       FROM code JOIN el USING (vec_id)
+       |       JOIN lut ON code.m = lut.m AND code.cw = lut.cw
+       |       WHERE lut.qid <> code.vec_id GROUP BY 1, 2),
+       |cand AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM sc) WHERE rn <= $shortlist),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+       |      FROM cand JOIN d qv ON qv.vec_id = qid JOIN d cv ON cv.vec_id = cid)
+       |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM (
+       |  SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM p) WHERE rn <= $k""".stripMargin
   }
 
   /** DuckDB oracle for [[q8TopK]]: replicates the quantization and the

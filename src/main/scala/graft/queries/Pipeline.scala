@@ -358,8 +358,41 @@ object Pipeline {
       NorthStar.linedDocs(s, dir))
   }
 
+  /** Filtered ANN top-k serving declared in pure config: the
+    * `curation.similarity:` section names only the QUERY (query_bound,
+    * k, cand_where); the index is chosen by corpus size
+    * ([[graft.transform.CurationCompiler.dispatchFor]]) and its
+    * geometry derives from the corpus. At every fixture scale the
+    * corpus lands in the trained-IVF band, so the frame hashes against
+    * the `sim_topk_filtered_ivf` training-replay oracle; the brute and
+    * PQ bands are pinned by `CurationCompilerSpec`'s dispatch lanes.
+    */
+  private val similarityYaml =
+    """source:
+      |  name: corpus_similarity
+      |  type: file
+      |  curation:
+      |    id_field: vec_id
+      |    similarity:
+      |      query_bound: 100
+      |      k: 5
+      |      cand_where: label = 1
+      |""".stripMargin
+
+  def cfgSimTopK(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(similarityYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val si = cu.similarity.getOrElse(
+      throw new IllegalStateException("similarity section failed to parse"))
+    graft.transform.CurationCompiler.compileSimilarity(si)(
+      t(s, dir, "embeddings"),
+      NorthStar.trainedCents(s, dir),
+      ScaleOps.pqCodesWithMeta(s, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
+    "cfg_sim_topk" -> (cfgSimTopK _),
     "cfg_curation" -> (cfgCuration _),
     "cfg_semantic_dedup" -> (cfgSemanticDedup _),
     "cfg_decontam" -> (cfgDecontam _),
@@ -377,6 +410,7 @@ object Pipeline {
     // Same contract for the similarity-stack sections: config
     // reachability is the gated behavior, the truth is unchanged.
     "cfg_semantic_dedup" -> NorthStar.oracle("semantic_dedup"),
+    "cfg_sim_topk" -> NorthStar.oracle("sim_topk_filtered_ivf"),
     "cfg_decontam" -> NorthStar.oracle("decontam"),
     "cfg_dsir" -> NorthStar.oracle("dsir_sample"),
     "cfg_substr_dedup" -> NorthStar.oracle("substr_dedup"),

@@ -116,6 +116,34 @@ object ScaleOps {
       s.read.parquet(path), t(s, dir, "embeddings"), 100, 64)
   }
 
+  /** Filtered PQ ANN serving: the metadata predicate composed into the
+    * LANDED code table — codes are landed WITH their filter columns,
+    * so eligibility pushes down to the code parquet scan; ADC and the
+    * exact re-rank touch only eligible candidates. Completes the
+    * filtered-ANN family (brute = exactness contrast, trained-IVF =
+    * cell-composed predicate, PQ = compressed-code predicate).
+    */
+  /** The landed PQ code table WITH its metadata columns — the filtered
+    * serving artifact (predicates push down to this scan).
+    */
+  private[queries] def pqCodesWithMeta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = s"/tmp/graft_pqf/${graft.Tables.pathTag(dir)}"
+    graft.Tables.landOnce(path) {
+      graft.ext.SimSearch.pqEncode(emb, 64)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  def simTopKPqFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.SimSearch.pqTopKNFilteredFromCodes(
+      pqCodesWithMeta(s, dir), t(s, dir, "embeddings"), 100, 5, 64,
+      $"label" === 1)
+  }
+
   /** CDC merge over customer: a deterministic change feed (two stacked
     * updates — latest wins, deletes — including a delete that outranks
     * an update on %77 keys, and keyspace-shifted inserts) applied via
@@ -782,6 +810,7 @@ object ScaleOps {
     "bucketed_join" -> (bucketedJoin _),
     "sim_topk_q8" -> (simTopKQ8 _),
     "sim_topk_pq" -> (simTopKPq _),
+    "sim_topk_filtered_pq" -> (simTopKPqFiltered _),
     "cdc_merge" -> (cdcMerge _),
     "snapshot_diff" -> (snapshotDiffQ _),
     "copurchase_pairs" -> (copurchasePairs _),
@@ -853,6 +882,8 @@ object ScaleOps {
         |GROUP BY o_orderstatus""".stripMargin,
     "sim_topk_q8" -> graft.ext.SimSearch.q8OracleSql(100),
     "sim_topk_pq" -> graft.ext.SimSearch.pqOracleSql(100, 64),
+    "sim_topk_filtered_pq" ->
+      graft.ext.SimSearch.pqFilteredOracleSql(100, 5, 64, "label = 1"),
     "cdc_merge" ->
       """WITH chg AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50 AS c_acctbal,

@@ -114,6 +114,56 @@ object CurationCompiler {
       s"curation.semantic_dedup.policy must be 'min_id' or 'best', got '$other'")
   }
 
+  /** Corpus-size ceiling below which an index is not worth building:
+    * an exact brute scan beats index construction when the corpus is
+    * no larger than the PQ codebook itself (256 = SimSearch.PqK) — an
+    * "index" trained on fewer points than its codewords is noise.
+    */
+  val SimBruteMax: Long = 256L
+
+  /** Corpus-size ceiling for the float-vector trained-IVF path. Above
+    * it the raw float corpus stops being the thing you scan (64-dim
+    * floats at 10^6 vectors ≈ 256 MB per executor slice and growing
+    * linearly) and the compressed-code PQ path takes over: 16 B/vector
+    * codes, ADC shortlist, exact re-rank on the shortlist only.
+    */
+  val SimIvfMax: Long = 1000000L
+
+  /** The documented index-dispatch rule (spec-pinned): exact brute for
+    * tiny corpora, trained IVF while floats are scannable, PQ codes
+    * beyond. Thresholds are corpus-size constants, never config.
+    */
+  def dispatchFor(n: Long): String =
+    if (n <= SimBruteMax) "brute" else if (n <= SimIvfMax) "ivf" else "pq"
+
+  /** Compiles a `curation.similarity:` section onto the filtered-ANN
+    * serving family: the corpus size picks the operator via
+    * [[dispatchFor]]; geometry stays corpus-derived
+    * ([[graft.ext.SimSearch.IvfParams.forCorpus]]). `cents` and
+    * `codes` are BY-NAME landed-artifact suppliers — only the
+    * dispatched branch's index is ever touched (the brute branch
+    * builds nothing). All three branches share the filtered top-k
+    * contract (qid, cid, sim, rank), so a corpus growing across a
+    * threshold changes the plan, not the schema.
+    */
+  def compileSimilarity(si: graft.config.SimilarityConfig)(
+      emb: DataFrame, cents: => DataFrame, codes: => DataFrame): DataFrame = {
+    val candW = si.candWhere.map(expr).getOrElse(lit(true))
+    val n = emb.count()
+    dispatchFor(n) match {
+      case "brute" =>
+        graft.ext.SimSearch.bruteTopKNFiltered(emb, si.queryBound, si.k, candW)
+      case "ivf" =>
+        graft.ext.SimSearch.ivfTopKNFilteredWithCentroids(
+          emb, si.queryBound, si.k,
+          graft.ext.SimSearch.IvfParams.forCorpus(n).probes, cents, candW)
+      case _ =>
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        graft.ext.SimSearch.pqTopKNFilteredFromCodes(
+          codes, emb, si.queryBound, si.k, dim, candW)
+    }
+  }
+
   /** Compiles a `curation.dsir:` section onto [[graft.ext.Dsir.sample]]:
     * importance resampling toward the config's target distribution.
     * With `target_where` the target is any SQL predicate over the

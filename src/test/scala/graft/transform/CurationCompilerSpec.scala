@@ -181,4 +181,60 @@ class CurationCompilerSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(gotLm == wantLm && gotLm.nonEmpty)
   }
+
+  test("similarity section parses; index choice is corpus-derived, never config") {
+    val cu = ConfigLoader.fromYaml(
+      """source:
+        |  name: c
+        |  type: file
+        |  curation:
+        |    id_field: vec_id
+        |    similarity:
+        |      query_bound: 50
+        |      k: 3
+        |      cand_where: label = 1
+        |""".stripMargin).curation.get
+    val si = cu.similarity.get
+    assert(si.queryBound == 50 && si.k == 3 && si.candWhere.contains("label = 1"))
+    // Defaults + no way to name an index in config.
+    val si2 = ConfigLoader.fromYaml(
+      """source:
+        |  name: c
+        |  type: file
+        |  curation:
+        |    similarity: {}
+        |""".stripMargin).curation.get.similarity.get
+    assert(si2.queryBound == 100 && si2.k == 5 && si2.candWhere.isEmpty)
+  }
+
+  test("similarity dispatch rule: brute <= 256 < ivf <= 1M < pq (boundary-exact)") {
+    assert(CurationCompiler.dispatchFor(1L) == "brute")
+    assert(CurationCompiler.dispatchFor(CurationCompiler.SimBruteMax) == "brute")
+    assert(CurationCompiler.dispatchFor(CurationCompiler.SimBruteMax + 1) == "ivf")
+    assert(CurationCompiler.dispatchFor(CurationCompiler.SimIvfMax) == "ivf")
+    assert(CurationCompiler.dispatchFor(CurationCompiler.SimIvfMax + 1) == "pq")
+  }
+
+  test("small corpus dispatches to exact brute; the index suppliers are never touched") {
+    val s2 = spark; import s2.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" < 200) // under SimBruteMax
+    val si = graft.config.SimilarityConfig(
+      queryBound = 20, k = 3, candWhere = Some("label = 1"))
+    def boom: org.apache.spark.sql.DataFrame =
+      throw new IllegalStateException("index supplier touched on brute path")
+    val got = CurationCompiler.compileSimilarity(si)(emb, boom, boom)
+      .collect().map(_.toSeq).toSet
+    val want = graft.ext.SimSearch.bruteTopKNFiltered(emb, 20, 3, $"label" === 1)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("fixture corpus dispatches to trained IVF and equals the Scala composition") {
+    val got = graft.queries.Pipeline.cfgSimTopK(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val want = graft.queries.NorthStar.queries("sim_topk_filtered_ivf")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
