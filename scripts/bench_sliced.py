@@ -26,6 +26,7 @@ def main():
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     merged, failed, fixture = {}, [], {}
     slice_canary, query_slice = [], {}
+    slice_canary_ok, warmed = [], set()
     for k in range(n):
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
@@ -43,7 +44,18 @@ def main():
             part = json.load(f)
         merged.update(part["queries"])
         query_slice.update({q: k for q in part["queries"]})
-        slice_canary.append(round(sum(part.get("canary", {}).values()), 3))
+        cmap = part.get("canary", {})
+        cfailed = part.get("canary_failed", [])
+        # A slice whose canary set did not FULLY succeed (a canary
+        # threw, or an older jar emitted no canaries) must not feed the
+        # normalization: a fast-failing canary shrinks the divisor and
+        # silently inflates the slice's normalized rows, and a 0.0 sum
+        # drags the median down for every healthy slice.
+        n_expected = len(cmap) + len(cfailed)
+        ok = not cfailed and n_expected > 0 and sum(cmap.values()) > 0
+        slice_canary.append(round(sum(cmap.values()), 3))
+        slice_canary_ok.append(ok)
+        warmed.update(part.get("warmed", []))
         failed += part.get("failed_queries", [])
         stamp = part.get("fixture", {})
         if fixture and stamp and stamp != fixture:
@@ -58,15 +70,25 @@ def main():
     # window, so its rows are scaled by (median slice canary / its
     # canary). Cross-round comparison: divide by the artifacts' canary
     # ratio first, then call what's left a regression.
-    canary_med = sorted(slice_canary)[len(slice_canary) // 2] if slice_canary else 0.0
+    # Median over HEALTHY slices only; a slice with failed/absent
+    # canaries keeps its raw times in queries_norm (recorded in
+    # norm_skipped_slices so a reader knows which rows are raw).
+    healthy = [c for c, ok in zip(slice_canary, slice_canary_ok) if ok]
+    canary_med = sorted(healthy)[len(healthy) // 2] if healthy else 0.0
     norm = {}
     for q, v in merged.items():
-        c = slice_canary[query_slice[q]]
-        norm[q] = round(v * (canary_med / c), 3) if c > 0 else v
+        k = query_slice[q]
+        c = slice_canary[k]
+        norm[q] = (round(v * (canary_med / c), 3)
+                   if slice_canary_ok[k] and canary_med > 0 else v)
     doc = {"metric": "total", "value": total, "unit": "sec",
            "failed": len(failed), "failed_queries": failed, "sf": sf_dir,
            "sliced": n, "fixture": fixture,
            "canary_per_slice": slice_canary, "canary_med": canary_med,
+           "canary_ok_per_slice": slice_canary_ok,
+           "norm_skipped_slices": [k for k, ok in enumerate(slice_canary_ok)
+                                   if not ok],
+           "warmed": sorted(warmed),
            "queries": dict(sorted(merged.items())),
            "queries_norm": dict(sorted(norm.items()))}
     with open(out, "w") as f:

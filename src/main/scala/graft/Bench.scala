@@ -61,14 +61,24 @@ object Bench {
     // Every sliced JVM measures the same canaries, so per-slice health
     // is attributable too (scripts/bench_sliced.py emits raw AND
     // canary-normalized per-query times).
-    val canary: Seq[(String, Double)] = Canaries.flatMap { name =>
+    // A canary that THROWS is recorded as failed, never timed: a
+    // fast-failing canary would otherwise shrink the slice's canary
+    // sum and silently inflate its normalized rows downstream
+    // (scripts/bench_sliced.py excludes slices with failed canaries
+    // from the normalization median).
+    val canary: Seq[(String, Double, Boolean)] = Canaries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = Seq.fill(3) {
+        val runs = Seq.fill(3) {
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> times(1)
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] canary $name FAILED: ${e.getMessage}")
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val times = runs.map(_._1).sorted
+        (name, times(1), runs.forall(_._2))
       }
     }
     val results = picked.map { case (name, fn) =>
@@ -144,7 +154,7 @@ object Bench {
     */
   def renderLines(results: Seq[(String, Double, Boolean)], sfDir: String,
       fixtureStamp: String = "{}",
-      canary: Seq[(String, Double)] = Nil): (String, String) = {
+      canary: Seq[(String, Double, Boolean)] = Nil): (String, String) = {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fqJson(names: Seq[String]): String =
       names.map(n => s"\"" + n + "\"").mkString("[", ",", "]")
@@ -154,17 +164,27 @@ object Bench {
     def line(qEntries: Seq[String], fq: Seq[String], extra: String): String =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"failed_queries":${fqJson(fq)},"sf":"$sfDir"$extra,"queries":${qEntries.mkString("{", ",", "}")}}"""
     val allEntries = results.sortBy(_._1).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-    val canaryJson = canary.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    // Failed canaries are EXCLUDED from the map and the sum, and named
+    // explicitly — a canary total that silently contained a
+    // time-to-failure would corrupt every normalization built on it.
+    val canaryJson = canary.collect { case (k, v, true) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val canaryTotal = canary.map(_._2).sum
+    val canaryFailed = canary.collect { case (k, _, false) => k }
+    val canaryTotal = canary.collect { case (_, v, true) => v }.sum
+    // The canary queries were measured WARM before the main sweep; in
+    // whichever slice also times them, their main-sweep rows are warm
+    // rows — "warmed" flags them so a cross-round diff doesn't misread
+    // the warm-up as a code win.
+    val warmed = canary.map(_._1).filter(n => results.exists(_._1 == n)).sorted
     // The full file line carries the complete fixture stamp AND the
     // per-canary map; stdout (truncation-budgeted) carries the short
     // combined hash plus the one-number canary total.
     val fullLine = line(allEntries, failedNames,
-      s""","fixture":$fixtureStamp,"canary":$canaryJson""")
+      s""","fixture":$fixtureStamp,"canary":$canaryJson""" +
+        s""","canary_failed":${fqJson(canaryFailed)},"warmed":${fqJson(warmed)}""")
     val stdoutExtra = StdoutExtra +
       s""","fixture_hash":"${FixtureStamp.shortHash(fixtureStamp)}"""" +
-      s""","canary_sec":${ms(canaryTotal)}"""
+      s""","canary_sec":${ms(canaryTotal)},"canary_failed_n":${canaryFailed.size}"""
     // Stdout: failed_queries is capped too — a mass-failure round (the
     // rounds where the report matters most) must not overflow the tail
     // window through the failure list; `failed` carries the true count

@@ -68,6 +68,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!q.has("query_with_a_long_name_001"))
   }
 
+  test("failed canaries are excluded from sum/map and named; warmed flags sweep overlap") {
+    val results = fakeResults(10)
+    val canary = Seq(
+      ("query_with_a_long_name_003", 1.5, true),   // healthy, in sweep
+      ("not_in_this_slice", 2.0, true),            // healthy, other slice
+      ("broken_canary", 0.01, false))              // failed fast
+    val (fullLine, stdoutLine) = Bench.renderLines(results, "sfX", "{}", canary)
+    val full = mapper.readTree(fullLine)
+    assert(full.get("canary").size() == 2)
+    assert(!full.get("canary").has("broken_canary"))
+    assert(full.get("canary_failed").size() == 1)
+    assert(full.get("canary_failed").get(0).asText() == "broken_canary")
+    assert(full.get("warmed").size() == 1)
+    assert(full.get("warmed").get(0).asText() == "query_with_a_long_name_003")
+    val sd = mapper.readTree(stdoutLine)
+    // The failed canary's time-to-failure must NOT leak into the sum.
+    assert(math.abs(sd.get("canary_sec").asDouble() - 3.5) < 1e-3)
+    assert(sd.get("canary_failed_n").asInt() == 1)
+  }
+
   test("fixture stamp rides the full line; stdout carries the short hash within budget") {
     val stamp = """{"hash":"abc123def456","tables":{""" +
       (1 to 11).map(i => s""""t$i":{"rows":${i * 1000},"bytes":${i * 9999},"md5":"0123456789ab"}""")

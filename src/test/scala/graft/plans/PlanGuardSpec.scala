@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+import graft.SparkTestBase
+
+/** Plan-regression guard for the most expensive bench queries: pins
+  * the (shuffle, broadcast) exchange counts of each query's physical
+  * plan at sf0.001, so a future re-plan — a Spark upgrade, a config
+  * drift, an innocent-looking refactor — cannot silently regress a
+  * scale-critical shape (e.g. a broadcast join decaying to a shuffle
+  * join, or a new Exchange appearing in a map-only pipeline). The
+  * pinned numbers are the AUDITED shapes from the round plan audits
+  * (VERDICT r10-r12): when one moves, the right response is to re-run
+  * the audit and either fix the regression or re-pin with a written
+  * justification — never to bump the number blind.
+  *
+  * Counts are taken on the static physical plan (a child session with
+  * AQE off — the plan after EnsureRequirements, before any runtime
+  * re-optimization), which is deterministic for a fixed fixture +
+  * config and needs no job execution.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private lazy val staticSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private def expand(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.inputPlan
+    case other => other
+  }
+
+  private def counts(df: DataFrame): (Int, Int) = {
+    val plan = expand(df.queryExecution.executedPlan)
+    (plan.collect { case s: ShuffleExchangeLike => s }.size,
+      plan.collect { case b: BroadcastExchangeLike => b }.size)
+  }
+
+  // (query, expected shuffles, expected broadcasts) — the 10 most
+  // expensive rows of BENCH_r12 (headline sf0.1 sweep).
+  // Audited shapes (r12 plan audit): profile_table = map-only HLL
+  // partials + ONE sketch-width exchange; video_frames = map-only
+  // (zero exchanges — payloads never shuffle); the join-bearing rows
+  // carry their small sides as broadcasts (a broadcast decaying into
+  // a shuffle shows up here as a -1/+1 move).
+  private val pinned: Seq[(String, Int, Int)] = Seq(
+    ("profile_table", 1, 0),
+    ("jaccard_pairs", 4, 3),
+    ("containment_join", 2, 4),
+    ("price_deciles", 7, 2),
+    ("sim_topk_pq", 2, 4),
+    ("profile_table_exact", 8, 0),
+    ("triangle_topk", 3, 2),
+    ("video_frames", 0, 0),
+    ("cfg_lm_buckets", 8, 4),
+    ("q18_bigorders", 1, 2))
+
+  test("exchange counts of the 10 most expensive bench queries are pinned") {
+    val actual = pinned.map { case (name, _, _) =>
+      val df = graft.SparkEntry.queries(name)(staticSession, sf0001)
+      name -> counts(df)
+    }.toMap
+    val bad = pinned.flatMap { case (name, es, eb) =>
+      val (as, ab) = actual(name)
+      if ((as, ab) != ((es, eb))) Some(s"$name: expected ($es shuffles, $eb broadcasts), got ($as, $ab)")
+      else None
+    }
+    assert(bad.isEmpty,
+      s"\nplan shapes moved:\n  ${bad.mkString("\n  ")}\nfull actual: $actual")
+  }
+}
