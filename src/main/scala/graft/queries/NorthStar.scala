@@ -653,6 +653,24 @@ object NorthStar {
   def bm25Q(s: SparkSession, dir: String): DataFrame =
     graft.ext.Bm25.topK(t(s, dir, "documents"), "doc_id", "text", Bm25Terms, 100)
 
+  /** Hybrid retrieval serving: RRF fusion
+    * ([[graft.ext.HybridRank.rrfFuse]]) of the BM25 lexical top-100
+    * and the dense cosine top-100 of query vector 0 (documents and
+    * embeddings share the id space) — the standard RAG retrieval
+    * shape: no score calibration, ranks only, c = 60. Top-20 fused.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.ext.HybridRank.withRank(
+        graft.ext.Bm25.topK(
+          t(s, dir, "documents"), "doc_id", "text", Bm25Terms, 100),
+        Seq(col("score").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("rank"))
+    val den = graft.ext.SimSearch.bruteTopKNFiltered(
+        t(s, dir, "embeddings"), 1, 100, lit(true))
+      .select(col("cid").as("doc_id"), col("rank"))
+    graft.ext.HybridRank.rrfFuse(Seq("lex" -> lex, "vec" -> den), "doc_id", 20)
+  }
+
   /** Vocabulary construction (dictionary encoding / tokenizer vocab):
     * distinct tokens above a support floor, assigned stable dense ids
     * by (count desc, token). The no-partition ranking window is
@@ -1312,6 +1330,7 @@ object NorthStar {
     "training_manifest" -> (trainingManifest _),
     "multimodal_meta" -> (multimodalMeta _),
     "bm25_topk" -> (bm25Q _),
+    "hybrid_rrf" -> (hybridRrf _),
     "image_features" -> (imageFeatures _),
     "audio_decode" -> (audioDecode _),
     "video_frames" -> (videoFrames _),
@@ -1691,6 +1710,9 @@ object NorthStar {
         |SELECT doc_id, n_tokens FROM q
         |WHERE n_tokens >= 10 AND n_tokens <= 5000 AND stop_ratio >= 0.01""".stripMargin,
     "bm25_topk" -> graft.ext.Bm25.oracleSql(Bm25Terms, 100),
+    "hybrid_rrf" -> graft.ext.HybridRank.rrfOracleSql(
+      graft.ext.Bm25.oracleSql(Bm25Terms, 100),
+      graft.ext.SimSearch.bruteTopKNFilteredOracleSql(1, 100, "true"), 20),
     "vocab_build" ->
       """WITH tf AS (
         |  SELECT term, count(*) AS n
