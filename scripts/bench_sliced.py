@@ -13,6 +13,19 @@ import os
 import subprocess
 import sys
 
+
+def classes_stamp(root="target/scala-2.13/classes"):
+    """Fingerprint of the compiled classes: a recompile mid-run would
+    shift the sorted-query slice indices between JVMs (coverage holes,
+    double-counted rows) — abort instead of merging garbage."""
+    acc = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            acc.append((p, st.st_mtime_ns, st.st_size))
+    return hash(tuple(sorted(acc)))
+
 OPENS = [x for p in [
     "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
     "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -27,7 +40,11 @@ def main():
     merged, failed, fixture = {}, [], {}
     slice_canary, query_slice = [], {}
     slice_canary_ok, warmed = [], set()
+    stamp0 = classes_stamp()
     for k in range(n):
+        if classes_stamp() != stamp0:
+            sys.exit("compiled classes changed mid-run; slice indices "
+                     "would no longer partition the query set — aborting")
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                    SPARK_GRAFT_SLICE=f"{k}/{n}",
