@@ -191,6 +191,10 @@ object ConfigLoader {
         gopher = obj(c, "gopher").map { g =>
           GopherConfig(flagOnly = bool(g, "flag_only", default = true),
             lineRules = bool(g, "line_rules", default = false))
+        },
+        c4 = obj(c, "c4").map { g =>
+          C4Config(blockWords = strSeq(g, "block_words"),
+            flagOnly = bool(g, "flag_only", default = true))
         })
     }
 

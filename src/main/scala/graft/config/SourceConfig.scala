@@ -179,7 +179,8 @@ final case class CurationConfig(
     dsir: Option[DsirConfig] = None,
     substrDedup: Option[SubstrDedupConfig] = None,
     lmBuckets: Option[LmBucketsConfig] = None,
-    gopher: Option[GopherConfig] = None)
+    gopher: Option[GopherConfig] = None,
+    c4: Option[C4Config] = None)
 
 /** `curation.semantic_dedup:` — embedding-space (SemDeDup) dedup over
   * the corpus's sibling embedding table, reachable from pure config.
@@ -250,6 +251,17 @@ final case class SubstrDedupConfig(
 final case class GopherConfig(
     flagOnly: Boolean = true,
     lineRules: Boolean = false)
+
+/** `curation.c4:` — the C4 cleaning-rule battery (Raffel et al. 2020
+  * §2.2, [[graft.ext.C4Rules]]): terminal-punctuation line retention,
+  * ≥5-word lines, javascript-line drops, and the lorem-ipsum / curly-
+  * brace / blocklist page flags. `block_words` is the deployment's
+  * word blocklist (the paper's list is config, not code); `flag_only`
+  * follows the gopher convention (audit columns vs filtered gate).
+  */
+final case class C4Config(
+    blockWords: Seq[String],
+    flagOnly: Boolean = true)
 
 /** `curation.lm_buckets:` — CCNet-style per-language head/middle/tail
   * quality terciles by bigram bit-length cross-entropy

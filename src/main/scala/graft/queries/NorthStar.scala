@@ -37,6 +37,20 @@ object NorthStar {
       .select($"keep_id", $"n_copies", $"text_hash")
   }
 
+  /** MMR diverse re-rank of the brute top-20 candidates, greedy top-5
+    * per query — [[graft.ext.MmrRerank]]. Query side bounded at 32.
+    */
+  def mmrRerankQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.MmrRerank.rerank(t(s, dir, "embeddings"), 32, 20, 5)
+
+  /** Exact dedup with Bloom-routed shuffle pruning — output identical
+    * to [[dedupExact]], but provably-globally-unique digests never
+    * enter the exchange ([[graft.ext.BloomDedup]]): the 100 TB shape,
+    * where cross-partition-unique traffic dominates the shuffle.
+    */
+  def dedupExactBloom(s: SparkSession, dir: String): DataFrame =
+    graft.ext.BloomDedup.dedup(t(s, dir, "documents"), "doc_id", "text")
+
   /** Normalized content fingerprint (lower + whitespace-collapse + md5) —
     * the document-fingerprinting primitive used for near-exact dedup.
     */
@@ -583,6 +597,50 @@ object NorthStar {
   def gopherRulesLinesQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.GopherRules.lineRules(linedDocs(s, dir), "doc_id", "text")
 
+  /** Deterministic newline-bearing lane for the C4 battery: 7-word
+    * lines, every (doc_id + i) % 3 == 0 line period-terminated and
+    * every % 5 == 1 line bang-terminated (terminal-punct rule rows on
+    * both sides), every % 9 == 0 line 'javascript'-prefixed, and three
+    * page-flag lines appended by doc_id residue (lorem ipsum % 11,
+    * curly brace % 17, blocklist token % 19) — a pure function of the
+    * fixture, replayed identically by the oracle's c4lined CTE so every
+    * published rule has rows on BOTH sides at fixture scale
+    * (spec-asserted).
+    */
+  private val C4LinedDeriveSql =
+    """concat(
+      |  array_join(transform(
+      |    sequence(0, (size(split(trim(coalesce(text, '')), '\\s+')) - 1) div 7),
+      |    i -> concat(
+      |      case when (doc_id + i) % 9 = 0 then 'javascript ' else '' end,
+      |      array_join(slice(split(trim(coalesce(text, '')), '\\s+'),
+      |        cast(i * 7 + 1 as int), 7), ' '),
+      |      case when (doc_id + i) % 3 = 0 then '.'
+      |           when (doc_id + i) % 5 = 1 then ' !' else '' end)),
+      |  '\n'),
+      |  case when doc_id % 11 = 0
+      |    then '\nthis page has lorem ipsum filler' else '' end,
+      |  case when doc_id % 17 = 0
+      |    then '\ncode sample with { brace' else '' end,
+      |  case when doc_id % 19 = 0
+      |    then '\nflagged c4blockedterm appears here' else '' end)""".stripMargin
+
+  private[graft] def c4LinedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr(C4LinedDeriveSql).as("text"))
+
+  /** Blocklist for the C4 page-word rule — the list content is
+    * deployment config (the paper's list is not shippable); the fixture
+    * lane injects this token on doc_id % 19 == 0.
+    */
+  private[graft] val C4Blocklist = Seq("c4blockedterm")
+
+  /** C4 cleaning-rule battery (Raffel et al. 2020) over the derived
+    * line lane — [[graft.ext.C4Rules.battery]].
+    */
+  def c4RulesQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.C4Rules.battery(c4LinedDocs(s, dir), "doc_id", "text", C4Blocklist)
+
   private[queries] val LinedCteSql =
     """lined AS (
       |  SELECT doc_id, array_to_string(list_transform(
@@ -593,6 +651,28 @@ object NorthStar {
       |        array_to_string(list_slice(ws, i * 7 + 1, i * 7 + 7), ' '),
       |        CASE WHEN (doc_id + i) % 7 = 0 THEN ' ...' ELSE '' END)),
       |    chr(10)) AS t2
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
+      |        FROM documents))""".stripMargin
+
+  private[queries] val C4LinedCteSql =
+    """c4lined AS (
+      |  SELECT doc_id, concat(
+      |    array_to_string(list_transform(
+      |      range(0, (len(ws) - 1) // 7 + 1),
+      |      i -> concat(
+      |        CASE WHEN (doc_id + i) % 9 = 0 THEN 'javascript ' ELSE '' END,
+      |        array_to_string(list_slice(ws, i * 7 + 1, i * 7 + 7), ' '),
+      |        CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+      |             WHEN (doc_id + i) % 5 = 1 THEN ' !' ELSE '' END)),
+      |      chr(10)),
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN chr(10) || 'this page has lorem ipsum filler' ELSE '' END,
+      |    CASE WHEN doc_id % 17 = 0
+      |      THEN chr(10) || 'code sample with { brace' ELSE '' END,
+      |    CASE WHEN doc_id % 19 = 0
+      |      THEN chr(10) || 'flagged c4blockedterm appears here' ELSE '' END)
+      |    AS t2
       |  FROM (SELECT doc_id,
       |          string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
       |        FROM documents))""".stripMargin
@@ -1278,6 +1358,7 @@ object NorthStar {
     "image_resize" -> (imageResize _),
     "image_quarantine" -> (imageQuarantine _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_bloom" -> (dedupExactBloom _),
     "fingerprint" -> (fingerprint _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -1295,6 +1376,7 @@ object NorthStar {
     "srp_reduce" -> (srpReduceQ _),
     "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
+    "mmr_rerank" -> (mmrRerankQ _),
     "sim_topk_filtered" -> (simTopKFiltered _),
     "sim_topk_filtered_ivf" -> (simTopKFilteredIvf _),
     "dedup_near" -> (dedupNear _),
@@ -1305,6 +1387,7 @@ object NorthStar {
     "decontam_substr" -> (decontamSubstrQ _),
     "gopher_rules" -> (gopherRulesQ _),
     "gopher_rules_lines" -> (gopherRulesLinesQ _),
+    "c4_rules" -> (c4RulesQ _),
     "token_shards" -> (tokenShardsQ _),
     "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
@@ -1422,6 +1505,8 @@ object NorthStar {
       graft.ext.GopherRules.oracleSql("documents", "doc_id", "text"),
     "gopher_rules_lines" ->
       graft.ext.GopherRules.lineRulesOracleSql(LinedCteSql, "doc_id"),
+    "c4_rules" ->
+      graft.ext.C4Rules.oracleSql(C4LinedCteSql, "doc_id", C4Blocklist),
     "tfidf_terms" ->
       graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the
@@ -1490,6 +1575,12 @@ object NorthStar {
       """SELECT doc_id, CAST(10 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
+        | md5(text) AS text_hash
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    // Bloom routing only prunes the exchange — the RESULT is the same
+    // digest groupBy, so the oracle is dedup_exact's verbatim.
+    "dedup_exact_bloom" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies,
         | md5(text) AS text_hash
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -1620,6 +1711,7 @@ object NorthStar {
     "sim_topk_srp" -> graft.ext.RandomProjection.topKOracleSql(
       EmbDim, SrpDim, 100),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
+    "mmr_rerank" -> graft.ext.MmrRerank.oracleSql(32, 20, 5),
     "sim_topk_filtered" ->
       graft.ext.SimSearch.bruteTopKNFilteredOracleSql(100, 5, "c.label = 1"),
     "sim_topk_filtered_ivf" ->

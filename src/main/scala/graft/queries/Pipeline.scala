@@ -333,6 +333,32 @@ object Pipeline {
       t(s, dir, "documents"))
   }
 
+  /** C4 cleaning battery declared in pure config (audit shape), over
+    * the same derived line lane as `c4_rules` — hash-equal to the
+    * Scala composition's oracle.
+    */
+  private val c4Yaml =
+    """source:
+      |  name: corpus_c4
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    c4:
+      |      flag_only: true
+      |      block_words:
+      |        - c4blockedterm
+      |""".stripMargin
+
+  def cfgC4(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(c4Yaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val c = cu.c4.getOrElse(
+      throw new IllegalStateException("c4 section failed to parse"))
+    graft.transform.CurationCompiler.compileC4(c, cu.idField, cu.textField)(
+      NorthStar.c4LinedDocs(s, dir))
+  }
+
   /** The LINE-shaped Gopher half declared in pure config (`line_rules:
     * true`), over the same derived newline lane as `gopher_rules_lines`
     * — hash-equal to the Scala composition's oracle.
@@ -401,6 +427,7 @@ object Pipeline {
     "cfg_lm_buckets" -> (cfgLmBuckets _),
     "cfg_gopher" -> (cfgGopher _),
     "cfg_gopher_lines" -> (cfgGopherLines _),
+    "cfg_c4" -> (cfgC4 _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -417,6 +444,7 @@ object Pipeline {
     "cfg_lm_buckets" -> NorthStar.oracle("ccnet_buckets"),
     "cfg_gopher" -> NorthStar.oracle("gopher_rules"),
     "cfg_gopher_lines" -> NorthStar.oracle("gopher_rules_lines"),
+    "cfg_c4" -> NorthStar.oracle("c4_rules"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

@@ -233,6 +233,18 @@ object CurationCompiler {
       if (g.flagOnly) scored else scored.filter(col("passes"))
     }
 
+  /** Compiles a `curation.c4:` section onto
+    * [[graft.ext.C4Rules.battery]]: the C4 cleaning battery lands
+    * either as audit columns (`flag_only: true`) or as the filtered
+    * passing subset — the gopher convention.
+    */
+  def compileC4(c: graft.config.C4Config, idField: String,
+      textField: String)(docs: DataFrame): DataFrame = {
+    require(c.blockWords.nonEmpty, "curation.c4.block_words is required")
+    val scored = graft.ext.C4Rules.battery(docs, idField, textField, c.blockWords)
+    if (c.flagOnly) scored else scored.filter(col("passes"))
+  }
+
   /** Compiles a `curation.decontam:` section onto
     * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
     * predicate splits the document table into held-out benchmark vs

@@ -169,6 +169,27 @@ class CurationCompilerSpec extends SparkTestBase {
     assert(gotCfg == want)
   }
 
+  test("c4 section: flag_only keeps every row, gate filters, cfg equals Scala") {
+    val docs = graft.queries.NorthStar.c4LinedDocs(spark, sf0001)
+    val block = Seq("c4blockedterm")
+    val audit = CurationCompiler.compileC4(
+      graft.config.C4Config(block, flagOnly = true), "doc_id", "text")(docs)
+    val gate = CurationCompiler.compileC4(
+      graft.config.C4Config(block, flagOnly = false), "doc_id", "text")(docs)
+    assert(audit.count() == docs.count())
+    assert(gate.count() > 0 && gate.count() < docs.count())
+    val gotCfg = graft.queries.Pipeline.cfgC4(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val want = graft.ext.C4Rules.battery(docs, "doc_id", "text", block)
+      .collect().map(_.toSeq).toSet
+    assert(gotCfg == want)
+    // an empty blocklist is a config error, not a silent no-op gate
+    intercept[IllegalArgumentException] {
+      CurationCompiler.compileC4(
+        graft.config.C4Config(Nil), "doc_id", "text")(docs)
+    }
+  }
+
   test("config-compiled substr_dedup and lm_buckets equal the Scala compositions") {
     val gotSu = graft.queries.Pipeline.cfgSubstrDedup(spark, sf0001)
       .collect().map(_.toSeq).toSet
