@@ -655,6 +655,94 @@ object NorthStar {
       |          string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
       |        FROM documents))""".stripMargin
 
+  /** Deterministic newline-and-paragraph lane for the full repetition
+    * battery: 7-word lines grouped into 3-line paragraphs joined by
+    * blank lines; every (doc_id + i) % 6 == 0 line replaced by a fixed
+    * boilerplate line (line-dup rows on both sides) and every
+    * (doc_id + p) % 2 == 0 paragraph replaced by a fixed 15-word
+    * 3-line boilerplate paragraph (paragraph dups + duplicated
+    * 5-..10-gram runs). Pure function of the fixture, replayed by the
+    * oracle's replane CTE.
+    */
+  private val RepLinedDeriveSql =
+    """array_join(transform(
+      |  sequence(0, (size(split(trim(coalesce(text, '')), '\\s+')) - 1) div 21),
+      |  p -> case when (doc_id + p) % 2 = 0
+      |    then 'alpha boiler plate one two\nbeta casing four five six\ngamma filler seven eight nine'
+      |    else array_join(transform(
+      |      sequence(p * 3, least(p * 3 + 2,
+      |        (size(split(trim(coalesce(text, '')), '\\s+')) - 1) div 7)),
+      |      i -> case when (doc_id + i) % 6 = 0
+      |        then 'repeated boilerplate line for this battery'
+      |        else array_join(slice(split(trim(coalesce(text, '')), '\\s+'),
+      |          cast(i * 7 + 1 as int), 7), ' ') end),
+      |      '\n') end),
+      |  '\n\n')""".stripMargin
+
+  private[graft] def repLinedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr(RepLinedDeriveSql).as("text"))
+
+  private[queries] val RepLinedCteSql =
+    """replane AS (
+      |  SELECT doc_id, array_to_string(list_transform(
+      |    range(0, (len(ws) - 1) // 21 + 1),
+      |    p -> CASE WHEN (doc_id + p) % 2 = 0
+      |      THEN 'alpha boiler plate one two' || chr(10) ||
+      |           'beta casing four five six' || chr(10) ||
+      |           'gamma filler seven eight nine'
+      |      ELSE array_to_string(list_transform(
+      |        range(p * 3, least(p * 3 + 2, (len(ws) - 1) // 7) + 1),
+      |        i -> CASE WHEN (doc_id + i) % 6 = 0
+      |          THEN 'repeated boilerplate line for this battery'
+      |          ELSE array_to_string(list_slice(ws, i * 7 + 1, i * 7 + 7), ' ')
+      |          END),
+      |        chr(10)) END),
+      |    chr(10) || chr(10)) AS t2
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
+      |        FROM documents))""".stripMargin
+
+  /** The complete Rae et al. table-A1 repetition battery over the
+    * derived line/paragraph lane — [[graft.ext.GopherRepetition]].
+    */
+  def gopherRepetitionQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.GopherRepetition.battery(repLinedDocs(s, dir), "doc_id", "text")
+
+  /** Deterministic charset-damage lane for the script profile: the
+    * fixture text is clean ASCII, so encoding damage is injected by
+    * doc_id residue — U+FFFD on % 23, a C0 control (U+0001) on % 29,
+    * and a digit run doubling the text on % 31 (drops the Latin
+    * majority) — replayed identically by the oracle's charlane CTE.
+    */
+  private[graft] def charLanedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), concat(
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 23 === 0, lit("\uFFFD")).otherwise(lit("")),
+      when(col("doc_id") % 29 === 0, lit("\u0001")).otherwise(lit("")),
+      when(col("doc_id") % 31 === 0,
+        concat(lit(" "), expr("repeat('9', cast(length(coalesce(text, '')) as int))")))
+        .otherwise(lit(""))).as("text"))
+
+  // NB: embedded into the battery's stripMargin'd template — no line
+  // may START with '|' (a leading '||' would lose a pipe to the outer
+  // stripMargin), so the concats trail their lines.
+  private[queries] val CharLanedCteSql =
+    """charlane AS (
+      |  SELECT doc_id, coalesce(text, '') ||
+      |    CASE WHEN doc_id % 23 = 0 THEN chr(65533) ELSE '' END ||
+      |    CASE WHEN doc_id % 29 = 0 THEN chr(1) ELSE '' END ||
+      |    CASE WHEN doc_id % 31 = 0
+      |         THEN ' ' || repeat('9', length(coalesce(text, ''))) ELSE '' END
+      |    AS t2
+      |  FROM documents)""".stripMargin
+
+  /** Charset/script sanity profile over the damage lane —
+    * [[graft.ext.ScriptProfile]].
+    */
+  def scriptProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.ScriptProfile.battery(charLanedDocs(s, dir), "doc_id", "text")
+
   private[queries] val C4LinedCteSql =
     """c4lined AS (
       |  SELECT doc_id, concat(
@@ -1388,6 +1476,8 @@ object NorthStar {
     "gopher_rules" -> (gopherRulesQ _),
     "gopher_rules_lines" -> (gopherRulesLinesQ _),
     "c4_rules" -> (c4RulesQ _),
+    "gopher_repetition" -> (gopherRepetitionQ _),
+    "script_profile" -> (scriptProfileQ _),
     "token_shards" -> (tokenShardsQ _),
     "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
@@ -1507,6 +1597,10 @@ object NorthStar {
       graft.ext.GopherRules.lineRulesOracleSql(LinedCteSql, "doc_id"),
     "c4_rules" ->
       graft.ext.C4Rules.oracleSql(C4LinedCteSql, "doc_id", C4Blocklist),
+    "gopher_repetition" ->
+      graft.ext.GopherRepetition.oracleSql(RepLinedCteSql, "doc_id"),
+    "script_profile" ->
+      graft.ext.ScriptProfile.oracleSql(CharLanedCteSql, "doc_id"),
     "tfidf_terms" ->
       graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the
