@@ -43,12 +43,17 @@ object MmrRerank {
 
     val wRel = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("cid").asc)
+    // localCheckpoint: the greedy loop below re-reads these bounded
+    // frames k times each — without the lineage cut, every step
+    // re-runs the corpus-wide brute scan (the BpeTrain/pagerank
+    // pattern; qB·m rows, KB-scale).
     val cand = broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), col("cv"), col("cn"),
         round(nd(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("rel"))
       .withColumn("__rn", row_number().over(wRel))
       .filter(col("__rn") <= m)
       .select("qid", "cid", "cv", "cn", "rel")
+      .localCheckpoint()
 
     val a = cand.select(col("qid"), col("cid").as("i"),
       col("cv").as("iv"), col("cn").as("inn"))
@@ -57,6 +62,7 @@ object MmrRerank {
     val pair = a.join(b, Seq("qid")).filter(col("i") =!= col("j"))
       .select(col("qid"), col("i"), col("j"),
         round(nd(col("iv"), col("jv")) / (col("inn") * col("jn")), 6).as("s"))
+      .localCheckpoint()
 
     val candSlim = cand.select("qid", "cid", "rel")
     var selected = candSlim
@@ -83,7 +89,7 @@ object MmrRerank {
         .withColumn("__rn", row_number().over(wScore))
         .filter(col("__rn") === 1)
         .select(col("qid"), col("cid"), lit(r).as("rank"), col("score"))
-      selected = selected.unionByName(next)
+      selected = selected.unionByName(next).localCheckpoint()
     }
     selected
   }
