@@ -190,7 +190,8 @@ object ConfigLoader {
         },
         gopher = obj(c, "gopher").map { g =>
           GopherConfig(flagOnly = bool(g, "flag_only", default = true),
-            lineRules = bool(g, "line_rules", default = false))
+            lineRules = bool(g, "line_rules", default = false),
+            repetition = bool(g, "repetition", default = false))
         },
         c4 = obj(c, "c4").map { g =>
           C4Config(blockWords = strSeq(g, "block_words"),

@@ -250,7 +250,8 @@ final case class SubstrDedupConfig(
   */
 final case class GopherConfig(
     flagOnly: Boolean = true,
-    lineRules: Boolean = false)
+    lineRules: Boolean = false,
+    repetition: Boolean = false)
 
 /** `curation.c4:` — the C4 cleaning-rule battery (Raffel et al. 2020
   * §2.2, [[graft.ext.C4Rules]]): terminal-punctuation line retention,

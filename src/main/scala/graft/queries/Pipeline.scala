@@ -333,6 +333,32 @@ object Pipeline {
       t(s, dir, "documents"))
   }
 
+  /** The full table-A1 repetition battery declared in pure config
+    * (`repetition: true`), over the same derived lane as
+    * `gopher_repetition` — hash-equal to the Scala composition's
+    * oracle.
+    */
+  private val gopherRepetitionYaml =
+    """source:
+      |  name: corpus_gopher_repetition
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    gopher:
+      |      flag_only: true
+      |      repetition: true
+      |""".stripMargin
+
+  def cfgGopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(gopherRepetitionYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val g = cu.gopher.getOrElse(
+      throw new IllegalStateException("gopher section failed to parse"))
+    graft.transform.CurationCompiler.compileGopher(g, cu.idField, cu.textField)(
+      NorthStar.repLinedDocs(s, dir))
+  }
+
   /** C4 cleaning battery declared in pure config (audit shape), over
     * the same derived line lane as `c4_rules` — hash-equal to the
     * Scala composition's oracle.
@@ -428,6 +454,7 @@ object Pipeline {
     "cfg_gopher" -> (cfgGopher _),
     "cfg_gopher_lines" -> (cfgGopherLines _),
     "cfg_c4" -> (cfgC4 _),
+    "cfg_gopher_repetition" -> (cfgGopherRepetition _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -445,6 +472,7 @@ object Pipeline {
     "cfg_gopher" -> NorthStar.oracle("gopher_rules"),
     "cfg_gopher_lines" -> NorthStar.oracle("gopher_rules_lines"),
     "cfg_c4" -> NorthStar.oracle("c4_rules"),
+    "cfg_gopher_repetition" -> NorthStar.oracle("gopher_repetition"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

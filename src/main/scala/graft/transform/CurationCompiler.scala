@@ -224,14 +224,20 @@ object CurationCompiler {
     * as the filtered passing subset (the gate shape).
     */
   def compileGopher(g: graft.config.GopherConfig, idField: String,
-      textField: String)(docs: DataFrame): DataFrame =
+      textField: String)(docs: DataFrame): DataFrame = {
+    require(!(g.lineRules && g.repetition),
+      "curation.gopher: line_rules and repetition are mutually exclusive")
     if (g.lineRules) {
       val scored = graft.ext.GopherRules.lineRules(docs, idField, textField)
       if (g.flagOnly) scored else scored.filter(col("passes_lines"))
+    } else if (g.repetition) {
+      val scored = graft.ext.GopherRepetition.battery(docs, idField, textField)
+      if (g.flagOnly) scored else scored.filter(col("passes"))
     } else {
       val scored = graft.ext.GopherRules.battery(docs, idField, textField)
       if (g.flagOnly) scored else scored.filter(col("passes"))
     }
+  }
 
   /** Compiles a `curation.c4:` section onto
     * [[graft.ext.C4Rules.battery]]: the C4 cleaning battery lands

@@ -169,6 +169,24 @@ class CurationCompilerSpec extends SparkTestBase {
     assert(gotCfg == want)
   }
 
+  test("gopher repetition mode: cfg equals Scala; exclusive with line_rules") {
+    val docs = graft.queries.NorthStar.repLinedDocs(spark, sf0001)
+    val gate = CurationCompiler.compileGopher(
+      graft.config.GopherConfig(flagOnly = false, repetition = true),
+      "doc_id", "text")(docs)
+    assert(gate.count() > 0 && gate.count() < docs.count())
+    val gotCfg = graft.queries.Pipeline.cfgGopherRepetition(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val want = graft.ext.GopherRepetition.battery(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(gotCfg == want)
+    intercept[IllegalArgumentException] {
+      CurationCompiler.compileGopher(
+        graft.config.GopherConfig(lineRules = true, repetition = true),
+        "doc_id", "text")(docs)
+    }
+  }
+
   test("c4 section: flag_only keeps every row, gate filters, cfg equals Scala") {
     val docs = graft.queries.NorthStar.c4LinedDocs(spark, sf0001)
     val block = Seq("c4blockedterm")
