@@ -196,6 +196,9 @@ object ConfigLoader {
         c4 = obj(c, "c4").map { g =>
           C4Config(blockWords = strSeq(g, "block_words"),
             flagOnly = bool(g, "flag_only", default = true))
+        },
+        charset = obj(c, "charset").map { g =>
+          CharsetConfig(flagOnly = bool(g, "flag_only", default = true))
         })
     }
 

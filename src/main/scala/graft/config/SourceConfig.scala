@@ -180,7 +180,8 @@ final case class CurationConfig(
     substrDedup: Option[SubstrDedupConfig] = None,
     lmBuckets: Option[LmBucketsConfig] = None,
     gopher: Option[GopherConfig] = None,
-    c4: Option[C4Config] = None)
+    c4: Option[C4Config] = None,
+    charset: Option[CharsetConfig] = None)
 
 /** `curation.semantic_dedup:` — embedding-space (SemDeDup) dedup over
   * the corpus's sibling embedding table, reachable from pure config.
@@ -252,6 +253,14 @@ final case class GopherConfig(
     flagOnly: Boolean = true,
     lineRules: Boolean = false,
     repetition: Boolean = false)
+
+/** `curation.charset:` — the charset/script sanity profile
+  * ([[graft.ext.ScriptProfile]]): encoding-damage counts and the
+  * Latin-majority `clean` gate. `flag_only` follows the gopher
+  * convention (audit columns vs filtered gate).
+  */
+final case class CharsetConfig(
+    flagOnly: Boolean = true)
 
 /** `curation.c4:` — the C4 cleaning-rule battery (Raffel et al. 2020
   * §2.2, [[graft.ext.C4Rules]]): terminal-punctuation line retention,

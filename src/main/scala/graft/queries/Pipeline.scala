@@ -359,6 +359,30 @@ object Pipeline {
       NorthStar.repLinedDocs(s, dir))
   }
 
+  /** Charset profile declared in pure config (audit shape), over the
+    * same damage lane as `script_profile` — hash-equal to the Scala
+    * composition's oracle.
+    */
+  private val charsetYaml =
+    """source:
+      |  name: corpus_charset
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    charset:
+      |      flag_only: true
+      |""".stripMargin
+
+  def cfgCharset(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(charsetYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val c = cu.charset.getOrElse(
+      throw new IllegalStateException("charset section failed to parse"))
+    graft.transform.CurationCompiler.compileCharset(c, cu.idField, cu.textField)(
+      NorthStar.charLanedDocs(s, dir))
+  }
+
   /** C4 cleaning battery declared in pure config (audit shape), over
     * the same derived line lane as `c4_rules` — hash-equal to the
     * Scala composition's oracle.
@@ -455,6 +479,7 @@ object Pipeline {
     "cfg_gopher_lines" -> (cfgGopherLines _),
     "cfg_c4" -> (cfgC4 _),
     "cfg_gopher_repetition" -> (cfgGopherRepetition _),
+    "cfg_charset" -> (cfgCharset _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -473,6 +498,7 @@ object Pipeline {
     "cfg_gopher_lines" -> NorthStar.oracle("gopher_rules_lines"),
     "cfg_c4" -> NorthStar.oracle("c4_rules"),
     "cfg_gopher_repetition" -> NorthStar.oracle("gopher_repetition"),
+    "cfg_charset" -> NorthStar.oracle("script_profile"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

@@ -251,6 +251,16 @@ object CurationCompiler {
     if (c.flagOnly) scored else scored.filter(col("passes"))
   }
 
+  /** Compiles a `curation.charset:` section onto
+    * [[graft.ext.ScriptProfile.battery]]: encoding-damage audit
+    * columns (`flag_only: true`) or the filtered clean subset.
+    */
+  def compileCharset(c: graft.config.CharsetConfig, idField: String,
+      textField: String)(docs: DataFrame): DataFrame = {
+    val scored = graft.ext.ScriptProfile.battery(docs, idField, textField)
+    if (c.flagOnly) scored else scored.filter(col("clean"))
+  }
+
   /** Compiles a `curation.decontam:` section onto
     * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
     * predicate splits the document table into held-out benchmark vs

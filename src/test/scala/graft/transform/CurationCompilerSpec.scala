@@ -187,6 +187,21 @@ class CurationCompilerSpec extends SparkTestBase {
     }
   }
 
+  test("charset section: flag_only audits, gate filters, cfg equals Scala") {
+    val docs = graft.queries.NorthStar.charLanedDocs(spark, sf0001)
+    val audit = CurationCompiler.compileCharset(
+      graft.config.CharsetConfig(flagOnly = true), "doc_id", "text")(docs)
+    val gate = CurationCompiler.compileCharset(
+      graft.config.CharsetConfig(flagOnly = false), "doc_id", "text")(docs)
+    assert(audit.count() == docs.count())
+    assert(gate.count() > 0 && gate.count() < docs.count())
+    val gotCfg = graft.queries.Pipeline.cfgCharset(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val want = graft.ext.ScriptProfile.battery(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(gotCfg == want)
+  }
+
   test("c4 section: flag_only keeps every row, gate filters, cfg equals Scala") {
     val docs = graft.queries.NorthStar.c4LinedDocs(spark, sf0001)
     val block = Seq("c4blockedterm")
