@@ -29,8 +29,14 @@ object MmrRerank {
     * (`vec_id < queryBound`). Output: (qid, cid, rank, score) where
     * rank 1's score is the plain relevance and later ranks carry
     * `round(rel − max sim to selected, 6)`.
+    *
+    * `candWhere` pre-filters the candidate side (the filtered-serving
+    * contract of `sim_topk_filtered`: every retrieved row eligible by
+    * construction, never post-filter under-return); at scale the
+    * predicate pushes into the candidate scan.
     */
-  def rerank(emb: DataFrame, queryBound: Int, m: Int, k: Int): DataFrame = {
+  def rerank(emb: DataFrame, queryBound: Int, m: Int, k: Int,
+             candWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
     val nd = graft.functions.DotProduct.fn(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding"),
@@ -38,8 +44,11 @@ object MmrRerank {
     val q = e.filter(col("vec_id") < queryBound)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("__n").as("qn"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      col("__n").as("cn"))
+    val c = candWhere.fold(emb)(emb.filter)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(nd(col("embedding"), col("embedding"))).as("__n"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("__n").as("cn"))
 
     val wRel = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("cid").asc)
@@ -96,8 +105,12 @@ object MmrRerank {
 
   /** DuckDB twin: the k greedy steps unrolled as CTEs, each replaying
     * the rounded-cosine scores and the (score DESC, cid ASC) argmax.
+    * `candSql` is the candidate-side predicate over alias `c`
+    * (mirrors `candWhere`).
     */
-  def oracleSql(queryBound: Int, m: Int, k: Int): String = {
+  def oracleSql(queryBound: Int, m: Int, k: Int,
+                candSql: Option[String] = None): String = {
+    val candPred = candSql.fold("")(p => s" AND $p")
     val steps = (2 to k).map { r =>
       s"""sc$r AS (SELECT c.qid, c.cid,
          |    round(c.rel - (SELECT max(p.s) FROM pair p
@@ -113,10 +126,11 @@ object MmrRerank {
          |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, label,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cand0 AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
        |    round(list_cosine_similarity(q.v, c.v), 6) AS rel
-       |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |  FROM v q JOIN v c ON q.vec_id <> c.vec_id$candPred
        |  WHERE q.vec_id < $queryBound),
        |cand AS (SELECT qid, cid, rel FROM (
        |    SELECT qid, cid, rel, row_number() OVER (

@@ -43,6 +43,21 @@ object NorthStar {
   def mmrRerankQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.MmrRerank.rerank(t(s, dir, "embeddings"), 32, 20, 5)
 
+  /** Filtered MMR: the diversity pass over the label-eligible
+    * candidates only (same predicate as `sim_topk_filtered`).
+    */
+  def mmrRerankFilteredQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.MmrRerank.rerank(t(s, dir, "embeddings"), 32, 20, 5,
+      Some($"label" === 1))
+  }
+
+  /** DPR-style hard-negative mining: top-5 most similar
+    * DIFFERENT-label vectors per anchor — [[graft.ext.HardNegatives]].
+    */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.HardNegatives.mine(t(s, dir, "embeddings"), 64, 5)
+
   /** Exact dedup with Bloom-routed shuffle pruning — output identical
     * to [[dedupExact]], but provably-globally-unique digests never
     * enter the exchange ([[graft.ext.BloomDedup]]): the 100 TB shape,
@@ -1465,6 +1480,8 @@ object NorthStar {
     "sim_topk_srp" -> (simTopKSrp _),
     "sim_topk5" -> (simTopK5 _),
     "mmr_rerank" -> (mmrRerankQ _),
+    "mmr_rerank_filtered" -> (mmrRerankFilteredQ _),
+    "hard_negatives" -> (hardNegativesQ _),
     "sim_topk_filtered" -> (simTopKFiltered _),
     "sim_topk_filtered_ivf" -> (simTopKFilteredIvf _),
     "dedup_near" -> (dedupNear _),
@@ -1806,6 +1823,9 @@ object NorthStar {
       EmbDim, SrpDim, 100),
     "sim_topk5" -> graft.ext.SimSearch.bruteTopKNOracleSql(100, 5),
     "mmr_rerank" -> graft.ext.MmrRerank.oracleSql(32, 20, 5),
+    "mmr_rerank_filtered" ->
+      graft.ext.MmrRerank.oracleSql(32, 20, 5, Some("c.label = 1")),
+    "hard_negatives" -> graft.ext.HardNegatives.oracleSql(64, 5),
     "sim_topk_filtered" ->
       graft.ext.SimSearch.bruteTopKNFilteredOracleSql(100, 5, "c.label = 1"),
     "sim_topk_filtered_ivf" ->

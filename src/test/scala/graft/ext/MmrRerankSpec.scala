@@ -44,6 +44,23 @@ class MmrRerankSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("filtered MMR: every pick eligible; always-true predicate is identity") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val eligible = emb.filter(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val filtered = MmrRerank.rerank(emb, 8, 10, 3, Some(col("label") === 1))
+      .collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { r =>
+      assert(eligible(r.getAs[Long]("cid")), s"ineligible pick: $r")
+    }
+    val all = MmrRerank.rerank(emb, 8, 10, 3, Some(lit(true)))
+      .collect().map(_.toSeq).toSet
+    val plain = MmrRerank.rerank(emb, 8, 10, 3)
+      .collect().map(_.toSeq).toSet
+    assert(all === plain)
+  }
+
   test("greedy is penalty-consistent: a later pick never beats rank 2's score") {
     // Within a query, scores at ranks >= 2 are non-increasing: each
     // step maximizes over a shrinking remaining set with a growing
