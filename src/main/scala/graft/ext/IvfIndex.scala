@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Landed-IVF index MAINTENANCE: build the cell table for a base
+  * corpus, then UPSERT later-arriving vectors by assigning them to the
+  * FROZEN centroids and appending their (vec_id, cell) rows — no
+  * retraining, no base rescan. This is the operational half of IVF
+  * serving that [[SimSearch]]'s one-shot builders don't exercise: a
+  * production index ingests deltas continuously and only retrains when
+  * cell balance degrades, because retraining invalidates every landed
+  * assignment while an upsert touches exactly the delta.
+  *
+  * Reference scope: the reference pipeline re-lands whole tables per
+  * run (`/root/reference/README.md` processing flow); incremental
+  * index maintenance is part of the beyond-reference LLM-serving
+  * surface (brief: similarity search at 100 TB).
+  *
+  * Scale shape: the upsert is map-only — centroids broadcast, each
+  * delta vector computes K rounded cosines and takes a
+  * map-side-combined argmax; the append writes delta-sized output. The
+  * base corpus is NEVER read (spec-pinned via the scan's pushed
+  * filter). Serving over the merged cell table is the standard probe +
+  * exact re-rank plan: probed (qid, cell) pairs broadcast against the
+  * cell-keyed index; candidate pairs are skinny ids; WindowGroupLimit
+  * keeps per-query heaps of k.
+  *
+  * Invariant (spec-asserted, oracle-replayed): because assignment is
+  * per-vector independent, base-build + delta-upsert lands EXACTLY the
+  * rows a from-scratch assignment of the merged corpus would — the
+  * upsert is semantically free.
+  */
+object IvfIndex {
+
+  /** (vec_id, cell) assignment of `emb` against explicit centroids —
+    * the index build for a base corpus AND the upsert for a delta (the
+    * caller picks the slice; the math is identical). Broadcast
+    * centroids, map-side-combined argmax: the corpus never shuffles.
+    */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    SimSearch.clusterAssignWithCentroids(emb, cents)
+      .select(col("vec_id"), col("cluster_id").as("cell"))
+
+  /** Probe + exact re-rank top-k over an EXPLICIT (landed, possibly
+    * upserted) cell table: queries rank the broadcast centroids, probe
+    * their `probes` nearest cells, and the probed candidates re-rank
+    * exactly under the usual (round-6 sim DESC, cid ASC) total order.
+    */
+  def topKOverCells(emb: DataFrame, cells: DataFrame, cents: DataFrame,
+      queryBound: Int, k: Int, probes: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(ndot(col("embedding"), col("embedding"))).as("n"))
+    val queries = vecs.filter(col("vec_id") < queryBound)
+    val csim = round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), csim.as("csim"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= probes)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+    // Multi-probe duplicates collapse BEFORE the exact re-rank (a
+    // duplicated pair would otherwise occupy two ranks).
+    val cand = broadcast(probed)
+      .join(cells.select(col("vec_id").as("cid"), col("cell")), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("n").as("qn"))), "qid")
+      .join(vecs.select(col("vec_id").as("cid"),
+        col("v").as("cv"), col("n").as("cn")), "cid")
+      .select(col("qid"), col("cid"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
+  /** The upsert fixture's base/delta split rule as SQL: the first 80%
+    * of vec_ids are the base corpus, the rest arrive later. Integer
+    * floor division matches Scala's `4L * n / 5` exactly.
+    */
+  val BaseWhereSql = "vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)"
+
+  /** DuckDB twin of the landed-upsert serving query: training replays
+    * over the BASE slice only ([[SimSearch.trainedCentroidCtesWhere]]),
+    * assignment/probe/re-rank over the full corpus — exactly what
+    * base-build + delta-upsert + [[topKOverCells]] computes.
+    */
+  def upsertOracleSql(queryBound: Int, k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${SimSearch.trainedCentroidCtesWhere(iters, dim, BaseWhereSql)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r WHERE crn = 1),
+       |probe AS (SELECT vec_id AS qid, cent_id AS cell FROM r
+       |          WHERE crn <= (SELECT greatest(least(10, k), k // 16) FROM kk)
+       |            AND vec_id < $queryBound),
+       |cand AS (SELECT DISTINCT qid, cid
+       |         FROM probe JOIN cell ON probe.cell = cell.cell AND qid <> cid),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv2.v), 6) AS sim
+       |      FROM cand JOIN d qv ON qv.vec_id = qid JOIN d cv2 ON cv2.vec_id = cid),
+       |rr AS (SELECT qid, cid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |       FROM p)
+       |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM rr WHERE rn <= $k""".stripMargin
+}

@@ -503,11 +503,20 @@ object SimSearch {
     * inside the oracle so a regenerated or rescaled fixture retunes
     * BOTH sides identically. sqrt/ceil are IEEE-exact in both engines.
     */
-  private val KkCte =
-    """kk AS (SELECT greatest(16, least(65536,
-      |  CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings)""".stripMargin
+  private def trainedCentroidCtes(iters: Int, dim: Int): String =
+    trainedCentroidCtesWhere(iters, dim, "TRUE")
 
-  private def trainedCentroidCtes(iters: Int, dim: Int): String = {
+  /** [[trainedCentroidCtes]] with the TRAINING corpus restricted by a
+    * SQL predicate over the embeddings columns (`baseWhere`): `kk`
+    * derives K from the base count, `u` (the quantized training set,
+    * hence `c0..c<iters>`) carries base rows only, while `d` stays the
+    * FULL corpus — serving replays (assignment/probe/re-rank) run over
+    * everything, which is exactly the retrain-free upsert contract
+    * ([[graft.ext.IvfIndex]]): late vectors are assigned to centroids
+    * they never influenced.
+    */
+  private[ext] def trainedCentroidCtesWhere(iters: Int, dim: Int,
+      baseWhere: String): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""a$i AS (SELECT u.vec_id, cent_id,
          |  row_number() OVER (PARTITION BY u.vec_id
@@ -520,13 +529,14 @@ object SimSearch {
          |c$i AS (SELECT cent_id, coalesce(cu2, cu) AS cu
          |  FROM c${i - 1} LEFT JOIN l$i ON cent_id = cell)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"""$KkCte,
+    s"""kk AS (SELECT greatest(16, least(65536,
+       |  CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings WHERE $baseWhere),
        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |u AS (SELECT vec_id, CASE WHEN list_dot_product(v, v) = 0
        |        THEN list_transform(v, x -> 0.0)
        |        ELSE list_transform(v,
        |          x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) END AS u
-       |      FROM d),
+       |      FROM d WHERE $baseWhere),
        |c0 AS (SELECT vec_id AS cent_id, u AS cu FROM u
        |       WHERE vec_id < (SELECT k FROM kk))$iterCtes""".stripMargin
   }

@@ -241,6 +241,90 @@ object NorthStar {
       trainedCents(s, dir), $"label" === 1)
   }
 
+  /** ANN eval geometry, shared by the Spark queries and their oracle
+    * constructors: 64 graded queries, top-10 lists, probe sweep
+    * 1/2/4/10.
+    */
+  private val EvalQueryBound = 64
+  private val EvalK = 10
+  private val EvalLevels = Seq(1, 2, 4, 10)
+
+  /** Retrieval-quality grade of the trained-IVF index vs brute-force
+    * ground truth ([[graft.ext.AnnEval.recallAtK]]): per graded query,
+    * the recall@10 numerator and the ANN rank of the true nearest
+    * neighbor — the measurement loop every approximate index ships
+    * with. Integer outputs; oracle nests the two existing replays.
+    */
+  def annRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.ext.AnnEval.recallAtK(
+      graft.ext.SimSearch.ivfTopKNFilteredWithCentroids(emb, EvalQueryBound,
+        EvalK, lockedParams(s, dir).probes, trainedCents(s, dir), lit(true)),
+      graft.ext.SimSearch.bruteTopKN(emb, EvalQueryBound, EvalK))
+  }
+
+  /** [[annRecallQ]] for the FILTERED serving shape (label = 1 composed
+    * into the inverted lists) against filtered brute ground truth —
+    * grades the production predicate+vector path, not just the plain
+    * index.
+    */
+  def annRecallFilteredQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    graft.ext.AnnEval.recallAtK(
+      graft.ext.SimSearch.ivfTopKNFilteredWithCentroids(emb, EvalQueryBound,
+        EvalK, lockedParams(s, dir).probes, trainedCents(s, dir), $"label" === 1),
+      graft.ext.SimSearch.bruteTopKNFiltered(emb, EvalQueryBound, EvalK,
+        $"label" === 1))
+  }
+
+  /** Recall-vs-nprobe sweep over the trained index
+    * ([[graft.ext.AnnEval.recallCurve]]): one ranking pass grades probe
+    * counts 1/2/4/10 at once — the tuning curve read before fixing the
+    * serving probe count.
+    */
+  def annRecallCurveQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.AnnEval.recallCurve(t(s, dir, "embeddings"), EvalQueryBound,
+      EvalK, EvalLevels, trainedCents(s, dir))
+
+  /** Retrain-free IVF index upsert ([[graft.ext.IvfIndex]]): centroids
+    * train on the FIRST 80% of vec_ids (the base corpus), the landed
+    * cell table is built from the base and the remaining 20% are
+    * UPSERTED — assigned against the frozen centroids (map-only,
+    * base never rescanned) and appended. The query serves top-5 over
+    * the merged landed index; the oracle replays base-only training +
+    * full assignment, which is identical by per-vector independence.
+    */
+  private def upsertArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
+    val emb = t(s, dir, "embeddings")
+    val cutoff = 4L * emb.count() / 5
+    val p = graft.ext.SimSearch.IvfParams.forCorpus(cutoff)
+    val tag = graft.Tables.pathTag(dir)
+    val centsPath = s"/tmp/graft_upsert_cents/$tag"
+    graft.Tables.landOnce(centsPath) {
+      graft.ext.SimSearch.trainCentroidsLocked(
+        emb.filter(col("vec_id") < cutoff), p.numCentroids, LockedIters)
+        .write.mode("overwrite").parquet(centsPath)
+    }
+    val cents = s.read.parquet(centsPath)
+    val cellsPath = s"/tmp/graft_upsert_cells/$tag"
+    graft.Tables.landOnce(cellsPath) {
+      graft.ext.IvfIndex.assignCells(emb.filter(col("vec_id") < cutoff), cents)
+        .write.mode("overwrite").parquet(cellsPath)
+      // The UPSERT: late vectors assign against the FROZEN centroids
+      // and APPEND — the base partition is never rewritten or rescanned.
+      graft.ext.IvfIndex.assignCells(emb.filter(col("vec_id") >= cutoff), cents)
+        .write.mode("append").parquet(cellsPath)
+    }
+    (s.read.parquet(cellsPath), cents, p.probes)
+  }
+
+  def ivfUpsertQ(s: SparkSession, dir: String): DataFrame = {
+    val (cells, cents, probes) = upsertArtifacts(s, dir)
+    graft.ext.IvfIndex.topKOverCells(t(s, dir, "embeddings"), cells, cents,
+      EvalQueryBound, 5, probes)
+  }
+
   /** Semantic clustering of the embedding corpus (16 locked-trained
     * cells): the curation primitive for topic balance / per-cluster
     * sampling. Oracle replays the training.
@@ -1484,6 +1568,10 @@ object NorthStar {
     "hard_negatives" -> (hardNegativesQ _),
     "sim_topk_filtered" -> (simTopKFiltered _),
     "sim_topk_filtered_ivf" -> (simTopKFilteredIvf _),
+    "ann_recall" -> (annRecallQ _),
+    "ann_recall_filtered" -> (annRecallFilteredQ _),
+    "ann_recall_curve" -> (annRecallCurveQ _),
+    "ivf_upsert" -> (ivfUpsertQ _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
     "span_dedup" -> (spanDedup _),
@@ -1831,6 +1919,14 @@ object NorthStar {
     "sim_topk_filtered_ivf" ->
       graft.ext.SimSearch.ivfTrainedFilteredOracleSql(100, 5, LockedIters,
         EmbDim, "e.label = 1"),
+    "ann_recall" -> graft.ext.AnnEval.recallOracleSql(
+      EvalQueryBound, EvalK, LockedIters, EmbDim, "TRUE", "TRUE"),
+    "ann_recall_filtered" -> graft.ext.AnnEval.recallOracleSql(
+      EvalQueryBound, EvalK, LockedIters, EmbDim, "e.label = 1", "c.label = 1"),
+    "ann_recall_curve" -> graft.ext.AnnEval.recallCurveOracleSql(
+      EvalQueryBound, EvalK, EvalLevels, LockedIters, EmbDim),
+    "ivf_upsert" -> graft.ext.IvfIndex.upsertOracleSql(
+      EvalQueryBound, 5, LockedIters, EmbDim),
     "dedup_near" ->
       s"""WITH $ShingleCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

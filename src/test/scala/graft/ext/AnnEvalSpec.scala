@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** ANN serving-quality eval (recall@k / nn-rank / probe curve) and the
+  * retrain-free IVF upsert.
+  */
+class AnnEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val cents = SimSearch.trainCentroidsLocked(emb, 16, 2)
+    .localCheckpoint()
+
+  test("recallAtK: exact hit accounting and nn_rank on handcrafted lists") {
+    // GT for q0: cids 10,11,12 at ranks 1,2,3. ANN returns 11,99,10 —
+    // two hits; the true NN (10) sits at ANN rank 3.
+    val gt = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3))
+      .toDF("qid", "cid", "rank")
+    val ann = Seq((0L, 11L, 1), (0L, 99L, 2), (0L, 10L, 3),
+      (1L, 98L, 1), (1L, 97L, 2), (1L, 96L, 3))
+      .toDF("qid", "cid", "rank")
+    val out = AnnEval.recallAtK(ann, gt).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) === ((2L, 3L)))
+    assert(out(1L) === ((0L, 0L))) // total miss: zero hits, nn_rank 0
+  }
+
+  test("identity lane: grading ground truth against itself is perfect") {
+    val gt = SimSearch.bruteTopKN(emb, 16, 5)
+    val out = AnnEval.recallAtK(gt, gt).collect()
+    assert(out.length === 16)
+    out.foreach { r =>
+      assert(r.getAs[Long]("hits") === 5L)
+      assert(r.getAs[Long]("nn_rank") === 1L)
+    }
+  }
+
+  test("probe curve: recall monotone in probe count; full sweep consistent" +
+    " with the single-point grade") {
+    val levels = Seq(1, 2, 4, 10)
+    val curve = AnnEval.recallCurve(emb, 32, 5, levels, cents)
+      .orderBy("probes").collect()
+    assert(curve.map(_.getAs[Long]("probes")).toSeq === levels.map(_.toLong))
+    val hits = curve.map(_.getAs[Long]("total_hits"))
+    // Total order ⇒ hits = |candidates ∩ GT|, nondecreasing in probes.
+    hits.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    curve.foreach(r => assert(r.getAs[Long]("n_queries") === 32L))
+    // The curve's top level must equal an independent recallAtK grade
+    // of the same index at the same probe count.
+    val single = AnnEval.recallAtK(
+      SimSearch.ivfTopKNFilteredWithCentroids(emb, 32, 5, 10, cents, lit(true)),
+      SimSearch.bruteTopKN(emb, 32, 5))
+      .agg(sum("hits")).collect().head.getLong(0)
+    assert(hits.last === single)
+  }
+
+  test("upsert: base build + delta assignment lands exactly the one-shot" +
+    " index; the delta job scans only delta rows") {
+    val cutoff = 4L * emb.count() / 5
+    val base = IvfIndex.assignCells(emb.filter(col("vec_id") < cutoff), cents)
+    val deltaDf = IvfIndex.assignCells(emb.filter(col("vec_id") >= cutoff), cents)
+    val merged = base.unionByName(deltaDf)
+    val oneShot = IvfIndex.assignCells(emb, cents)
+    assert(merged.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+    // The upsert never rescans the base: the delta scan carries the
+    // pushed vec_id bound and reads exactly the delta row count.
+    val plan = deltaDf.queryExecution.executedPlan.toString
+    assert(plan.contains(s"GreaterThanOrEqual(vec_id,$cutoff)"),
+      s"delta scan filter not pushed:\n$plan")
+    assert(deltaDf.count() === emb.count() - cutoff)
+  }
+
+  test("upsert serving over the merged cell table equals the one-shot" +
+    " trained-on-base serving plan") {
+    val cutoff = 4L * emb.count() / 5
+    val baseCents = SimSearch.trainCentroidsLocked(
+      emb.filter(col("vec_id") < cutoff), 16, 2).localCheckpoint()
+    val merged = IvfIndex.assignCells(emb.filter(col("vec_id") < cutoff), baseCents)
+      .unionByName(IvfIndex.assignCells(emb.filter(col("vec_id") >= cutoff), baseCents))
+    val served = IvfIndex.topKOverCells(emb, merged, baseCents, 16, 5, 10)
+    val oneShot = SimSearch.ivfTopKNFilteredWithCentroids(
+      emb, 16, 5, 10, baseCents, lit(true))
+    assert(served.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+  }
+}
