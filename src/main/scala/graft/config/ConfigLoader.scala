@@ -167,7 +167,8 @@ object ConfigLoader {
           SimilarityConfig(
             queryBound = int(si, "query_bound", 100),
             k = int(si, "k", 5),
-            candWhere = optStr(si, "cand_where"))
+            candWhere = optStr(si, "cand_where"),
+            evalRecall = bool(si, "eval_recall", false))
         },
         decontam = obj(c, "decontam").map { dc =>
           DecontamConfig(

@@ -205,11 +205,17 @@ final case class SemanticDedupConfig(
   * fixture-tuned index choice onto 100 TB. `cand_where` is an optional
   * SQL predicate over the embedding table's metadata columns
   * (filtered serving); absent means unrestricted candidates.
+  * `eval_recall: true` turns the section into the index's QUALITY
+  * GRADE: the same dispatched serving shape is measured against exact
+  * brute-force ground truth ([[graft.ext.AnnEval.recallAtK]]) instead
+  * of being returned — the declarative form of "report this index's
+  * recall@k before I ship it".
   */
 final case class SimilarityConfig(
     queryBound: Int = 100,
     k: Int = 5,
-    candWhere: Option[String] = None)
+    candWhere: Option[String] = None,
+    evalRecall: Boolean = false)
 
 /** `curation.decontam:` — eval-set decontamination: flag corpus
   * documents sharing ≥ `min_shared` distinct `shingle_len`-shingles

@@ -115,18 +115,15 @@ object AnnEval {
         countDistinct(col("qid")).as("n_queries"))
   }
 
-  /** DuckDB twin of [[recallAtK]] over (ann = trained-IVF serving,
-    * gt = brute force): nests the two existing replays as CTEs and
-    * reduces them with the identical integer aggregation. `ivfWhere` /
-    * `bruteWhere` are the eligibility predicate in each replay's
-    * dialect (aliases `e` / `c`), "TRUE" for the unfiltered grade.
+  /** DuckDB twin of [[recallAtK]] over ANY two nested (qid, cid, rank)
+    * replays — any index replay grades against any ground-truth replay
+    * with the identical integer reduction.
     */
-  def recallOracleSql(queryBound: Int, k: Int, iters: Int, dim: Int,
-      ivfWhere: String, bruteWhere: String): String =
+  def recallFromReplaysSql(annSql: String, gtSql: String): String =
     s"""WITH gt AS (
-       |${SimSearch.bruteTopKNFilteredOracleSql(queryBound, k, bruteWhere)}
+       |$gtSql
        |), ann AS (
-       |${SimSearch.ivfTrainedFilteredOracleSql(queryBound, k, iters, dim, ivfWhere)}
+       |$annSql
        |), j AS (
        |  SELECT g.qid, g.rank AS grank, a.rank AS arank
        |  FROM gt g LEFT JOIN ann a ON g.qid = a.qid AND g.cid = a.cid)
@@ -134,6 +131,17 @@ object AnnEval {
        |  CAST(coalesce(max(CASE WHEN grank = 1 THEN coalesce(arank, 0) END), 0)
        |    AS BIGINT) AS nn_rank
        |FROM j GROUP BY qid""".stripMargin
+
+  /** [[recallFromReplaysSql]] for the trained-IVF grade: ann = the
+    * trained serving replay, gt = brute force. `ivfWhere` /
+    * `bruteWhere` are the eligibility predicate in each replay's
+    * dialect (aliases `e` / `c`), "TRUE" for the unfiltered grade.
+    */
+  def recallOracleSql(queryBound: Int, k: Int, iters: Int, dim: Int,
+      ivfWhere: String, bruteWhere: String): String =
+    recallFromReplaysSql(
+      SimSearch.ivfTrainedFilteredOracleSql(queryBound, k, iters, dim, ivfWhere),
+      SimSearch.bruteTopKNFilteredOracleSql(queryBound, k, bruteWhere))
 
   /** DuckDB twin of [[recallCurve]]: training + ranking replay, pair
     * minimal probe levels, per-level re-rank, integer reduction.

@@ -466,9 +466,38 @@ object Pipeline {
       ScaleOps.pqCodesWithMeta(s, dir))
   }
 
+  /** `eval_recall: true` declared in pure config: the dispatched index
+    * (trained IVF at fixture sizes) is graded against brute ground
+    * truth — hash-equal to the `ann_recall` Scala composition, so
+    * config reachability of the eval is the gated behavior.
+    */
+  private val annRecallYaml =
+    """source:
+      |  name: corpus_similarity_eval
+      |  type: file
+      |  curation:
+      |    id_field: vec_id
+      |    similarity:
+      |      query_bound: 64
+      |      k: 10
+      |      eval_recall: true
+      |""".stripMargin
+
+  def cfgAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(annRecallYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val si = cu.similarity.getOrElse(
+      throw new IllegalStateException("similarity section failed to parse"))
+    graft.transform.CurationCompiler.compileSimilaritySection(si)(
+      t(s, dir, "embeddings"),
+      NorthStar.trainedCents(s, dir),
+      ScaleOps.pqCodesWithMeta(s, dir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
     "cfg_sim_topk" -> (cfgSimTopK _),
+    "cfg_ann_recall" -> (cfgAnnRecall _),
     "cfg_curation" -> (cfgCuration _),
     "cfg_semantic_dedup" -> (cfgSemanticDedup _),
     "cfg_decontam" -> (cfgDecontam _),
@@ -490,6 +519,7 @@ object Pipeline {
     // reachability is the gated behavior, the truth is unchanged.
     "cfg_semantic_dedup" -> NorthStar.oracle("semantic_dedup"),
     "cfg_sim_topk" -> NorthStar.oracle("sim_topk_filtered_ivf"),
+    "cfg_ann_recall" -> NorthStar.oracle("ann_recall"),
     "cfg_decontam" -> NorthStar.oracle("decontam"),
     "cfg_dsir" -> NorthStar.oracle("dsir_sample"),
     "cfg_substr_dedup" -> NorthStar.oracle("substr_dedup"),

@@ -144,6 +144,21 @@ object ScaleOps {
       $"label" === 1)
   }
 
+  /** Retrieval-quality grade of the PQ index (ADC shortlist + exact
+    * re-rank over the landed codes) vs brute-force ground truth — the
+    * [[graft.ext.AnnEval.recallAtK]] measurement applied to the
+    * compressed-code family, so both deployed index types (trained IVF
+    * in `ann_recall`, PQ here) carry recall evidence. Oracle nests the
+    * two existing replays.
+    */
+  def annRecallPqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.ext.AnnEval.recallAtK(
+      graft.ext.SimSearch.pqTopKNFilteredFromCodes(
+        pqCodesWithMeta(s, dir), emb, 64, 10, 64, lit(true)),
+      graft.ext.SimSearch.bruteTopKN(emb, 64, 10))
+  }
+
   /** CDC merge over customer: a deterministic change feed (two stacked
     * updates — latest wins, deletes — including a delete that outranks
     * an update on %77 keys, and keyspace-shifted inserts) applied via
@@ -811,6 +826,7 @@ object ScaleOps {
     "sim_topk_q8" -> (simTopKQ8 _),
     "sim_topk_pq" -> (simTopKPq _),
     "sim_topk_filtered_pq" -> (simTopKPqFiltered _),
+    "ann_recall_pq" -> (annRecallPqQ _),
     "cdc_merge" -> (cdcMerge _),
     "snapshot_diff" -> (snapshotDiffQ _),
     "copurchase_pairs" -> (copurchasePairs _),
@@ -884,6 +900,9 @@ object ScaleOps {
     "sim_topk_pq" -> graft.ext.SimSearch.pqOracleSql(100, 64),
     "sim_topk_filtered_pq" ->
       graft.ext.SimSearch.pqFilteredOracleSql(100, 5, 64, "label = 1"),
+    "ann_recall_pq" -> graft.ext.AnnEval.recallFromReplaysSql(
+      graft.ext.SimSearch.pqFilteredOracleSql(64, 10, 64, "TRUE"),
+      graft.ext.SimSearch.bruteTopKNOracleSql(64, 10)),
     "cdc_merge" ->
       """WITH chg AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50 AS c_acctbal,

@@ -164,6 +164,23 @@ object CurationCompiler {
     }
   }
 
+  /** Entry point for a `curation.similarity:` section: serving top-k
+    * by default; with `eval_recall: true` the dispatched serving shape
+    * is GRADED against exact brute-force ground truth under the same
+    * predicate ([[graft.ext.AnnEval.recallAtK]]) — per graded query,
+    * the recall@k numerator and the ANN rank of the true nearest
+    * neighbor. Ground truth is a bounded-query brute scan, so the
+    * grade costs one extra corpus pass regardless of index type.
+    */
+  def compileSimilaritySection(si: graft.config.SimilarityConfig)(
+      emb: DataFrame, cents: => DataFrame, codes: => DataFrame): DataFrame = {
+    val served = compileSimilarity(si)(emb, cents, codes)
+    if (!si.evalRecall) served
+    else graft.ext.AnnEval.recallAtK(served,
+      graft.ext.SimSearch.bruteTopKNFiltered(emb, si.queryBound, si.k,
+        si.candWhere.map(expr).getOrElse(lit(true))))
+  }
+
   /** Compiles a `curation.dsir:` section onto [[graft.ext.Dsir.sample]]:
     * importance resampling toward the config's target distribution.
     * With `target_where` the target is any SQL predicate over the

@@ -74,6 +74,29 @@ class AnnEvalSpec extends SparkTestBase {
     assert(deltaDf.count() === emb.count() - cutoff)
   }
 
+  test("eval_recall config routes the similarity section to the grade;" +
+    " default keeps the serving contract") {
+    val si = graft.config.SimilarityConfig(queryBound = 16, k = 5,
+      candWhere = None, evalRecall = true)
+    val graded = graft.transform.CurationCompiler.compileSimilaritySection(si)(
+      emb, cents, sys.error("pq codes must not be built at this corpus size"))
+    assert(graded.columns.toSeq === Seq("qid", "hits", "nn_rank"))
+    // The grade equals the direct composition of the dispatched serving
+    // shape against brute ground truth.
+    val direct = AnnEval.recallAtK(
+      graft.transform.CurationCompiler.compileSimilarity(
+        si.copy(evalRecall = false))(emb, cents,
+        sys.error("pq codes must not be built at this corpus size")),
+      SimSearch.bruteTopKN(emb, 16, 5))
+    assert(graded.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+    // Default (no eval) keeps the (qid, cid, sim, rank) serving schema.
+    val served = graft.transform.CurationCompiler.compileSimilaritySection(
+      si.copy(evalRecall = false))(emb, cents,
+      sys.error("pq codes must not be built at this corpus size"))
+    assert(served.columns.toSeq === Seq("qid", "cid", "sim", "rank"))
+  }
+
   test("upsert serving over the merged cell table equals the one-shot" +
     " trained-on-base serving plan") {
     val cutoff = 4L * emb.count() / 5
