@@ -80,6 +80,19 @@ object IvfIndex {
       .filter(col("rank") <= k)
   }
 
+  /** Per-cell population of a (possibly upserted) cell table, split by
+    * an "arrived late" predicate — the index-HEALTH monitor that closes
+    * the maintenance loop: upserts never rebalance cells (centroids
+    * are frozen), so delta mass concentrating in few cells is the
+    * operational signal to retrain. Cell-keyed count aggregate with
+    * map-side combine; output is K rows regardless of corpus size.
+    */
+  def cellStats(cells: DataFrame, isDelta: org.apache.spark.sql.Column): DataFrame =
+    cells.groupBy(col("cell"))
+      .agg(sum(when(isDelta, 0L).otherwise(1L)).as("n_base"),
+        sum(when(isDelta, 1L).otherwise(0L)).as("n_delta"),
+        count(lit(1)).as("n_total"))
+
   /** The upsert fixture's base/delta split rule as SQL: the first 80%
     * of vec_ids are the base corpus, the rest arrive later. Integer
     * floor division matches Scala's `4L * n / 5` exactly.
@@ -109,4 +122,25 @@ object IvfIndex {
        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
        |       FROM p)
        |SELECT qid, cid, sim, CAST(rn AS INT) AS rank FROM rr WHERE rn <= $k""".stripMargin
+
+  /** DuckDB twin of [[cellStats]] over the upsert fixture's merged
+    * index: base-only training replay, full assignment, per-cell
+    * base/delta/total counts.
+    */
+  def cellStatsOracleSql(iters: Int, dim: Int): String =
+    s"""WITH ${SimSearch.trainedCentroidCtesWhere(iters, dim, BaseWhereSql)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r WHERE crn = 1)
+       |SELECT cell,
+       |  CAST(sum(CASE WHEN $BaseWhereSqlCid THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |  CAST(sum(CASE WHEN $BaseWhereSqlCid THEN 0 ELSE 1 END) AS BIGINT) AS n_delta,
+       |  CAST(count(*) AS BIGINT) AS n_total
+       |FROM cell GROUP BY cell""".stripMargin
+
+  /** [[BaseWhereSql]] phrased over the cell table's `cid` column. */
+  private val BaseWhereSqlCid =
+    "cid < (SELECT 4 * count(*) // 5 FROM embeddings)"
 }

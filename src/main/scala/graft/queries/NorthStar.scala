@@ -325,6 +325,18 @@ object NorthStar {
       EvalQueryBound, 5, probes)
   }
 
+  /** Index-health monitor over the upserted index
+    * ([[graft.ext.IvfIndex.cellStats]]): per-cell base/delta/total
+    * populations — upserts never rebalance frozen-centroid cells, so
+    * delta concentration is the retrain signal. Closes the maintenance
+    * loop: build → upsert → monitor → retrain decision.
+    */
+  def ivfCellStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val (cells, _, _) = upsertArtifacts(s, dir)
+    val cutoff = 4L * t(s, dir, "embeddings").count() / 5
+    graft.ext.IvfIndex.cellStats(cells, col("vec_id") >= cutoff)
+  }
+
   /** Semantic clustering of the embedding corpus (16 locked-trained
     * cells): the curation primitive for topic balance / per-cluster
     * sampling. Oracle replays the training.
@@ -1572,6 +1584,7 @@ object NorthStar {
     "ann_recall_filtered" -> (annRecallFilteredQ _),
     "ann_recall_curve" -> (annRecallCurveQ _),
     "ivf_upsert" -> (ivfUpsertQ _),
+    "ivf_cell_stats" -> (ivfCellStatsQ _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
     "span_dedup" -> (spanDedup _),
@@ -1927,6 +1940,8 @@ object NorthStar {
       EvalQueryBound, EvalK, EvalLevels, LockedIters, EmbDim),
     "ivf_upsert" -> graft.ext.IvfIndex.upsertOracleSql(
       EvalQueryBound, 5, LockedIters, EmbDim),
+    "ivf_cell_stats" -> graft.ext.IvfIndex.cellStatsOracleSql(
+      LockedIters, EmbDim),
     "dedup_near" ->
       s"""WITH $ShingleCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

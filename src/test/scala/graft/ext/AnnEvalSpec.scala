@@ -74,6 +74,21 @@ class AnnEvalSpec extends SparkTestBase {
     assert(deltaDf.count() === emb.count() - cutoff)
   }
 
+  test("cellStats: per-cell base/delta split is a partition of the corpus") {
+    val cutoff = 4L * emb.count() / 5
+    val cells = IvfIndex.assignCells(emb, cents)
+    val stats = IvfIndex.cellStats(cells, col("vec_id") >= cutoff).collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") ===
+        r.getAs[Long]("n_total"))
+    }
+    assert(stats.map(_.getAs[Long]("n_total")).sum === emb.count())
+    assert(stats.map(_.getAs[Long]("n_delta")).sum === emb.count() - cutoff)
+    // Every row belongs to a real centroid cell.
+    val centIds = cents.select("cent_id").collect().map(_.getLong(0)).toSet
+    stats.foreach(r => assert(centIds(r.getAs[Long]("cell"))))
+  }
+
   test("eval_recall config routes the similarity section to the grade;" +
     " default keeps the serving contract") {
     val si = graft.config.SimilarityConfig(queryBound = 16, k = 5,
