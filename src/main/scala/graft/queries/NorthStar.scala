@@ -854,6 +854,49 @@ object NorthStar {
   def scriptProfileQ(s: SparkSession, dir: String): DataFrame =
     graft.ext.ScriptProfile.battery(charLanedDocs(s, dir), "doc_id", "text")
 
+  /** Deterministic markup-injection lane for the HTML strip: the
+    * fixture text is markup-free, so tags/blocks/entities are injected
+    * by doc_id residue — a wrapped paragraph on % 7, a script block
+    * (with `<` inside its code) on % 11, a CASE-VARIANT style block on
+    * % 13, the six entities plus the double-encoded `&amp;lt;` on
+    * % 17, and unclosed tags on % 19 — replayed identically by the
+    * oracle's CASE chain. Residues overlap, so combined shapes occur.
+    */
+  private[graft] def htmlLanedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), concat(
+      when(col("doc_id") % 11 === 0,
+        lit("<script type=\"text/js\">var x=1; if(a<b){go()}</script> "))
+        .otherwise(lit("")),
+      when(col("doc_id") % 19 === 0, lit("<div><b>")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("<p class=\"a\">")).otherwise(lit("")),
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 7 === 0, lit("</p>")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" <STYLE media=\"all\">p{color:red}</STYLE>")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit(" a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;"))
+        .otherwise(lit(""))).as("text"))
+
+  private[queries] val HtmlLaneTextSql =
+    """CASE WHEN doc_id % 11 = 0
+      |     THEN '<script type="text/js">var x=1; if(a<b){go()}</script> '
+      |     ELSE '' END ||
+      |CASE WHEN doc_id % 19 = 0 THEN '<div><b>' ELSE '' END ||
+      |CASE WHEN doc_id % 7 = 0 THEN '<p class="a">' ELSE '' END ||
+      |coalesce(text, '') ||
+      |CASE WHEN doc_id % 7 = 0 THEN '</p>' ELSE '' END ||
+      |CASE WHEN doc_id % 13 = 0
+      |     THEN ' <STYLE media="all">p{color:red}</STYLE>' ELSE '' END ||
+      |CASE WHEN doc_id % 17 = 0
+      |     THEN ' a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;'
+      |     ELSE '' END""".stripMargin
+
+  /** HTML/boilerplate extraction over the markup lane —
+    * [[graft.ext.HtmlStrip]].
+    */
+  def htmlStripQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.HtmlStrip.strip(htmlLanedDocs(s, dir), "doc_id", "text")
+
   private[queries] val C4LinedCteSql =
     """c4lined AS (
       |  SELECT doc_id, concat(
@@ -1596,6 +1639,7 @@ object NorthStar {
     "c4_rules" -> (c4RulesQ _),
     "gopher_repetition" -> (gopherRepetitionQ _),
     "script_profile" -> (scriptProfileQ _),
+    "html_strip" -> (htmlStripQ _),
     "token_shards" -> (tokenShardsQ _),
     "source_profile" -> (sourceProfile _),
     "decontam" -> (decontam _),
@@ -1719,6 +1763,8 @@ object NorthStar {
       graft.ext.GopherRepetition.oracleSql(RepLinedCteSql, "doc_id"),
     "script_profile" ->
       graft.ext.ScriptProfile.oracleSql(CharLanedCteSql, "doc_id"),
+    "html_strip" ->
+      graft.ext.HtmlStrip.oracleSql("documents", "doc_id", HtmlLaneTextSql),
     "tfidf_terms" ->
       graft.ext.TextAnalysis.tfidfOracleSql("documents", "doc_id", "text", 3),
     // The oracle is the single global window — the semantics the
