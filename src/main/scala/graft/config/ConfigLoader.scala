@@ -200,6 +200,9 @@ object ConfigLoader {
         },
         charset = obj(c, "charset").map { g =>
           CharsetConfig(flagOnly = bool(g, "flag_only", default = true))
+        },
+        html = obj(c, "html").map { h =>
+          HtmlConfig(minCleanChars = int(h, "min_clean_chars", 0).toLong)
         })
     }
 

@@ -181,7 +181,8 @@ final case class CurationConfig(
     lmBuckets: Option[LmBucketsConfig] = None,
     gopher: Option[GopherConfig] = None,
     c4: Option[C4Config] = None,
-    charset: Option[CharsetConfig] = None)
+    charset: Option[CharsetConfig] = None,
+    html: Option[HtmlConfig] = None)
 
 /** `curation.semantic_dedup:` — embedding-space (SemDeDup) dedup over
   * the corpus's sibling embedding table, reachable from pure config.
@@ -267,6 +268,16 @@ final case class GopherConfig(
   */
 final case class CharsetConfig(
     flagOnly: Boolean = true)
+
+/** `curation.html:` — HTML/boilerplate extraction
+  * ([[graft.ext.HtmlStrip]]) before the word-level batteries:
+  * script/style blocks drop with content, tags become spaces, the six
+  * common entities decode. `min_clean_chars` drops documents whose
+  * EXTRACTED text is shorter than the floor (markup-only pages); 0 =
+  * pure transform.
+  */
+final case class HtmlConfig(
+    minCleanChars: Long = 0)
 
 /** `curation.c4:` — the C4 cleaning-rule battery (Raffel et al. 2020
   * §2.2, [[graft.ext.C4Rules]]): terminal-punctuation line retention,

@@ -383,6 +383,30 @@ object Pipeline {
       NorthStar.charLanedDocs(s, dir))
   }
 
+  /** HTML extraction declared in pure config (pure-transform shape:
+    * min_clean_chars 0), over the same markup lane as `html_strip` —
+    * hash-equal to the Scala composition's oracle.
+    */
+  private val htmlYaml =
+    """source:
+      |  name: corpus_html
+      |  type: file
+      |  curation:
+      |    id_field: doc_id
+      |    text_field: text
+      |    html:
+      |      min_clean_chars: 0
+      |""".stripMargin
+
+  def cfgHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(htmlYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val h = cu.html.getOrElse(
+      throw new IllegalStateException("html section failed to parse"))
+    graft.transform.CurationCompiler.compileHtml(h, cu.idField, cu.textField)(
+      NorthStar.htmlLanedDocs(s, dir))
+  }
+
   /** C4 cleaning battery declared in pure config (audit shape), over
     * the same derived line lane as `c4_rules` — hash-equal to the
     * Scala composition's oracle.
@@ -509,6 +533,7 @@ object Pipeline {
     "cfg_c4" -> (cfgC4 _),
     "cfg_gopher_repetition" -> (cfgGopherRepetition _),
     "cfg_charset" -> (cfgCharset _),
+    "cfg_html_strip" -> (cfgHtmlStrip _),
     "pipeline_report" -> (pipelineReport _))
 
   val oracle: Map[String, String] = Map(
@@ -529,6 +554,7 @@ object Pipeline {
     "cfg_c4" -> NorthStar.oracle("c4_rules"),
     "cfg_gopher_repetition" -> NorthStar.oracle("gopher_repetition"),
     "cfg_charset" -> NorthStar.oracle("script_profile"),
+    "cfg_html_strip" -> NorthStar.oracle("html_strip"),
     "cfg_pipeline" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
         | trim(o_orderstatus) AS status,

@@ -278,6 +278,19 @@ object CurationCompiler {
     if (c.flagOnly) scored else scored.filter(col("clean"))
   }
 
+  /** Compiles a `curation.html:` section onto
+    * [[graft.ext.HtmlStrip.strip]]: markup extraction before the
+    * word-level batteries, with an optional floor dropping documents
+    * whose extracted text is shorter than `min_clean_chars`
+    * (markup-only pages). Map-only either way.
+    */
+  def compileHtml(h: graft.config.HtmlConfig, idField: String,
+      textField: String)(docs: DataFrame): DataFrame = {
+    val stripped = graft.ext.HtmlStrip.strip(docs, idField, textField)
+    if (h.minCleanChars <= 0) stripped
+    else stripped.filter(length(col("clean_text")) >= h.minCleanChars)
+  }
+
   /** Compiles a `curation.decontam:` section onto
     * [[graft.ext.NearDup.contamination]]: the config's `eval_where`
     * predicate splits the document table into held-out benchmark vs

@@ -43,6 +43,25 @@ class HtmlStripSpec extends SparkTestBase {
     assert(out(2L) === (("plain words only", 0L, 0L, 0L)))
   }
 
+  test("config html section: min_clean_chars drops markup-only pages;" +
+    " floor 0 is the pure transform") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "<p><b></b></p>"),                        // markup-only: 3 spaces after strip
+      (2L, "<p>real content that survives</p>"))
+      .toDF("doc_id", "text")
+    val gated = graft.transform.CurationCompiler.compileHtml(
+      graft.config.HtmlConfig(minCleanChars = 10), "doc_id", "text")(docs)
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val pure = graft.transform.CurationCompiler.compileHtml(
+      graft.config.HtmlConfig(minCleanChars = 0), "doc_id", "text")(docs)
+    assert(pure.count() === 2L)
+    assert(pure.columns.toSeq ===
+      Seq("doc_id", "clean_text", "n_blocks", "n_tags", "n_entities"))
+    assert(pure.filter(col("doc_id") === 1L).select("n_tags")
+      .collect().head.getLong(0) === 4L)
+  }
+
   test("fixture lane is discriminating: every injection shape occurs") {
     val laned = graft.queries.NorthStar.htmlLanedDocs(spark, sf0001)
     val out = HtmlStrip.strip(laned, "doc_id", "text")
