@@ -1379,6 +1379,44 @@ object NorthStar {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
   }
 
+  /** Image table with PLANTED perceptual clones: every doc_id % 13 == 0
+    * renders with its successor's generator id, so (id, id+1) are
+    * byte-different PNGs of the SAME picture — the pairs `image_neardup`
+    * must find. Shared between the Spark lane and the oracle via
+    * [[ImageCloneESql]].
+    */
+  private def phashDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val e = if (id % 13 == 0) id + 1 else id
+        val w = (e % 57 + 8).toInt
+        val h = (e % 41 + 8).toInt
+        (id, graft.ext.Multimodal.ImageCodec.encodePng(w, h, e))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
+  }
+
+  private val ImageCloneESql =
+    "CASE WHEN doc_id % 13 = 0 THEN doc_id + 1 ELSE doc_id END"
+
+  /** Perceptual average-hash of every image through the REAL codec
+    * ([[graft.ext.ImageHash]]); the oracle replays the generator's
+    * pixel arithmetic, so the gate proves decode + hash bit-for-bit.
+    */
+  def imagePhashQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.ImageHash.phash(phashDocs(s, dir), "doc_id", "payload")
+
+  /** Image near-duplicates at Hamming ≤ 3 (band-complete by
+    * pigeonhole): finds exactly the planted clone pairs plus any
+    * coincidental near-hashes — byte-level dedup finds none of them.
+    */
+  def imageNearDupQ(s: SparkSession, dir: String): DataFrame =
+    graft.ext.ImageHash.nearDup(
+      graft.ext.ImageHash.phash(phashDocs(s, dir), "doc_id", "payload"), 3)
+
   /** REAL image decode (javax.imageio) over synthesized PNG payloads:
     * dimensions/format/bands come from the decoded bitstream; the
     * oracle predicts them arithmetically from doc_id.
@@ -1599,6 +1637,8 @@ object NorthStar {
     "image_decode" -> (imageDecode _),
     "image_resize" -> (imageResize _),
     "image_quarantine" -> (imageQuarantine _),
+    "image_phash" -> (imagePhashQ _),
+    "image_neardup" -> (imageNearDupQ _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_bloom" -> (dedupExactBloom _),
     "fingerprint" -> (fingerprint _),
@@ -1827,6 +1867,8 @@ object NorthStar {
         | CAST(greatest(1, (doc_id % 41 + 8) // 2) AS INT) AS height,
         | CAST(3 AS INT) AS channels
         |FROM documents""".stripMargin,
+    "image_phash" -> graft.ext.ImageHash.phashOracleSql(ImageCloneESql),
+    "image_neardup" -> graft.ext.ImageHash.nearDupOracleSql(ImageCloneESql, 3),
     // Quarantined = exactly the payloads the query truncated to 10
     // bytes before decode (doc_id % 7 == 0).
     "image_quarantine" ->
