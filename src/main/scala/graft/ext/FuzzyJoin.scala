@@ -49,16 +49,7 @@ object FuzzyJoin {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       blockKey.as("blk"))
     if (maxDist == 1) return fastSs1Pairs(base, blockCap)
-    val keyed = chunked(base, blockCap)
-    // A row in chunk k serves as the LEFT of cells (k, j≥k) and the
-    // RIGHT of cells (i≤k, k); every unordered chunk pair meets in
-    // exactly one cell, so each candidate pair is generated once.
-    val lhs = keyed.withColumn("cj", explode(sequence(col("chunk"), col("nchunks") - 1)))
-    val rhs = keyed.withColumn("ci", explode(sequence(lit(0), col("chunk"))))
-    lhs.alias("a").join(rhs.alias("b"),
-        col("a.blk") === col("b.blk") &&
-          col("a.chunk") === col("b.ci") && col("a.cj") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
+    tiledPairs(base, blockCap)
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"),
@@ -112,13 +103,7 @@ object FuzzyJoin {
           .stripMargin))))
       .select(col("id"), col("name"),
         concat_ws("\u0001", col("blk"), col("dkey")).as("blk"))
-    val keyed = chunked(dels, blockCap)
-    val lhs = keyed.withColumn("cj", explode(sequence(col("chunk"), col("nchunks") - 1)))
-    val rhs = keyed.withColumn("ci", explode(sequence(lit(0), col("chunk"))))
-    lhs.alias("a").join(rhs.alias("b"),
-        col("a.blk") === col("b.blk") &&
-          col("a.chunk") === col("b.ci") && col("a.cj") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
+    tiledPairs(dels, blockCap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
@@ -132,6 +117,27 @@ object FuzzyJoin {
         monotonically_increasing_id().as("__barrier"))
       .filter(col("dist") <= 1 && col("__barrier") >= 0)
       .drop("__barrier")
+  }
+
+  /** All within-block unordered pairs (`a.id < b.id`) of a frame with
+    * columns `id` (orderable) and `blk` (the block key), under the
+    * chunk-cell tiling — the per-task-bounded self-join every blocked
+    * pair operator in this package shares (edit-distance blocks here,
+    * identical-hash clusters and band buckets in [[ImageHash]]). A row
+    * in chunk k serves as the LEFT of cells (k, j≥k) and the RIGHT of
+    * cells (i≤k, k); every unordered chunk pair meets in exactly one
+    * cell, so each candidate pair is generated once and no task ever
+    * exceeds ~cap² comparisons regardless of block-key skew. Returns
+    * the joined frame with `a.*`/`b.*` qualifiers intact.
+    */
+  private[ext] def tiledPairs(base: DataFrame, cap: Int): DataFrame = {
+    val keyed = chunked(base, cap)
+    val lhs = keyed.withColumn("cj", explode(sequence(col("chunk"), col("nchunks") - 1)))
+    val rhs = keyed.withColumn("ci", explode(sequence(lit(0), col("chunk"))))
+    lhs.alias("a").join(rhs.alias("b"),
+      col("a.blk") === col("b.blk") &&
+        col("a.chunk") === col("b.ci") && col("a.cj") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
   }
 
   /** Chunk assignment for salting: contiguous id-ordered chunks of at

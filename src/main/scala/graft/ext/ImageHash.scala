@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: hashing is map-only (decode + 64 integer sums per
   * image; payloads never shuffle — only (id, 4×int) rows leave the
-  * scan). The candidate join is band-keyed (8-byte keys), pairs are
-  * skinny ids, and the exact Hamming check touches 4 ints per pair.
+  * scan). The candidate join is band-keyed over DISTINCT hashes (one
+  * representative per identical-hash cluster — see [[nearDup]]), pairs
+  * are skinny ids, the exact Hamming check touches 4 ints per pair,
+  * and no task exceeds ~cap² comparisons under any key skew.
   */
 object ImageHash {
 
@@ -84,31 +86,90 @@ object ImageHash {
         }
       }(Encoders.product[PHash]).toDF()
 
+  private val HashCols = Seq("b0", "b1", "b2", "b3")
+
+  /** Distinct hashes with their representative (min member doc_id) —
+    * the collapse that makes the band join skew-safe: an identical-hash
+    * cluster of m images (ubiquitous at corpus scale — aHash maps every
+    * near-uniform image, placeholders/spacers/solid backgrounds, to the
+    * all-zero hash) contributes ONE row to the candidate join instead
+    * of m.
+    */
+  private[ext] def hashGroups(members: DataFrame): DataFrame =
+    members.groupBy(HashCols.map(col): _*).agg(min(col("doc_id")).as("rep"))
+
+  /** Cross-group candidate pairs (rep_a < rep_b) from band equality at
+    * the REPRESENTATIVE level, with oversized band buckets chunk-split
+    * into ≤ cap² cells ([[FuzzyJoin.tiledPairs]]) so natural band-value
+    * skew can never concentrate a bucket's quadratic work on one task.
+    */
+  private[ext] def repCandidates(groups: DataFrame, bucketCap: Int): DataFrame = {
+    val bands = groups.select(col("rep"),
+      posexplode(array(HashCols.map(col): _*)).as(Seq("band", "bval")))
+    FuzzyJoin.tiledPairs(
+        bands.select(col("rep").as("id"),
+          concat_ws(":", col("band"), col("bval")).as("blk")),
+        bucketCap)
+      .select(col("a.id").as("rep_a"), col("b.id").as("rep_b"))
+      .distinct()
+  }
+
   /** Near-duplicate pairs at Hamming ≤ `maxHamming` over a
     * (doc_id, b0..b3) hash frame. Requires maxHamming ≤ 3 so the
     * band-equality candidate join is pigeonhole-complete.
+    *
+    * Hot-bucket safety (the two corpus-scale skew amplifiers of a
+    * naive per-image band join, and their fixes here):
+    *  1. Identical hashes collapse to one representative BEFORE
+    *     banding ([[hashGroups]]) — the m-member all-zero cluster of
+    *     near-uniform images meets the candidate join once, not m²
+    *     times; its true hamming-0 pairs come from a separate
+    *     per-task-bounded tiled self-join on the full hash key, and
+    *     cross-cluster matches expand arithmetically (members_A ×
+    *     members_B) AFTER the Hamming filter, so only true output
+    *     pairs are ever materialized from cluster mass.
+    *  2. Band buckets above `bucketCap` representatives chunk-split
+    *     into id-ordered cells ([[FuzzyJoin.tiledPairs]]), bounding any
+    *     single task to ~cap² candidate comparisons regardless of
+    *     band-value skew.
+    * The emitted pair set is IDENTICAL to the uncollapsed join
+    * (`ImageHashSpec` asserts equality vs brute Hamming and bounded
+    * candidate volume on a planted 10⁴-image hot bucket).
     */
-  def nearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  def nearDup(hashes: DataFrame, maxHamming: Int, bucketCap: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"band-complete threshold is 0..3 over 4 bands: $maxHamming")
-    val bands = hashes.select(col("doc_id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("band", "bval")))
-    val cand = bands.select(col("band"), col("bval"), col("doc_id").as("id_a"))
-      .join(bands.select(col("band"), col("bval"), col("doc_id").as("id_b")),
-        Seq("band", "bval"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    def hx(side: String, suffix: String) = hashes.select(
-      col("doc_id").as(side),
-      col("b0").as(s"b0$suffix"), col("b1").as(s"b1$suffix"),
-      col("b2").as(s"b2$suffix"), col("b3").as(s"b3$suffix"))
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    val members = hashes.select(col("doc_id") +: HashCols.map(col): _*)
+    val groups = hashGroups(members)
+    // Hamming-0 lane: all unordered pairs within an identical-hash
+    // cluster, tiled so a giant cluster's (true, irreducible) pair
+    // output is produced by many ≤ cap² tasks instead of one.
+    val within = FuzzyJoin.tiledPairs(
+        members.select(col("doc_id").as("id"),
+          concat_ws(":", HashCols.map(col): _*).as("blk")),
+        bucketCap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0L).as("hamming"))
+    // Cross-group lane: candidates at rep level, exact Hamming on the
+    // 4 ints, THEN expansion to member pairs (distinct groups differ in
+    // ≥ 1 bit, so the two lanes are disjoint by construction).
+    def hx(side: String, suffix: String) = groups.select(
+      col("rep").as(side) +: HashCols.map(c => col(c).as(s"$c$suffix")): _*)
     val hamming = (0 to 3).map(i =>
       bit_count(col(s"b$i" + "_a").bitwiseXOR(col(s"b$i" + "_b"))))
       .reduce(_ + _)
-    cand.join(hx("id_a", "_a"), "id_a").join(hx("id_b", "_b"), "id_b")
-      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+    val repPairs = repCandidates(groups, bucketCap)
+      .join(hx("rep_a", "_a"), "rep_a").join(hx("rep_b", "_b"), "rep_b")
+      .select(col("rep_a"), col("rep_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    val mem = members.join(groups, HashCols).select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("rep_a"), col("doc_id").as("ma")), "rep_a")
+      .join(mem.select(col("rep").as("rep_b"), col("doc_id").as("mb")), "rep_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Pixel-replay CTEs shared by both oracles: `eSql` is the effective

@@ -227,6 +227,31 @@ object Multimodal {
       baos.toByteArray
     }
 
+    /** Re-encode a PNG byte stream with a deterministic ancillary
+      * `tEXt` chunk spliced in before IEND — pixel-identical, BYTE-
+      * different output (the real-world "same picture, different
+      * metadata/encoder" stream that exact byte-level dedup is blind
+      * to and perceptual hashing must still catch). Pure integer
+      * splice + CRC32, no float, no randomness.
+      */
+    def annotatePng(payload: Array[Byte], text: String): Array[Byte] = {
+      val data = ("Comment\u0000" + text).getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val chunk = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(chunk)
+      dos.writeInt(data.length)
+      val typeAndData = "tEXt".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      dos.write(typeAndData)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      dos.writeInt(crc.getValue.toInt)
+      dos.flush()
+      // IEND chunk = 4-byte zero length + "IEND" + CRC = final 12 bytes.
+      val cut = payload.length - 12
+      payload.slice(0, cut) ++ chunk.toByteArray ++ payload.slice(cut, payload.length)
+    }
+
     /** Real resample of an already-decoded raster: bilinear-scale to
       * (outW, outH), re-encode PNG.
       */

@@ -1380,10 +1380,13 @@ object NorthStar {
   }
 
   /** Image table with PLANTED perceptual clones: every doc_id % 13 == 0
-    * renders with its successor's generator id, so (id, id+1) are
-    * byte-different PNGs of the SAME picture — the pairs `image_neardup`
-    * must find. Shared between the Spark lane and the oracle via
-    * [[ImageCloneESql]].
+    * renders with its successor's generator id and is then re-encoded
+    * through [[graft.ext.Multimodal.ImageCodec.annotatePng]] (a spliced
+    * ancillary tEXt chunk), so (id, id+1) are genuinely BYTE-different
+    * PNG streams of the SAME picture — exact byte-level dedup cannot
+    * pair them; `image_neardup` must. Shared between the Spark lane and
+    * the oracle via [[ImageCloneESql]] (the oracle replays pixels, which
+    * the annotation provably does not touch).
     */
   private def phashDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -1394,7 +1397,12 @@ object NorthStar {
         val e = if (id % 13 == 0) id + 1 else id
         val w = (e % 57 + 8).toInt
         val h = (e % 41 + 8).toInt
-        (id, graft.ext.Multimodal.ImageCodec.encodePng(w, h, e))
+        val png = graft.ext.Multimodal.ImageCodec.encodePng(w, h, e)
+        val payload =
+          if (id % 13 == 0)
+            graft.ext.Multimodal.ImageCodec.annotatePng(png, s"clone-of-$e")
+          else png
+        (id, payload)
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("doc_id", "payload")
   }

@@ -12,9 +12,15 @@ class ImageHashSpec extends SparkTestBase {
 
   test("identical pictures in different byte streams hash identically;" +
     " different pictures do not") {
+    val base = png(20, 12, 7L)
+    // Same picture, genuinely different byte stream: a spliced tEXt
+    // chunk changes the bytes without touching a pixel — the stream
+    // exact byte-level dedup cannot pair with the original.
+    val reencoded = Multimodal.ImageCodec.annotatePng(base, "re-encoded copy")
+    assert(!java.util.Arrays.equals(base, reencoded))
     val docs = Seq(
-      (1L, png(20, 12, 7L)),
-      (2L, png(20, 12, 7L)),   // same picture, independently encoded
+      (1L, base),
+      (2L, reencoded),
       (3L, png(20, 12, 999L))) // different pattern
       .toDF("doc_id", "payload")
     val h = ImageHash.phash(docs, "doc_id", "payload").collect()
@@ -48,9 +54,13 @@ class ImageHashSpec extends SparkTestBase {
   }
 
   test("banded near-dup at <= 3 is pigeonhole-complete vs brute force") {
+    // Mirrors the query fixture: clones render with the successor's
+    // generator id AND re-encode through annotatePng, so every planted
+    // pair is byte-different.
     val docs = (0L until 40L).map { id =>
       val e = if (id % 13 == 0) id + 1 else id
-      (id, png((e % 57 + 8).toInt, (e % 41 + 8).toInt, e))
+      val p = png((e % 57 + 8).toInt, (e % 41 + 8).toInt, e)
+      (id, if (id % 13 == 0) Multimodal.ImageCodec.annotatePng(p, s"c$e") else p)
     }.toDF("doc_id", "payload")
     val hashes = ImageHash.phash(docs, "doc_id", "payload").cache()
     val banded = ImageHash.nearDup(hashes, 3)
@@ -72,6 +82,77 @@ class ImageHashSpec extends SparkTestBase {
     assert(clones.nonEmpty)
     assert(clones.subsetOf(banded))
     hashes.unpersist()
+  }
+
+  private def uniformPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("planted 10^4-image hot bucket: candidate volume stays bounded" +
+    " and output matches brute Hamming, computed arithmetically") {
+    // The corpus-scale skew case the band join must survive: every
+    // near-uniform image (placeholders, spacers, solid backgrounds)
+    // hashes to all-zero — one bucket holds them all. 10^4 of them
+    // (byte-different: varying dims and grays) plus 50 varied patterns.
+    val m = 10000
+    val uniform = (0L until m.toLong).map { id =>
+      (id, uniformPng((id % 23 + 6).toInt, (id % 17 + 6).toInt, (id % 200 + 10).toInt))
+    }
+    val varied = (0L until 50L).map { i =>
+      (m + i, png((i % 57 + 8).toInt, (i % 41 + 8).toInt, i * 7 + 1))
+    }
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(uniform ++ varied, 16))
+      .toDF("doc_id", "payload")
+    val hashes = ImageHash.phash(docs, "doc_id", "payload").cache()
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(hs.size === m + 50)
+    // Every uniform image lands in the all-zero bucket.
+    (0L until m.toLong).foreach(id => assert(hs(id) === Seq(0, 0, 0, 0)))
+
+    // Candidate volume: the rep-level band join sees one row per
+    // DISTINCT hash, so candidates are bounded by distinct-hash pairs
+    // (<= C(51, 2) here) — a per-image band join would have generated
+    // >= C(10^4, 2) ~ 5*10^7 candidate rows from this one bucket.
+    val groups = ImageHash.hashGroups(
+      hashes.select("doc_id", "b0", "b1", "b2", "b3"))
+    val nGroups = groups.count()
+    assert(nGroups <= 51)
+    val candRows = ImageHash.repCandidates(groups, 4096).count()
+    assert(candRows <= nGroups * (nGroups - 1) / 2)
+
+    // Brute ground truth, computed arithmetically over distinct hashes:
+    // pairs within a hash group are all hamming 0; cross-group pair
+    // counts multiply group sizes when the group-hash hamming <= 3.
+    val bySig = hs.toSeq.groupBy(_._2).map { case (sig, xs) => sig -> xs.size.toLong }
+    val sigs = bySig.keys.toSeq
+    val expectWithin = bySig.values.map(n => n * (n - 1) / 2).sum
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val expectCross = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.size
+      if ham(sigs(i), sigs(j)) <= 3
+    } yield bySig(sigs(i)) * bySig(sigs(j))).sum
+    assert(expectWithin >= m.toLong * (m - 1) / 2) // the hot bucket is real
+
+    val out = ImageHash.nearDup(hashes, 3).cache()
+    val gotByHam = out.groupBy("hamming").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotByHam.getOrElse(0L, 0L) === expectWithin)
+    assert(gotByHam.filter(_._1 > 0L).values.sum === expectCross)
+    assert(out.count() === expectWithin + expectCross)
+    // No duplicate pairs, and ordering holds.
+    assert(out.filter(col("id_a") >= col("id_b")).count() === 0L)
+    assert(out.select("id_a", "id_b").distinct().count() === expectWithin + expectCross)
+    out.unpersist(); hashes.unpersist()
   }
 
   test("undecodable payloads drop to the quarantine lane, not the hash") {
