@@ -140,7 +140,12 @@ object ImageHash {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"band-complete threshold is 0..3 over 4 bands: $maxHamming")
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    // One materialized exchange on the hash: the group collapse, the
+    // hamming-0 tiling and the membership join all consume (b0..b3)
+    // partitioning, so the (decode-heavy) upstream hashing runs once
+    // (ReuseExchange), not once per branch.
     val members = hashes.select(col("doc_id") +: HashCols.map(col): _*)
+      .repartition(HashCols.map(col): _*)
     val groups = hashGroups(members)
     // Hamming-0 lane: all unordered pairs within an identical-hash
     // cluster, tiled so a giant cluster's (true, irreducible) pair

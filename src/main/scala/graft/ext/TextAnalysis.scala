@@ -186,31 +186,76 @@ object TextAnalysis {
       }): _*)
   }
 
+  /** Cross-group candidate pairs (rep_a < rep_b) from band-key equality
+    * over DISTINCT fingerprints, with oversized buckets chunk-split into
+    * ≤ cap² cells ([[FuzzyJoin.tiledPairs]]) — natural band-key skew can
+    * never concentrate a bucket's quadratic work on one task.
+    */
+  private[ext] def simhashRepCandidates(
+      groups: DataFrame, maxHamming: Int, combine: Int, bucketCap: Int): DataFrame = {
+    val banded = groups.select(col("rep"),
+      posexplode(simhashBandKeys(col("simhash"), maxHamming, combine))
+        .as(Seq("band", "bkey")))
+    FuzzyJoin.tiledPairs(
+        banded.select(col("rep").as("id"),
+          concat_ws(":", col("band"), col("bkey")).as("blk")),
+        bucketCap)
+      .select(col("a.id").as("rep_a"), col("b.id").as("rep_b"))
+      .distinct()
+  }
+
   /** SimHash near-dup candidate pairs from precomputed fingerprints
     * (column `simhash`). Banded by [[simhashBandKeys]]: the bucket
     * self-join is COMPLETE for the given `maxHamming` and never an
     * all-pairs scan; only (band, key, id, fingerprint) tuples shuffle —
     * never text.
+    *
+    * Hot-bucket safety (the [[ImageHash.nearDup]] design, same two skew
+    * amplifiers): identical fingerprints — every exact-duplicate text,
+    * and token-set near-identicals, a large fraction of any web corpus
+    * when no exact dedup ran upstream — collapse to one representative
+    * BEFORE banding, so an m-member cluster meets the candidate join
+    * once instead of m² times; its hamming-0 pairs come from a
+    * per-task-bounded tiled self-join on the full fingerprint, and
+    * cross-cluster matches expand arithmetically AFTER the Hamming
+    * filter. Band buckets above `bucketCap` representatives chunk-split
+    * into id-ordered cells. Emitted pair set identical to the
+    * uncollapsed join (spec-asserted on a planted hot cluster).
     */
   def simhashPairsFromFingerprints(
       fps: DataFrame, idCol: String,
-      maxHamming: Int = 3, combine: Int = 2): DataFrame = {
-    // repartition on the bucket key → the self-join's sides share one
-    // materialized exchange, so the upstream fingerprint computation
-    // runs once (AQE stage reuse), not once per branch.
-    val banded = fps.select(col(idCol), col("simhash"),
-      posexplode(simhashBandKeys(col("simhash"), maxHamming, combine))
-        .as(Seq("band", "bkey")))
-      .repartition(col("band"), col("bkey"))
-    val left = banded.alias("a")
-    val right = banded.alias("b")
-    left.join(right,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      maxHamming: Int = 3, combine: Int = 2, bucketCap: Int = 4096): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    // One materialized exchange on the fingerprint: the group collapse,
+    // the hamming-0 tiling and the membership join all consume simhash
+    // partitioning, so the (expensive) upstream fingerprint computation
+    // runs once (ReuseExchange), not once per branch.
+    val members = fps.select(col(idCol).as("id"), col("simhash"))
+      .repartition(col("simhash"))
+    val groups = members.groupBy(col("simhash")).agg(min(col("id")).as("rep"))
+    // Hamming-0 lane: all unordered pairs within an identical-
+    // fingerprint cluster, tiled so a giant cluster's (true,
+    // irreducible) pair output comes from many ≤ cap² tasks.
+    val within = FuzzyJoin.tiledPairs(
+        members.select(col("id"), col("simhash").as("blk")), bucketCap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0L).as("hamming"))
+    // Cross-group lane: rep-level candidates, exact Hamming on the two
+    // fingerprints, THEN expansion to member pairs (distinct groups
+    // differ in ≥ 1 bit, so the lanes are disjoint by construction).
+    val repPairs = simhashRepCandidates(groups, maxHamming, combine, bucketCap)
+      .join(groups.select(col("rep").as("rep_a"), col("simhash").as("sh_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("simhash").as("sh_b")), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val mem = members.join(groups, "simhash").select(col("rep"), col("id"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("rep_a"), col("id").as("ma")), "rep_a")
+      .join(mem.select(col("rep").as("rep_b"), col("id").as("mb")), "rep_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bits, end

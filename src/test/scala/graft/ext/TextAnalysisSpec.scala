@@ -82,6 +82,52 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("planted identical-fingerprint hot cluster: bounded candidates," +
+    " output equals arithmetic brute") {
+    // The no-upstream-exact-dedup case: 10^4 docs share one fingerprint
+    // (exact-duplicate texts), plus varied singletons — some within
+    // hamming 3 of the cluster. Candidate volume must stay rep-level.
+    val m = 10000
+    val hot = 0x0F0F0F0F0F0FFL & ((1L << TextAnalysis.SimhashBits) - 1)
+    val rows = (0L until m.toLong).map(id => (id, hot)) ++
+      (0 until 40).map { i =>
+        // i < 8 → flip i+1 low bits (hamming i+1 from the cluster);
+        // rest → far-away fingerprints.
+        val fp = if (i < 8) hot ^ ((1L << (i + 1)) - 1)
+        else (0x123456789ABCDL * (i + 1)) & ((1L << TextAnalysis.SimhashBits) - 1)
+        (m + i.toLong, fp)
+      }
+    val fps = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 16)).toDF("doc_id", "simhash")
+    val groups = fps.select($"doc_id".as("id"), $"simhash")
+      .groupBy($"simhash").agg(min($"id").as("rep"))
+    val nGroups = groups.count()
+    assert(nGroups <= 41)
+    val candRows = TextAnalysis.simhashRepCandidates(groups, 3, 2, 4096).count()
+    // Rep-level: bounded by distinct-fingerprint pairs, not member pairs.
+    assert(candRows <= nGroups * (nGroups - 1) / 2)
+
+    // Arithmetic brute over distinct fingerprints × group sizes.
+    val bySig = rows.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    val sigs = bySig.keys.toSeq
+    val expectWithin = bySig.values.map(n => n * (n - 1) / 2).sum
+    val expectCross = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.size
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 3
+    } yield bySig(sigs(i)) * bySig(sigs(j))).sum
+    assert(expectWithin >= m.toLong * (m - 1) / 2)
+    assert(expectCross >= 3L * m) // hamming 1..3 planted neighbors hit the cluster
+
+    val out = TextAnalysis.simhashPairsFromFingerprints(fps, "doc_id", 3, 2).cache()
+    val byHam = out.groupBy("hamming").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHam.getOrElse(0L, 0L) === expectWithin)
+    assert(byHam.filter(_._1 > 0L).values.sum === expectCross)
+    assert(out.filter($"id_a" >= $"id_b").count() === 0L)
+    assert(out.select("id_a", "id_b").distinct().count() === expectWithin + expectCross)
+    out.unpersist()
+  }
+
   test("bpe token stats split letter/digit/punct runs") {
     val docs = Seq((1L, "ab2c, d-e 42")).toDF("doc_id", "text")
     val r = TextAnalysis.bpeTokenStats(docs, "text", "doc_id").head()
