@@ -96,6 +96,17 @@ object IvfIndex {
   /** The upsert fixture's base/delta split rule as SQL: the first 80%
     * of vec_ids are the base corpus, the rest arrive later. Integer
     * floor division matches Scala's `4L * n / 5` exactly.
+    *
+    * DENSE-ID ASSUMPTION (fixture contract, repo-wide): vec_ids are
+    * 0..n-1 with no gaps — the same contract every `queryBound` usage
+    * in [[SimSearch]] rests on ("the first `queryBound` ids are the
+    * queries"). Under it, `vec_id < 4·count(*)/5` selects exactly the
+    * Scala side's `cutoff = 4·n/5` corpus-size hint, so query and
+    * oracle derive identical index geometry
+    * ([[SimSearch.IvfParams.forCorpus]]). A sparse-id corpus would
+    * break the equivalence silently; [[graft.Tables]] fixtures are
+    * dense by generation, and `AnnEvalSpec` asserts density on the
+    * embeddings fixture so a regenerated fixture cannot drift.
     */
   val BaseWhereSql = "vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)"
 

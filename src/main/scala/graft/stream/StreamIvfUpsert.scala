@@ -38,9 +38,23 @@ object StreamIvfUpsert {
       .partitionBy("batch_id")
       .parquet(outDir)
 
-  /** The accumulated (vec_id, cell) index as serving reads it. */
-  def readIndex(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).drop("batch_id")
+  /** The accumulated (vec_id, cell) index as serving reads it. Serving
+    * may start before the first micro-batch commits — an output dir
+    * with no committed partition (or none at all) reads as an EMPTY
+    * index, not an AnalysisException.
+    */
+  def readIndex(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType), StructField("cell", LongType))))
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(outDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+        .exists(_.getPath.getName.startsWith("batch_id="))
+    if (committed) spark.read.parquet(outDir).drop("batch_id") else empty
+  }
 
   /** Start the maintenance stream: one idempotent index partition per
     * micro-batch of arriving vectors.

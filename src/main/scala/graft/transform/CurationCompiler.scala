@@ -160,9 +160,19 @@ object CurationCompiler {
       case _ =>
         val dim = emb.select(size(col("embedding"))).head.getInt(0)
         graft.ext.SimSearch.pqTopKNFilteredFromCodes(
-          codes, emb, si.queryBound, si.k, dim, candW)
+          codes, emb, si.queryBound, si.k, dim, candW,
+          shortlist = pqShortlistFor(si.k))
     }
   }
+
+  /** ADC shortlist size for a config-dispatched PQ serving at top-k:
+    * the shortlist must dominate k, or a config `k` above the default
+    * shortlist (20) silently truncates the served list — and an
+    * `eval_recall: true` grade would then measure the hidden cap, not
+    * the index. 2k keeps the exact re-rank's candidate set a strict
+    * superset of any defensible serving list while staying k-sized.
+    */
+  def pqShortlistFor(k: Int): Int = math.max(20, 2 * k)
 
   /** Entry point for a `curation.similarity:` section: serving top-k
     * by default; with `eval_recall: true` the dispatched serving shape

@@ -13,6 +13,20 @@ class AnnEvalSpec extends SparkTestBase {
   private lazy val cents = SimSearch.trainCentroidsLocked(emb, 16, 2)
     .localCheckpoint()
 
+  test("fixture vec_ids are dense 0..n-1 — the BaseWhereSql/queryBound" +
+    " contract every oracle split rule rests on") {
+    // IvfIndex.BaseWhereSql derives the Scala side's 4n/5 corpus-size
+    // hint from `vec_id < 4*count(*)//5`; the two agree only on dense
+    // ids. Pin density so a regenerated fixture cannot silently
+    // diverge index geometry between query and oracle.
+    val r = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id")),
+      countDistinct(col("vec_id"))).head()
+    val n = r.getLong(0)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === n - 1)
+    assert(r.getLong(3) === n)
+  }
+
   test("recallAtK: exact hit accounting and nn_rank on handcrafted lists") {
     // GT for q0: cids 10,11,12 at ranks 1,2,3. ANN returns 11,99,10 —
     // two hits; the true NN (10) sits at ANN rank 3.

@@ -49,6 +49,20 @@ class StreamIvfUpsertSpec extends SparkTestBase {
     out
   }
 
+  test("serving may start before the first micro-batch commits:" +
+    " empty/missing output dir reads as an empty index") {
+    // Missing dir entirely.
+    val missing = Files.createTempDirectory("siv_empty").toString + "/never_written"
+    val idx0 = StreamIvfUpsert.readIndex(spark, missing)
+    assert(idx0.columns.toSeq === Seq("vec_id", "cell"))
+    assert(idx0.count() === 0L)
+    // Dir exists (e.g. created by the sink) but no batch_id= partition
+    // has committed yet.
+    val bare = Files.createTempDirectory("siv_bare").toString
+    val idx1 = StreamIvfUpsert.readIndex(spark, bare)
+    assert(idx1.count() === 0L)
+  }
+
   test("accumulated index equals the one-shot assignment, any slicing") {
     val truth = oneShot
     for (split <- Seq(7, 16, 48)) {

@@ -269,6 +269,30 @@ class CurationCompilerSpec extends SparkTestBase {
     assert(CurationCompiler.dispatchFor(CurationCompiler.SimIvfMax + 1) == "pq")
   }
 
+  test("PQ shortlist scales with config k: a served top-k is never" +
+    " silently capped by the default ADC shortlist") {
+    assert(CurationCompiler.pqShortlistFor(5) == 20)
+    assert(CurationCompiler.pqShortlistFor(10) == 20)
+    assert(CurationCompiler.pqShortlistFor(25) == 50)
+    // End to end at k=25 (> the default shortlist of 20): with the
+    // scaled shortlist every graded query serves a full k-row list.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+    val k = 25
+    val codes = graft.ext.SimSearch.pqEncode(emb, dim)
+    val served = graft.ext.SimSearch.pqTopKNFilteredFromCodes(
+      codes, emb, 4, k, dim, org.apache.spark.sql.functions.lit(true),
+      shortlist = CurationCompiler.pqShortlistFor(k))
+    val perQ = served.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.nonEmpty && perQ.forall(_ == k.toLong))
+    // The default shortlist would have capped the list at 20.
+    val capped = graft.ext.SimSearch.pqTopKNFilteredFromCodes(
+      codes, emb, 4, k, dim, org.apache.spark.sql.functions.lit(true))
+    val perQCapped = capped.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQCapped.forall(_ <= 20L))
+  }
+
   test("small corpus dispatches to exact brute; the index suppliers are never touched") {
     val s2 = spark; import s2.implicits._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
