@@ -168,7 +168,12 @@ object ConfigLoader {
             queryBound = int(si, "query_bound", 100),
             k = int(si, "k", 5),
             candWhere = optStr(si, "cand_where"),
-            evalRecall = bool(si, "eval_recall", false))
+            evalRecall = bool(si, "eval_recall", false),
+            retrainWhen = obj(si, "retrain_when").map { rw =>
+              RetrainWhenConfig(
+                maxDeltaPct = int(rw, "max_delta_pct", 50),
+                maxCellRatio = int(rw, "max_cell_ratio", 8))
+            })
         },
         decontam = obj(c, "decontam").map { dc =>
           DecontamConfig(

@@ -216,7 +216,23 @@ final case class SimilarityConfig(
     queryBound: Int = 100,
     k: Int = 5,
     candWhere: Option[String] = None,
-    evalRecall: Boolean = false)
+    evalRecall: Boolean = false,
+    retrainWhen: Option[RetrainWhenConfig] = None)
+
+/** `similarity: retrain_when:` — the declarative retrain policy that
+  * closes the index-maintenance loop: `ivf_cell_stats` measures,
+  * this section DECIDES. Integer thresholds (a percent and a ratio) so
+  * the decision is hash-exact across engines: retrain when any cell's
+  * delta share exceeds `max_delta_pct` percent, or when cell
+  * populations diverge beyond `max_cell_ratio`. Compiled by
+  * [[graft.transform.CurationCompiler.compileRetrainSignal]] (dry-run
+  * decision frame) and acted on by
+  * [[graft.ext.IvfIndex.maintainIndex]] (check → retrain → rebuild →
+  * atomic versioned swap).
+  */
+final case class RetrainWhenConfig(
+    maxDeltaPct: Int = 50,
+    maxCellRatio: Int = 8)
 
 /** `curation.decontam:` — eval-set decontamination: flag corpus
   * documents sharing ≥ `min_shared` distinct `shingle_len`-shingles

@@ -93,6 +93,124 @@ object IvfIndex {
         sum(when(isDelta, 1L).otherwise(0L)).as("n_delta"),
         count(lit(1)).as("n_total"))
 
+  /** Config-declared retrain policy (`similarity: retrain_when:`),
+    * integer-exact so the decision hash-compares across engines:
+    * retrain when ANY cell's delta share exceeds `maxDeltaPct` percent
+    * (`n_delta·100 > n_total·pct` — upserts never rebalance frozen
+    * cells, so concentrated delta mass means the centroids no longer
+    * describe the corpus) OR when cell populations are imbalanced
+    * beyond `maxCellRatio` (`max(n_total) > ratio·min(n_total)` —
+    * degenerate cells make probe cost skew-bound).
+    */
+  final case class RetrainPolicy(maxDeltaPct: Int = 50, maxCellRatio: Int = 8) {
+    require(maxDeltaPct >= 0 && maxDeltaPct <= 100,
+      s"max_delta_pct must be 0..100, got $maxDeltaPct")
+    require(maxCellRatio >= 1, s"max_cell_ratio must be >= 1, got $maxCellRatio")
+  }
+
+  /** One-row retrain decision over a [[cellStats]] frame — the DRY-RUN
+    * form of the maintenance loop (`cfg`-reachable): corpus-wide
+    * base/delta totals, the two integer-exact breach flags, and the
+    * verdict. K-row input, 1-row output.
+    */
+  def retrainSignal(stats: DataFrame, policy: RetrainPolicy): DataFrame =
+    stats.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n_base")).as("base_total"),
+        sum(col("n_delta")).as("delta_total"),
+        (max(when(col("n_delta") * 100 > col("n_total") * policy.maxDeltaPct,
+          1L).otherwise(0L)) === 1).as("delta_breach"),
+        (max(col("n_total")) >
+          lit(policy.maxCellRatio.toLong) * min(col("n_total"))).as("ratio_breach"))
+      .withColumn("retrain", col("delta_breach") || col("ratio_breach"))
+
+  /** DuckDB twin of [[retrainSignal]] over the upsert fixture: the
+    * cell-stats replay reduced to the same one-row integer decision.
+    */
+  def retrainSignalOracleSql(iters: Int, dim: Int, policy: RetrainPolicy): String =
+    s"""WITH stats AS (
+       |${cellStatsOracleSql(iters, dim)}
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(sum(n_base) AS BIGINT) AS base_total,
+       |  CAST(sum(n_delta) AS BIGINT) AS delta_total,
+       |  max(CASE WHEN n_delta * 100 > n_total * ${policy.maxDeltaPct}
+       |      THEN 1 ELSE 0 END) = 1 AS delta_breach,
+       |  max(n_total) > ${policy.maxCellRatio} * min(n_total) AS ratio_breach,
+       |  (max(CASE WHEN n_delta * 100 > n_total * ${policy.maxDeltaPct}
+       |      THEN 1 ELSE 0 END) = 1)
+       |    OR (max(n_total) > ${policy.maxCellRatio} * min(n_total)) AS retrain
+       |FROM stats""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Versioned landed index + the closed maintenance loop
+  // ------------------------------------------------------------------
+
+  /** Land (centroids, cells) as `indexDir/v=<version>/{centroids,cells}`
+    * and atomically re-point `_CURRENT` ([[graft.sink.AtomicPointer]] —
+    * the WarehousePublisher commit pattern). One pointer covers BOTH
+    * frames, so a serving reader can never pair new centroids with old
+    * cells. Retention keeps the two newest versions for in-flight
+    * readers.
+    */
+  def publishIndex(cents: DataFrame, cells: DataFrame, indexDir: String,
+      version: Long): Unit = {
+    val spark = cents.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    cents.write.mode("overwrite").parquet(s"$indexDir/v=$version/centroids")
+    cells.write.mode("overwrite").parquet(s"$indexDir/v=$version/cells")
+    graft.sink.AtomicPointer.write(conf, indexDir, s"v=$version")
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n.startsWith("v=")) scala.util.Try(n.drop(2).toLong).toOption.map(_ -> p)
+      else None
+    }.sortBy(-_._1).drop(2).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The published version `_CURRENT` points at, if any. */
+  def currentIndexVersion(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Long] =
+    graft.sink.AtomicPointer.read(
+        spark.sparkContext.hadoopConfiguration, indexDir)
+      .map(_.stripPrefix("v=").toLong)
+
+  /** (centroids, cells) of the currently-published index version. */
+  def readCurrentIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (DataFrame, DataFrame) = {
+    val v = currentIndexVersion(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir has no _CURRENT pointer — no index version published"))
+    (spark.read.parquet(s"$indexDir/v=$v/centroids"),
+      spark.read.parquet(s"$indexDir/v=$v/cells"))
+  }
+
+  /** The closed maintenance loop: check the published index's cell
+    * stats against the policy; if breached, retrain centroids on the
+    * CURRENT corpus, rebuild the cell table, and atomically publish the
+    * next version — otherwise leave the current version serving.
+    * Returns true iff a retrain was performed. The check is K-row
+    * work; the retrain (when it fires) costs exactly a from-scratch
+    * build and lands exactly the from-scratch index (spec-asserted),
+    * because [[assignCells]] is per-vector independent.
+    */
+  def maintainIndex(emb: DataFrame, isDelta: org.apache.spark.sql.Column,
+      numCentroids: Int, iters: Int, indexDir: String,
+      policy: RetrainPolicy): Boolean = {
+    val spark = emb.sparkSession
+    val (_, cells) = readCurrentIndex(spark, indexDir)
+    val retrain = retrainSignal(cellStats(cells, isDelta), policy)
+      .select(col("retrain")).head.getBoolean(0)
+    if (retrain) {
+      val cents = SimSearch.trainCentroidsLocked(emb, numCentroids, iters)
+        .localCheckpoint()
+      val v = currentIndexVersion(spark, indexDir).getOrElse(-1L) + 1
+      publishIndex(cents, assignCells(emb, cents), indexDir, v)
+    }
+    retrain
+  }
+
   /** The upsert fixture's base/delta split rule as SQL: the first 80%
     * of vec_ids are the base corpus, the rest arrive later. Integer
     * floor division matches Scala's `4L * n / 5` exactly.

@@ -448,9 +448,54 @@ object SimSearch {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val u = emb.select(col("vec_id"),
       quantizeUnit(col("embedding"), ndot).as("u"))
-    var cents = u.filter(col("vec_id") < k)
+    val init = u.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("u").as("cu"))
       .localCheckpoint()
+    lockedLloyd(u, init, iters)
+  }
+
+  /** [[trainCentroidsLocked]] over a deterministic residue SAMPLE of
+    * the corpus (`vec_id % sampleEvery = 0`) — the index-build cost
+    * fix for the next data decade: full locked training assigns every
+    * vector to every centroid each round (O(N·K·iters), and K itself
+    * grows √N under [[IvfParams.forCorpus]], so build cost rides
+    * ~N^1.5), while k-means needs a bounded sample, not the corpus.
+    * Sampling by id residue keeps the training set — hence the whole
+    * unrolled Lloyd replay — expressible in SQL, so the sampled-trained
+    * index carries the same full rows+schema+hash oracle as the locked
+    * path ([[trainedCentroidCtesSampled]]).
+    *
+    * Two deliberate differences from the unsampled path: K still
+    * derives from the FULL corpus (the geometry serves the corpus, not
+    * the sample — callers keep passing `IvfParams.forCorpus(n)`), and
+    * the first-K init ranks WITHIN the sample (sample ids aren't
+    * dense), taken distributed via orderBy+limit (TakeOrdered, no
+    * single-task window). `sampleEvery = 1` degenerates to a
+    * rank-based init over dense ids = the unsampled init, so the two
+    * paths coincide (spec-asserted).
+    */
+  def trainCentroidsLockedSampled(emb: DataFrame, k: Int, iters: Int,
+      sampleEvery: Int): DataFrame = {
+    require(k >= 1 && iters >= 0 && sampleEvery >= 1,
+      s"bad sampled locked k-means config: k=$k iters=$iters sampleEvery=$sampleEvery")
+    val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
+    val u = emb.filter(col("vec_id") % sampleEvery === 0)
+      .select(col("vec_id"), quantizeUnit(col("embedding"), ndot).as("u"))
+    val init = u.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), col("u").as("cu"))
+      .localCheckpoint()
+    lockedLloyd(u, init, iters)
+  }
+
+  /** The shared unrolled-Lloyd loop of the locked trainers: `iters`
+    * rounds of broadcast-centroid assignment + exact integer sum-vector
+    * update over the quantized training set `u`, starting from `init`
+    * (cent_id, cu). Every step is exact arithmetic — the whole loop
+    * replays bit-for-bit in DuckDB.
+    */
+  private def lockedLloyd(u: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    val ndot = graft.functions.DotProduct.fn(u.sparkSession)
+    var cents = init
     for (_ <- 0 until iters) {
       val c = broadcast(cents.select(col("cent_id"), col("cu"),
         sqrt(ndot(col("cu"), col("cu"))).as("ccn")))
@@ -515,9 +560,13 @@ object SimSearch {
     * ([[graft.ext.IvfIndex]]): late vectors are assigned to centroids
     * they never influenced.
     */
-  private[ext] def trainedCentroidCtesWhere(iters: Int, dim: Int,
-      baseWhere: String): String = {
-    val iterCtes = (1 to iters).map { i =>
+  /** The unrolled Lloyd iterations `c1..c<iters>` as SQL — shared by
+    * every locked-training replay (full, base-restricted, sampled):
+    * assignment ranks, exact integer cell sums, empty cells keep their
+    * codeword.
+    */
+  private def lockedIterCtes(iters: Int, dim: Int): String =
+    (1 to iters).map { i =>
       s"""a$i AS (SELECT u.vec_id, cent_id,
          |  row_number() OVER (PARTITION BY u.vec_id
          |    ORDER BY round(list_cosine_similarity(u.u, cu), 6) DESC, cent_id) AS rn
@@ -529,6 +578,10 @@ object SimSearch {
          |c$i AS (SELECT cent_id, coalesce(cu2, cu) AS cu
          |  FROM c${i - 1} LEFT JOIN l$i ON cent_id = cell)""".stripMargin
     }.mkString(",\n", ",\n", "")
+
+  private[ext] def trainedCentroidCtesWhere(iters: Int, dim: Int,
+      baseWhere: String): String = {
+    val iterCtes = lockedIterCtes(iters, dim)
     s"""kk AS (SELECT greatest(16, least(65536,
        |  CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings WHERE $baseWhere),
        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -540,6 +593,27 @@ object SimSearch {
        |c0 AS (SELECT vec_id AS cent_id, u AS cu FROM u
        |       WHERE vec_id < (SELECT k FROM kk))$iterCtes""".stripMargin
   }
+
+  /** [[trainedCentroidCtesWhere]]'s SAMPLED-training twin
+    * ([[trainCentroidsLockedSampled]]): the quantized training set `u`
+    * is the residue slice `vec_id % sampleEvery = 0`, K derives from
+    * the FULL corpus, and the first-K init ranks within the sample.
+    * `d` stays the full corpus — serving replays run over everything.
+    */
+  private[ext] def trainedCentroidCtesSampled(iters: Int, dim: Int,
+      sampleEvery: Int): String =
+    s"""kk AS (SELECT greatest(16, least(65536,
+       |  CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings),
+       |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (SELECT vec_id, CASE WHEN list_dot_product(v, v) = 0
+       |        THEN list_transform(v, x -> 0.0)
+       |        ELSE list_transform(v,
+       |          x -> floor(x * 127 / sqrt(list_dot_product(v, v)) + 0.5)) END AS u
+       |      FROM d WHERE vec_id % $sampleEvery = 0),
+       |c0 AS (SELECT cent_id, cu FROM (
+       |        SELECT vec_id AS cent_id, u AS cu,
+       |          row_number() OVER (ORDER BY vec_id) AS rn FROM u)
+       |       WHERE rn <= (SELECT k FROM kk))${lockedIterCtes(iters, dim)}""".stripMargin
 
   /** Semantic corpus clustering — every vector's cell under the
     * locked-trained centroids, with the rounded assignment cosine.
@@ -955,6 +1029,31 @@ object SimSearch {
     */
   def ivfTrainedOracleSql(queryBound: Int, iters: Int, dim: Int): String = {
     s"""WITH ${trainedCentroidCtes(iters, dim)},
+       |r AS (SELECT d.vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY d.vec_id
+       |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn
+       |      FROM d CROSS JOIN c$iters),
+       |cell AS (SELECT vec_id AS cid, cent_id AS cell FROM r WHERE crn = 1),
+       |probe AS (SELECT vec_id AS qid, cent_id AS cell FROM r
+       |          WHERE crn <= (SELECT greatest(least(10, k), k // 16) FROM kk)
+       |            AND vec_id < $queryBound),
+       |cand AS (SELECT DISTINCT qid, cid
+       |         FROM probe JOIN cell ON probe.cell = cell.cell AND qid <> cid),
+       |p AS (SELECT qid, cid, round(list_cosine_similarity(qv.v, cv2.v), 6) AS sim
+       |      FROM cand JOIN d qv ON qv.vec_id = qid JOIN d cv2 ON cv2.vec_id = cid),
+       |rr AS (SELECT qid, cid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+       |       FROM p)
+       |SELECT qid, cid, sim FROM rr WHERE rn = 1""".stripMargin
+  }
+
+  /** DuckDB twin of serving over a SAMPLED-trained index
+    * ([[trainCentroidsLockedSampled]] + [[ivfTopKWithCentroids]]):
+    * sampled-training replay, full-corpus assignment/probe/re-rank.
+    */
+  def ivfTrainedSampledOracleSql(queryBound: Int, iters: Int, dim: Int,
+      sampleEvery: Int): String = {
+    s"""WITH ${trainedCentroidCtesSampled(iters, dim, sampleEvery)},
        |r AS (SELECT d.vec_id, cent_id,
        |        row_number() OVER (PARTITION BY d.vec_id
        |          ORDER BY round(list_cosine_similarity(d.v, cu), 6) DESC, cent_id) AS crn

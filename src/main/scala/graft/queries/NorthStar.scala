@@ -227,6 +227,32 @@ object NorthStar {
     graft.ext.SimSearch.ivfTopKWithCentroids(t(s, dir, "embeddings"), 100,
       lockedParams(s, dir).probes, trainedCents(s, dir))
 
+  /** Training-set residue stride for the sampled index build (train on
+    * every 4th vector, serve everything) — shared with the oracle.
+    */
+  private val TrainSampleEvery = 4
+
+  private[queries] def sampledCents(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_cents_sampled/${graft.Tables.pathTag(dir)}"
+    graft.Tables.landOnce(path) {
+      graft.ext.SimSearch.trainCentroidsLockedSampled(t(s, dir, "embeddings"),
+        lockedParams(s, dir).numCentroids, LockedIters, TrainSampleEvery)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Trained-IVF ANN whose centroids trained on a deterministic 1/4
+    * residue sample of the corpus ([[graft.ext.SimSearch.trainCentroidsLockedSampled]])
+    * — the index-build cost answer for the next data decade (training
+    * cost drops by the stride while K and serving stay corpus-derived),
+    * still fully oracle-checked: the DuckDB twin replays the sampled
+    * training and the full-corpus serve.
+    */
+  def simTopKTrainedSampled(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.ivfTopKWithCentroids(t(s, dir, "embeddings"), 100,
+      lockedParams(s, dir).probes, sampledCents(s, dir))
+
   /** Filtered ANN through the trained IVF index — the 100 TB serving
     * shape: the label predicate composes INTO the inverted lists (only
     * eligible vectors enter the cells), probe + exact re-rank top-5.
@@ -319,6 +345,12 @@ object NorthStar {
     (s.read.parquet(cellsPath), cents, p.probes)
   }
 
+  /** The upserted cell table alone — for the config-compiled retrain
+    * decision ([[graft.queries.Pipeline.cfgIvfRetrain]]).
+    */
+  private[queries] def upsertCells(s: SparkSession, dir: String): DataFrame =
+    upsertArtifacts(s, dir)._1
+
   def ivfUpsertQ(s: SparkSession, dir: String): DataFrame = {
     val (cells, cents, probes) = upsertArtifacts(s, dir)
     graft.ext.IvfIndex.topKOverCells(t(s, dir, "embeddings"), cells, cents,
@@ -335,6 +367,23 @@ object NorthStar {
     val (cells, _, _) = upsertArtifacts(s, dir)
     val cutoff = 4L * t(s, dir, "embeddings").count() / 5
     graft.ext.IvfIndex.cellStats(cells, col("vec_id") >= cutoff)
+  }
+
+  /** The retrain DECISION the policy section compiles to: the
+    * one-row verdict (`retrain_when: max_delta_pct/max_cell_ratio`)
+    * over the upserted index's cell stats — measure → decide is now
+    * one query; [[graft.ext.IvfIndex.maintainIndex]] is the act step
+    * (spec-gated: atomic versioned swap on breach).
+    */
+  private[queries] val RetrainPolicyFixture =
+    graft.ext.IvfIndex.RetrainPolicy(maxDeltaPct = 30, maxCellRatio = 8)
+
+  def ivfRetrainStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val (cells, _, _) = upsertArtifacts(s, dir)
+    val cutoff = 4L * t(s, dir, "embeddings").count() / 5
+    graft.ext.IvfIndex.retrainSignal(
+      graft.ext.IvfIndex.cellStats(cells, col("vec_id") >= cutoff),
+      RetrainPolicyFixture)
   }
 
   /** Semantic clustering of the embedding corpus (16 locked-trained
@@ -1657,6 +1706,7 @@ object NorthStar {
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk_ivf_trained" -> (simTopKIvfTrained _),
+    "sim_topk_trained_sampled" -> (simTopKTrainedSampled _),
     "doc_clusters" -> (docClusters _),
     "knn_graph" -> (knnGraphQ _),
     "semantic_dedup" -> (semanticDedupQ _),
@@ -1676,6 +1726,7 @@ object NorthStar {
     "ann_recall_curve" -> (annRecallCurveQ _),
     "ivf_upsert" -> (ivfUpsertQ _),
     "ivf_cell_stats" -> (ivfCellStatsQ _),
+    "ivf_retrain_stats" -> (ivfRetrainStatsQ _),
     "dedup_near" -> (dedupNear _),
     "jaccard_pairs" -> (jaccardPairsQ _),
     "span_dedup" -> (spanDedup _),
@@ -2002,6 +2053,8 @@ object NorthStar {
     "sim_topk_ivf" -> graft.ext.SimSearch.ivfOracleSql(100, graft.ext.SimSearch.IvfParams.fixture),
     "sim_topk_ivf_trained" -> graft.ext.SimSearch.ivfTrainedOracleSql(
       100, LockedIters, EmbDim),
+    "sim_topk_trained_sampled" -> graft.ext.SimSearch.ivfTrainedSampledOracleSql(
+      100, LockedIters, EmbDim, TrainSampleEvery),
     "doc_clusters" -> graft.ext.SimSearch.clusterAssignOracleSql(
       LockedIters, EmbDim),
     "knn_graph" -> graft.ext.SimSearch.knnGraphOracleSql(
@@ -2038,6 +2091,8 @@ object NorthStar {
       EvalQueryBound, 5, LockedIters, EmbDim),
     "ivf_cell_stats" -> graft.ext.IvfIndex.cellStatsOracleSql(
       LockedIters, EmbDim),
+    "ivf_retrain_stats" -> graft.ext.IvfIndex.retrainSignalOracleSql(
+      LockedIters, EmbDim, RetrainPolicyFixture),
     "dedup_near" ->
       s"""WITH $ShingleCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -518,10 +518,41 @@ object Pipeline {
       ScaleOps.pqCodesWithMeta(s, dir))
   }
 
+  /** `retrain_when:` declared in pure config: the compiled dry-run
+    * decision over the upserted index's cell stats — hash-equal to the
+    * `ivf_retrain_stats` Scala composition, so config reachability of
+    * the retrain policy is the gated behavior.
+    */
+  private val retrainYaml =
+    """source:
+      |  name: corpus_index_maintenance
+      |  type: file
+      |  curation:
+      |    id_field: vec_id
+      |    similarity:
+      |      retrain_when:
+      |        max_delta_pct: 30
+      |        max_cell_ratio: 8
+      |""".stripMargin
+
+  def cfgIvfRetrain(s: SparkSession, dir: String): DataFrame = {
+    val cu = graft.config.ConfigLoader.fromYaml(retrainYaml)
+      .curation.getOrElse(throw new IllegalStateException("no curation section"))
+    val si = cu.similarity.getOrElse(
+      throw new IllegalStateException("similarity section failed to parse"))
+    val emb = t(s, dir, "embeddings")
+    val cutoff = 4L * emb.count() / 5
+    graft.transform.CurationCompiler.compileRetrainSignal(si)(
+      graft.ext.IvfIndex.cellStats(
+        NorthStar.upsertCells(s, dir),
+        org.apache.spark.sql.functions.col("vec_id") >= cutoff))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cfg_pipeline" -> (cfgPipeline _),
     "cfg_sim_topk" -> (cfgSimTopK _),
     "cfg_ann_recall" -> (cfgAnnRecall _),
+    "cfg_ivf_retrain" -> (cfgIvfRetrain _),
     "cfg_curation" -> (cfgCuration _),
     "cfg_semantic_dedup" -> (cfgSemanticDedup _),
     "cfg_decontam" -> (cfgDecontam _),
@@ -545,6 +576,7 @@ object Pipeline {
     "cfg_semantic_dedup" -> NorthStar.oracle("semantic_dedup"),
     "cfg_sim_topk" -> NorthStar.oracle("sim_topk_filtered_ivf"),
     "cfg_ann_recall" -> NorthStar.oracle("ann_recall"),
+    "cfg_ivf_retrain" -> NorthStar.oracle("ivf_retrain_stats"),
     "cfg_decontam" -> NorthStar.oracle("decontam"),
     "cfg_dsir" -> NorthStar.oracle("dsir_sample"),
     "cfg_substr_dedup" -> NorthStar.oracle("substr_dedup"),

@@ -1,0 +1,44 @@
+package graft.sink
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+
+/** Atomic `_CURRENT` pointer for versioned landed artifacts — the one
+  * commit primitive every atomic publish in this repo shares (the
+  * warehouse table swap, the streaming-curation output, the IVF index
+  * version): write the new pointer beside the old one, then rename it
+  * into place with `Rename.OVERWRITE`. Readers following the pointer
+  * see the old version or the new one, never a partial directory —
+  * rename is the only atomic filesystem primitive HDFS/posix both
+  * guarantee.
+  */
+object AtomicPointer {
+
+  val PointerName = "_CURRENT"
+
+  /** Atomically (re-)point `dir/_CURRENT` at `value`. */
+  def write(conf: Configuration, dir: String, value: String): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val fc = FileContext.getFileContext(d.toUri, conf)
+    val tmp = new Path(d, s"$PointerName.tmp.${value.hashCode}")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new Path(d, PointerName), Options.Rename.OVERWRITE)
+  }
+
+  /** The current pointer value, or None if nothing has published yet. */
+  def read(conf: Configuration, dir: String): Option[String] = {
+    val cur = new Path(dir, PointerName)
+    val fs = cur.getFileSystem(conf)
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+}

@@ -165,6 +165,19 @@ object CurationCompiler {
     }
   }
 
+  /** Compiles a `similarity: retrain_when:` section onto the retrain
+    * DECISION ([[graft.ext.IvfIndex.retrainSignal]]) over a cell-stats
+    * frame — the config-reachable dry run of the maintenance loop: the
+    * operator reads one row (breach flags + verdict) before letting
+    * [[graft.ext.IvfIndex.maintainIndex]] act on it.
+    */
+  def compileRetrainSignal(si: graft.config.SimilarityConfig)(
+      stats: DataFrame): DataFrame = {
+    val rw = si.retrainWhen.getOrElse(graft.config.RetrainWhenConfig())
+    graft.ext.IvfIndex.retrainSignal(stats,
+      graft.ext.IvfIndex.RetrainPolicy(rw.maxDeltaPct, rw.maxCellRatio))
+  }
+
   /** ADC shortlist size for a config-dispatched PQ serving at top-k:
     * the shortlist must dominate k, or a config `k` above the default
     * shortlist (20) silently truncates the served list — and an

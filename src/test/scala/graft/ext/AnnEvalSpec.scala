@@ -126,6 +126,107 @@ class AnnEvalSpec extends SparkTestBase {
     assert(served.columns.toSeq === Seq("qid", "cid", "sim", "rank"))
   }
 
+  test("retrainSignal: integer-exact breach flags on handcrafted stats") {
+    val stats = Seq(
+      (0L, 90L, 10L, 100L),  // 10% delta
+      (1L, 40L, 60L, 100L),  // 60% delta — breaches pct 50
+      (2L, 25L, 0L, 25L))    // smallest cell: ratio 100/25 = 4
+      .toDF("cell", "n_base", "n_delta", "n_total")
+    def sig(pct: Int, ratio: Int) =
+      IvfIndex.retrainSignal(stats, IvfIndex.RetrainPolicy(pct, ratio)).head()
+    val r1 = sig(50, 8)
+    assert(r1.getLong(0) === 3L && r1.getLong(1) === 155L && r1.getLong(2) === 70L)
+    assert(r1.getBoolean(3) === true)   // 60 * 100 > 100 * 50
+    assert(r1.getBoolean(4) === false)  // 100 <= 8 * 25
+    assert(r1.getBoolean(5) === true)
+    val r2 = sig(60, 3)                 // 60*100 > 100*60 is FALSE (strict)
+    assert(r2.getBoolean(3) === false)
+    assert(r2.getBoolean(4) === true)   // 100 > 3 * 25
+    assert(r2.getBoolean(5) === true)
+    val r3 = sig(60, 4)                 // 100 > 4*25 is FALSE (strict)
+    assert(r3.getBoolean(3) === false && r3.getBoolean(4) === false)
+    assert(r3.getBoolean(5) === false)
+  }
+
+  test("maintainIndex closes the loop: no retrain below threshold; on" +
+    " breach, one atomic versioned retrain equal to a from-scratch index") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maint").toString
+    val cutoff = 4L * emb.count() / 5
+    val isDelta = col("vec_id") >= cutoff
+    // v=0: the base-trained, delta-upserted index (the drifted state).
+    val baseCents = SimSearch.trainCentroidsLocked(
+      emb.filter(col("vec_id") < cutoff), 16, 2).localCheckpoint()
+    val upserted = IvfIndex.assignCells(emb.filter(col("vec_id") < cutoff), baseCents)
+      .unionByName(IvfIndex.assignCells(emb.filter(isDelta), baseCents))
+    IvfIndex.publishIndex(baseCents, upserted, dir, 0L)
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(0L))
+
+    // Permissive policy: nothing breaches, current version keeps serving.
+    val lax = IvfIndex.RetrainPolicy(maxDeltaPct = 100, maxCellRatio = 1000000)
+    assert(!IvfIndex.maintainIndex(emb, isDelta, 16, 2, dir, lax))
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(0L))
+
+    // Strict policy: the 20% delta ingestion breaches max_delta_pct=1 —
+    // exactly one retrain fires and publishes v=1.
+    val strict = IvfIndex.RetrainPolicy(maxDeltaPct = 1, maxCellRatio = 1000000)
+    assert(IvfIndex.maintainIndex(emb, isDelta, 16, 2, dir, strict))
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(1L))
+
+    // The published index IS the from-scratch index: centroids trained
+    // on the full corpus, full reassignment — serving equality.
+    val (gotCents, gotCells) = IvfIndex.readCurrentIndex(s, dir)
+    val freshCents = SimSearch.trainCentroidsLocked(emb, 16, 2).localCheckpoint()
+    val freshCells = IvfIndex.assignCells(emb, freshCents)
+    assert(gotCells.collect().map(_.toSeq).toSet ===
+      freshCells.collect().map(_.toSeq).toSet)
+    val servedGot = IvfIndex.topKOverCells(emb, gotCells, gotCents, 16, 5, 10)
+    val servedFresh = IvfIndex.topKOverCells(emb, freshCells, freshCents, 16, 5, 10)
+    assert(servedGot.collect().map(_.toSeq).toSet ===
+      servedFresh.collect().map(_.toSeq).toSet)
+
+    // After the rebuild nothing is "delta" anymore — the same strict
+    // policy no longer fires (the loop converges; no retrain storm).
+    assert(!IvfIndex.maintainIndex(emb, lit(false), 16, 2, dir, strict))
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(1L))
+  }
+
+  test("config-compiled retrain decision equals the Scala composition" +
+    " and defaults apply when retrain_when is absent") {
+    val yaml =
+      """source:
+        |  name: m
+        |  type: file
+        |  curation:
+        |    similarity:
+        |      retrain_when:
+        |        max_delta_pct: 1
+        |        max_cell_ratio: 7
+        |""".stripMargin
+    val si = graft.config.ConfigLoader.fromYaml(yaml)
+      .curation.get.similarity.get
+    assert(si.retrainWhen === Some(graft.config.RetrainWhenConfig(1, 7)))
+    val cutoff = 4L * emb.count() / 5
+    val stats = IvfIndex.cellStats(
+      IvfIndex.assignCells(emb, cents), col("vec_id") >= cutoff)
+    val got = graft.transform.CurationCompiler.compileRetrainSignal(si)(stats)
+    val want = IvfIndex.retrainSignal(stats, IvfIndex.RetrainPolicy(1, 7))
+    assert(got.collect().map(_.toSeq).toSeq === want.collect().map(_.toSeq).toSeq)
+    // Absent section → the documented defaults (50, 8).
+    val si0 = graft.config.ConfigLoader.fromYaml(
+      """source:
+        |  name: m
+        |  type: file
+        |  curation:
+        |    similarity: {}
+        |""".stripMargin)
+      .curation.get.similarity.get
+    assert(si0.retrainWhen === None)
+    val got0 = graft.transform.CurationCompiler.compileRetrainSignal(si0)(stats)
+    val want0 = IvfIndex.retrainSignal(stats, IvfIndex.RetrainPolicy(50, 8))
+    assert(got0.collect().map(_.toSeq).toSeq === want0.collect().map(_.toSeq).toSeq)
+  }
+
   test("upsert serving over the merged cell table equals the one-shot" +
     " trained-on-base serving plan") {
     val cutoff = 4L * emb.count() / 5

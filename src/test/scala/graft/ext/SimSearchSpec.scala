@@ -128,6 +128,42 @@ class SimSearchSpec extends SparkTestBase {
       s"locked training must beat insertion-order centroids: locked=$locked firstK=$firstK")
   }
 
+  test("sampled locked training: stride 1 equals the unsampled path;" +
+    " stride E trains only on the residue slice; quality holds") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val df = spark.range(1000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (when(j === (col("id") / 125).cast("int"), 1.0).otherwise(0.0) +
+          (pmod(xxhash64(col("id") * dim + j.cast("long")), lit(1000L))
+            .cast("double") / 1000.0 - 0.5) * 0.2)
+          .cast("float")).as("embedding"))
+    def sig(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(_.toSeq).toSet
+    // sampleEvery = 1 degenerates to the unsampled init (dense ids):
+    // the two trainers must land bit-identical centroids.
+    assert(sig(SimSearch.trainCentroidsLockedSampled(df, 8, 2, 1)) ===
+      sig(SimSearch.trainCentroidsLocked(df, 8, 2)))
+    // Stride-4 training sees ONLY the residue slice: training on the
+    // pre-filtered slice (stride 1 over sparse ids = rank-based init)
+    // must land the identical centroids — the sample is the contract.
+    val sampled = SimSearch.trainCentroidsLockedSampled(df, 8, 2, 4)
+    val sliceOnly = SimSearch.trainCentroidsLockedSampled(
+      df.filter(col("vec_id") % 4 === 0), 8, 2, 1)
+    assert(sig(sampled) === sig(sliceOnly))
+    // Serving quality over the full corpus with sampled-trained
+    // centroids still recovers the planted clusters.
+    val brute = SimSearch.bruteTopK(df, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = SimSearch.ivfTopKWithCentroids(
+      df, 100, 1, sampled.localCheckpoint()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = brute.count { case (q, c) => served.get(q).contains(c) }
+    info(s"sampled-trained probe-1 top-1 agreement: $agree/100")
+    assert(agree >= 85, s"sampled training must still recover clusters: $agree/100")
+  }
+
   test("knnGraph: cell-bounded neighbors, no cartesian, ranked output") {
     import org.apache.spark.sql.functions._
     // Clustered corpus (as above): within-cluster neighbors dominate.
