@@ -45,8 +45,11 @@ import graft.transform.CurationCompiler
   *    winners — chunking is per-doc deterministic, so chunks computed
   *    at arrival equal chunks computed over the full corpus. No text
   *    column is ever stored.
-  *  - `shingles/batch_id=N` + `evalsh/batch_id=N` (decontam only):
-  *    hashed shingle sets per NEW digest and per eval row. Arriving
+  *  - `shingles/batch_id=N/hb=B` + `evalsh/batch_id=N` (decontam
+  *    only): hashed shingle sets per NEW digest (bucketed on
+  *    `h mod` [[ShingleBuckets]], so the retroactive-revocation probe
+  *    prunes to the eval delta's buckets instead of scanning the
+  *    accumulated store) and per eval row. Arriving
   *    candidates are checked against the full eval state; arriving
   *    eval rows retroactively REVOKE already-accepted digests (the
   *    full-recompute semantics: an eval row contaminates documents
@@ -71,6 +74,13 @@ import graft.transform.CurationCompiler
   */
 object StreamCuration {
 
+  /** Bucket count for the landed shingle state (`hb = h mod buckets`
+    * partition dirs): revocation probes prune to the eval delta's
+    * buckets. 64 keeps dirs coarse enough for healthy file sizes at
+    * scale while a small eval delta still skips most of the store.
+    */
+  val ShingleBuckets = 64
+
   // ---------------------------------------------------------------
   // Atomic versioned output publish (shared by both modes)
   // ---------------------------------------------------------------
@@ -85,13 +95,7 @@ object StreamCuration {
     val conf = spark.sparkContext.hadoopConfiguration
     df.write.mode("overwrite").parquet(s"$outDir/v=$version")
     val dir = new Path(outDir)
-    val fc = FileContext.getFileContext(dir.toUri, conf)
-    val tmp = new Path(dir, s"_CURRENT.tmp.$version")
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(s"v=$version".getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, new Path(dir, "_CURRENT"), Options.Rename.OVERWRITE)
+    graft.sink.AtomicPointer.write(conf, outDir, s"v=$version")
     // Retention AFTER the swap: drop all but the two newest versions.
     val fs = dir.getFileSystem(conf)
     val vs = fs.listStatus(dir).map(_.getPath).flatMap { p =>
@@ -107,15 +111,9 @@ object StreamCuration {
     */
   def readOutput(spark: SparkSession, outDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val cur = new Path(outDir, "_CURRENT")
-    val fs = cur.getFileSystem(conf)
-    val version =
-      if (fs.exists(cur)) {
-        val in = fs.open(cur)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      } else throw new IllegalStateException(
-        s"$outDir has no _CURRENT pointer — no batch has published yet")
+    val version = graft.sink.AtomicPointer.read(conf, outDir).getOrElse(
+      throw new IllegalStateException(
+        s"$outDir has no _CURRENT pointer — no batch has published yet"))
     spark.read.parquet(s"$outDir/$version")
   }
 
@@ -291,11 +289,19 @@ object StreamCuration {
       case Some(dc) if prevV.isDefined &&
           dirExists(spark, s"$stateDir/shingles") &&
           dirExists(spark, s"$stateDir/evalsh/batch_id=$batchId") =>
-        val shState = spark.read.parquet(s"$stateDir/shingles")
-          .select(col("__h"), col("h"))
-          .join(o.select(col("__h")), Seq("__h"), "left_semi")
         val newEvalShPart =
           spark.read.parquet(s"$stateDir/evalsh/batch_id=$batchId")
+        // Buckets the eval delta can possibly touch (≤ ShingleBuckets
+        // ints — a KB-scale metadata collect): the store scan prunes
+        // to these `hb=` partition dirs, so revocation work follows the
+        // DELTA's size, not the accumulated shingle store's.
+        val probed = newEvalShPart
+          .select(pmod(col("h"), lit(ShingleBuckets)).cast("int").as("hb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val shState = spark.read.parquet(s"$stateDir/shingles")
+          .filter(col("hb").isin(probed: _*))
+          .select(col("__h"), col("h"))
+          .join(o.select(col("__h")), Seq("__h"), "left_semi")
         shState.join(broadcast(newEvalShPart.select(col("eval_id"), col("h"))),
             Seq("h"))
           .groupBy(col("__h"), col("eval_id"))
@@ -341,12 +347,19 @@ object StreamCuration {
         col("chunk_hash"), col("__key"))
       .write.mode("overwrite").parquet(s"$stateDir/chunks/batch_id=$batchId")
     if (cu.decontam.isDefined) {
+      // Bucketed by shingle hash (hb = h mod ShingleBuckets, the K9
+      // layout idea as partition dirs): the shingle store is
+      // corpus-shingle-sized at scale, and revocation (step 4) probes
+      // it with a usually-tiny eval delta — bucket dirs let that scan
+      // PRUNE to the delta's buckets instead of reading the store.
       NearDup.shingleSets(
           newWinners.filter(col("o_id").isNull)
             .select(col("__h"), col("text").as(textF)),
           "__h", textF, cu.decontam.get.shingleLen)
         .select(col("doc_id").as("__h"), explode(col("hs")).as("h"))
+        .withColumn("hb", pmod(col("h"), lit(ShingleBuckets)).cast("int"))
         .write.mode("overwrite")
+        .partitionBy("hb")
         .parquet(s"$stateDir/shingles/batch_id=$batchId")
     }
 

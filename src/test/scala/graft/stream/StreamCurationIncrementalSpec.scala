@@ -118,6 +118,43 @@ class StreamCurationIncrementalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("shingle state lands bucketed on hb and the revocation probe" +
+    " prunes to the delta's buckets (partition-filtered scan)") {
+    val (st, out, ck) = (tmp("sci_st6"), tmp("sci_out6"), tmp("sci_ck6"))
+    runStream(corpus, 3, st, out, ck)
+    // Layout: every shingle batch partition is bucketed on hb.
+    val batches = new java.io.File(s"$st/shingles").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batches.nonEmpty)
+    // Every batch dir with data is bucketed: no bare parquet files at
+    // the batch level (a no-new-digest batch legitimately writes an
+    // empty dir), and at least one batch carries hb= buckets.
+    assert(batches.forall(
+        !_.listFiles().exists(_.getName.endsWith(".parquet"))),
+      "shingle data must live under hb= bucket dirs, not at batch level")
+    assert(batches.exists(_.listFiles().exists(_.getName.startsWith("hb="))),
+      "at least one batch must carry hb= bucket dirs")
+    val s = spark
+    val store = s.read.parquet(s"$st/shingles")
+    val allHb = store.select("hb").distinct().collect().map(_.getInt(0)).toSet
+    assert(allHb.size > 1, "fixture must span multiple buckets or the prune is vacuous")
+    // The revocation probe's scan shape: an isin filter over probed
+    // buckets — it must reach the scan as a PARTITION filter (pruned
+    // dirs), not a post-scan data filter.
+    val probed = Seq(allHb.head)
+    val pruned = store.filter(org.apache.spark.sql.functions.col("hb")
+      .isin(probed: _*)).select("__h", "h")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"),
+      s"expected a partition-filtered scan, got:\n$planStr")
+    val pf = planStr.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("hb"), s"partition filter must bind hb: $pf")
+    // And the pruned read is semantically the bucket's rows.
+    assert(pruned.count() ===
+      store.filter(org.apache.spark.sql.functions.col("hb") === probed.head).count())
+  }
+
   test("dedup displacement: a smaller id arriving later replaces the winner") {
     val dup = Seq(
       ScDoc(50L, "alpha beta gamma delta epsilon zeta", "en"),
