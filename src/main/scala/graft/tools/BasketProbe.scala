@@ -34,9 +34,9 @@ object BasketProbe {
       .cache()
     val nSigs = sigs.count()
     val pairWork = sigs.select(
-      sum(col("k").cast("long") * (col("k") - 1) / 2).as("sig_pairs")).head.getLong(0)
+      sum(expr("CAST(k AS BIGINT) * (k - 1) DIV 2")).as("sig_pairs")).head.getLong(0)
     val naiveWork = baskets.select(
-      sum(col("k").cast("long") * (col("k") - 1) / 2).as("basket_pairs")).head.getLong(0)
+      sum(expr("CAST(k AS BIGINT) * (k - 1) DIV 2")).as("basket_pairs")).head.getLong(0)
     println(s"BASKETPROBE dir=$sfDir baskets=$nBaskets signatures=$nSigs" +
       s" sig_pair_expansions=$pairWork naive_pair_expansions=$naiveWork")
     println("BASKETPROBE basket-size histogram (k -> baskets):")
