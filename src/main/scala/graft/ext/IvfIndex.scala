@@ -111,17 +111,23 @@ object IvfIndex {
   /** One-row retrain decision over a [[cellStats]] frame — the DRY-RUN
     * form of the maintenance loop (`cfg`-reachable): corpus-wide
     * base/delta totals, the two integer-exact breach flags, and the
-    * verdict. K-row input, 1-row output.
+    * verdict. K-row input, 1-row output. Every aggregate coalesces, so
+    * an EMPTY stats frame (an index with no published cells) yields a
+    * clean `retrain = false` no-op row instead of NULL flags that a
+    * `getBoolean` caller would trip over.
     */
   def retrainSignal(stats: DataFrame, policy: RetrainPolicy): DataFrame =
     stats.agg(
         count(lit(1)).as("n_cells"),
-        sum(col("n_base")).as("base_total"),
-        sum(col("n_delta")).as("delta_total"),
-        (max(when(col("n_delta") * 100 > col("n_total") * policy.maxDeltaPct,
-          1L).otherwise(0L)) === 1).as("delta_breach"),
-        (max(col("n_total")) >
-          lit(policy.maxCellRatio.toLong) * min(col("n_total"))).as("ratio_breach"))
+        coalesce(sum(col("n_base")), lit(0L)).as("base_total"),
+        coalesce(sum(col("n_delta")), lit(0L)).as("delta_total"),
+        coalesce(
+          max(when(col("n_delta") * 100 > col("n_total") * policy.maxDeltaPct,
+            1L).otherwise(0L)) === 1, lit(false)).as("delta_breach"),
+        coalesce(
+          max(col("n_total")) >
+            lit(policy.maxCellRatio.toLong) * min(col("n_total")),
+          lit(false)).as("ratio_breach"))
       .withColumn("retrain", col("delta_breach") || col("ratio_breach"))
 
   /** DuckDB twin of [[retrainSignal]] over the upsert fixture: the
@@ -132,33 +138,50 @@ object IvfIndex {
        |${cellStatsOracleSql(iters, dim)}
        |)
        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
-       |  CAST(sum(n_base) AS BIGINT) AS base_total,
-       |  CAST(sum(n_delta) AS BIGINT) AS delta_total,
-       |  max(CASE WHEN n_delta * 100 > n_total * ${policy.maxDeltaPct}
-       |      THEN 1 ELSE 0 END) = 1 AS delta_breach,
-       |  max(n_total) > ${policy.maxCellRatio} * min(n_total) AS ratio_breach,
-       |  (max(CASE WHEN n_delta * 100 > n_total * ${policy.maxDeltaPct}
-       |      THEN 1 ELSE 0 END) = 1)
-       |    OR (max(n_total) > ${policy.maxCellRatio} * min(n_total)) AS retrain
+       |  CAST(coalesce(sum(n_base), 0) AS BIGINT) AS base_total,
+       |  CAST(coalesce(sum(n_delta), 0) AS BIGINT) AS delta_total,
+       |  coalesce(max(CASE WHEN n_delta * 100 > n_total * ${policy.maxDeltaPct}
+       |      THEN 1 ELSE 0 END) = 1, FALSE) AS delta_breach,
+       |  coalesce(max(n_total) > ${policy.maxCellRatio} * min(n_total),
+       |      FALSE) AS ratio_breach,
+       |  coalesce(max(CASE WHEN n_delta * 100 > n_total * ${policy.maxDeltaPct}
+       |      THEN 1 ELSE 0 END) = 1, FALSE)
+       |    OR coalesce(max(n_total) > ${policy.maxCellRatio} * min(n_total),
+       |      FALSE) AS retrain
        |FROM stats""".stripMargin
 
   // ------------------------------------------------------------------
   // Versioned landed index + the closed maintenance loop
   // ------------------------------------------------------------------
 
+  /** Name of the per-version trained-at watermark file: the max vec_id
+    * the version's training SAW, written beside its frames so
+    * [[maintainIndexAuto]] can rebase "delta" after every retrain
+    * without the caller re-deriving a predicate (re-checking with a
+    * stale predicate re-counts the same rows as delta and retrains on
+    * every tick — the retrain-storm failure mode).
+    */
+  val WatermarkName = "_TRAINED_MAX_ID"
+
   /** Land (centroids, cells) as `indexDir/v=<version>/{centroids,cells}`
     * and atomically re-point `_CURRENT` ([[graft.sink.AtomicPointer]] —
     * the WarehousePublisher commit pattern). One pointer covers BOTH
     * frames, so a serving reader can never pair new centroids with old
     * cells. Retention keeps the two newest versions for in-flight
-    * readers.
+    * readers. `trainedWatermark` (the max vec_id training saw) lands in
+    * the version dir BEFORE the pointer swap, so it is atomic with the
+    * frames it describes.
     */
   def publishIndex(cents: DataFrame, cells: DataFrame, indexDir: String,
-      version: Long): Unit = {
+      version: Long, trainedWatermark: Option[Long] = None): Unit = {
     val spark = cents.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     cents.write.mode("overwrite").parquet(s"$indexDir/v=$version/centroids")
     cells.write.mode("overwrite").parquet(s"$indexDir/v=$version/cells")
+    trainedWatermark.foreach { w =>
+      graft.sink.AtomicPointer.write(
+        conf, s"$indexDir/v=$version", w.toString, name = WatermarkName)
+    }
     graft.sink.AtomicPointer.write(conf, indexDir, s"v=$version")
     val dir = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dir.getFileSystem(conf)
@@ -186,29 +209,100 @@ object IvfIndex {
       spark.read.parquet(s"$indexDir/v=$v/cells"))
   }
 
+  /** The trained-at watermark of the currently-published version, if
+    * that version recorded one ([[publishIndex]]; pre-watermark indexes
+    * return None).
+    */
+  def trainedWatermarkOf(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Long] =
+    currentIndexVersion(spark, indexDir).flatMap { v =>
+      graft.sink.AtomicPointer.read(
+          spark.sparkContext.hadoopConfiguration,
+          s"$indexDir/v=$v", name = WatermarkName)
+        .map(_.toLong)
+    }
+
   /** The closed maintenance loop: check the published index's cell
     * stats against the policy; if breached, retrain centroids on the
     * CURRENT corpus, rebuild the cell table, and atomically publish the
     * next version — otherwise leave the current version serving.
-    * Returns true iff a retrain was performed. The check is K-row
-    * work; the retrain (when it fires) costs exactly a from-scratch
-    * build and lands exactly the from-scratch index (spec-asserted),
-    * because [[assignCells]] is per-vector independent.
+    * Returns true iff a retrain was performed. The check is K-row work.
+    *
+    * The retrain ACT trains through
+    * [[SimSearch.trainCentroidsLockedSampled]] at the corpus-size-
+    * derived stride ([[SimSearch.IvfParams.trainStrideFor]]) — stride 1
+    * below the sample target, where the sampled path coincides with the
+    * full locked build (spec-asserted), so small-corpus maintenance
+    * lands exactly the from-scratch index; above it the training sample
+    * stays pinned at [[SimSearch.IvfParams.TrainSampleTarget]] and a
+    * policy-triggered retrain costs the stride curve (~×1.8-1.9 per
+    * data decade, TrainProbe) instead of the full build's ~N^1.5 —
+    * routine maintenance, not a cluster-stalling event. The cell
+    * REBUILD is one map-only broadcast-argmax pass over the corpus
+    * ([[assignCells]] — every vector's cell changes when centroids do,
+    * so one full pass is the floor).
+    *
+    * CONTRACT — rebasing `isDelta`: the predicate describes what is
+    * delta RELATIVE TO the index being checked. After a true return the
+    * published version was trained on the full current corpus, so the
+    * caller must rebase (typically to "rows newer than this corpus")
+    * before the next tick — re-checking with the stale predicate counts
+    * the same rows as delta forever and retrains on every tick. The
+    * publish records the trained-at watermark (max vec_id) so
+    * [[maintainIndexAuto]] can do that rebase for you; prefer it when
+    * vec_ids are monotone in arrival order.
     */
   def maintainIndex(emb: DataFrame, isDelta: org.apache.spark.sql.Column,
       numCentroids: Int, iters: Int, indexDir: String,
-      policy: RetrainPolicy): Boolean = {
+      policy: RetrainPolicy): Boolean =
+    maintainIndexImpl(emb, isDelta, numCentroids, iters, indexDir, policy,
+      strideOverride = None)
+
+  /** [[maintainIndex]] with the derived stride overridable — a spec
+    * seam only (fixture corpora sit below the sample target, so the
+    * derived stride is always 1 there; the override lets a spec drive
+    * the act through a genuinely sampled train and pin its output).
+    */
+  private[graft] def maintainIndexImpl(emb: DataFrame,
+      isDelta: org.apache.spark.sql.Column, numCentroids: Int, iters: Int,
+      indexDir: String, policy: RetrainPolicy,
+      strideOverride: Option[Int]): Boolean = {
     val spark = emb.sparkSession
     val (_, cells) = readCurrentIndex(spark, indexDir)
     val retrain = retrainSignal(cellStats(cells, isDelta), policy)
       .select(col("retrain")).head.getBoolean(0)
     if (retrain) {
-      val cents = SimSearch.trainCentroidsLocked(emb, numCentroids, iters)
+      // Corpus size + max id in ONE skinny job, paid only on breach —
+      // the no-op path stays K-row work.
+      val hint = emb.agg(count(lit(1)), max(col("vec_id"))).head
+      val n = hint.getLong(0)
+      val stride = strideOverride.getOrElse(
+        SimSearch.IvfParams.trainStrideFor(n, numCentroids))
+      val cents = SimSearch.trainCentroidsLockedSampled(
+          emb, numCentroids, iters, stride)
         .localCheckpoint()
       val v = currentIndexVersion(spark, indexDir).getOrElse(-1L) + 1
-      publishIndex(cents, assignCells(emb, cents), indexDir, v)
+      publishIndex(cents, assignCells(emb, cents), indexDir, v,
+        trainedWatermark = Some(hint.getLong(1)))
     }
     retrain
+  }
+
+  /** [[maintainIndex]] with the delta predicate DERIVED from the
+    * published version's trained-at watermark: rows with
+    * `vec_id > watermark` arrived after that version trained. Because
+    * every retrain re-publishes the watermark it trained at, repeated
+    * ticks converge — the tick after a retrain sees an empty delta and
+    * no-ops (no retrain storm), with no caller-side predicate swap.
+    * A version with no recorded watermark (pre-watermark publish)
+    * treats the whole corpus as base: only the ratio breach can fire
+    * until the first watermarked publish, the storm-safe default.
+    */
+  def maintainIndexAuto(emb: DataFrame, numCentroids: Int, iters: Int,
+      indexDir: String, policy: RetrainPolicy): Boolean = {
+    val isDelta = trainedWatermarkOf(emb.sparkSession, indexDir)
+      .map(w => col("vec_id") > w).getOrElse(lit(false))
+    maintainIndex(emb, isDelta, numCentroids, iters, indexDir, policy)
   }
 
   /** The upsert fixture's base/delta split rule as SQL: the first 80%

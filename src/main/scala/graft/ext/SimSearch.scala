@@ -102,6 +102,36 @@ object SimSearch {
       IvfParams(k, math.max(math.min(10, k), k / 16))
     }
 
+    /** Training-sample target for the sampled locked trainer: the
+      * largest corpus the FULL locked build was measured affordable on
+      * (TrainProbe: a 50k-vector training set at the corpus-derived K
+      * trains in single-digit seconds; the next decade's full build
+      * rides ~N^1.5 to 321 s). [[trainStrideFor]] sizes the residue
+      * stride so the training SAMPLE stays pinned at this target —
+      * per-iteration training cost then grows only with K (∝ √N)
+      * instead of N·K.
+      */
+    val TrainSampleTarget: Long = 50000L
+
+    /** Corpus-size-derived training stride for
+      * [[SimSearch.trainCentroidsLockedSampled]] — the index CHOICE
+      * philosophy ([[graft.transform.CurationCompiler.dispatchFor]])
+      * applied to index BUILD cost: the stride derives from the corpus
+      * size, never a config knob. `ceil(n / TrainSampleTarget)` keeps
+      * the sample in (target/2, target]; stride 1 below the target so
+      * fixture-scale behavior is the unsampled build unchanged
+      * (`sampleEvery = 1` coincides with [[trainCentroidsLocked]],
+      * spec-asserted). Clamped so the sample never underfills K
+      * (`stride ≤ n/k` ⇒ `ceil(n/stride) ≥ k`) — the geometry serves
+      * the corpus and K must land in full.
+      */
+    def trainStrideFor(n: Long, k: Int): Int = {
+      require(n > 0 && k >= 1, s"bad stride hint: n=$n k=$k")
+      val byTarget = (n + TrainSampleTarget - 1) / TrainSampleTarget
+      val byK = math.max(1L, n / k)
+      math.max(1L, math.min(byTarget, byK)).toInt
+    }
+
     /** Fixture-scale geometry (~10³ vectors): 16 cells, 10 probes.
       * The fixture's vectors are near-uniform (top-1 cosine ≈
       * 0.28-0.49), the adversarial case for cell assignment — many
@@ -484,6 +514,18 @@ object SimSearch {
     val init = u.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("u").as("cu"))
       .localCheckpoint()
+    // Underfill guard: `limit(k)` over a residue sample with < k rows
+    // silently trains fewer centroids than the corpus-derived geometry
+    // demands — a quality cliff, not a degraded mode. The init is
+    // already materialized (localCheckpoint), so the count is free.
+    // [[IvfParams.trainStrideFor]] clamps its stride so derived
+    // deployments can never hit this; it fires only on a hand-picked
+    // stride that outruns the corpus.
+    val got = init.count()
+    require(got == k,
+      s"sampled locked training underfilled: sampleEvery=$sampleEvery left " +
+        s"$got < $k training vectors — lower the stride (need n/stride >= k; " +
+        s"IvfParams.trainStrideFor clamps this automatically)")
     lockedLloyd(u, init, iters)
   }
 

@@ -16,23 +16,33 @@ object AtomicPointer {
 
   val PointerName = "_CURRENT"
 
-  /** Atomically (re-)point `dir/_CURRENT` at `value`. */
-  def write(conf: Configuration, dir: String, value: String): Unit = {
+  /** Atomically (re-)point `dir/<name>` at `value`. The tmp path is
+    * unique PER WRITER (UUID suffix), not per value: two publishers
+    * racing on the same value would otherwise share one tmp file, and
+    * a CREATE+OVERWRITE create can truncate the other mid-write —
+    * the subsequent rename would install a partially written pointer.
+    * With per-writer tmps each rename installs a complete file; last
+    * rename wins, which is the documented last-publisher-wins
+    * semantics of the pointer.
+    */
+  def write(conf: Configuration, dir: String, value: String,
+      name: String = PointerName): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     if (!fs.exists(d)) fs.mkdirs(d)
     val fc = FileContext.getFileContext(d.toUri, conf)
-    val tmp = new Path(d, s"$PointerName.tmp.${value.hashCode}")
+    val tmp = new Path(d, s"$name.tmp.${java.util.UUID.randomUUID()}")
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(value.getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, new Path(d, PointerName), Options.Rename.OVERWRITE)
+    fc.rename(tmp, new Path(d, name), Options.Rename.OVERWRITE)
   }
 
   /** The current pointer value, or None if nothing has published yet. */
-  def read(conf: Configuration, dir: String): Option[String] = {
-    val cur = new Path(dir, PointerName)
+  def read(conf: Configuration, dir: String,
+      name: String = PointerName): Option[String] = {
+    val cur = new Path(dir, name)
     val fs = cur.getFileSystem(conf)
     if (!fs.exists(cur)) None
     else {

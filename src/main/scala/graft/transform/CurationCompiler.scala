@@ -172,11 +172,36 @@ object CurationCompiler {
     * [[graft.ext.IvfIndex.maintainIndex]] act on it.
     */
   def compileRetrainSignal(si: graft.config.SimilarityConfig)(
-      stats: DataFrame): DataFrame = {
+      stats: DataFrame): DataFrame =
+    graft.ext.IvfIndex.retrainSignal(stats, retrainPolicyOf(si))
+
+  /** The policy of a `similarity: retrain_when:` section (shared by the
+    * dry-run decision and the maintenance ACT; absent section → the
+    * documented defaults).
+    */
+  def retrainPolicyOf(
+      si: graft.config.SimilarityConfig): graft.ext.IvfIndex.RetrainPolicy = {
     val rw = si.retrainWhen.getOrElse(graft.config.RetrainWhenConfig())
-    graft.ext.IvfIndex.retrainSignal(stats,
-      graft.ext.IvfIndex.RetrainPolicy(rw.maxDeltaPct, rw.maxCellRatio))
+    graft.ext.IvfIndex.RetrainPolicy(rw.maxDeltaPct, rw.maxCellRatio)
   }
+
+  /** Compiles a `similarity: retrain_when:` section onto the
+    * maintenance ACT ([[graft.ext.IvfIndex.maintainIndexAuto]]): check
+    * the landed index at `indexDir` against the policy and, on breach,
+    * retrain + atomically publish the next version. EVERYTHING scale-
+    * sensitive derives from the corpus, never config: K via
+    * [[graft.ext.SimSearch.IvfParams.forCorpus]], the delta predicate
+    * via the published trained-at watermark (so repeated ticks
+    * converge), and the training stride via
+    * [[graft.ext.SimSearch.IvfParams.trainStrideFor]] inside the act —
+    * a policy breach at any corpus size costs the stride curve, not the
+    * full N^1.5 build. Returns true iff a retrain published.
+    */
+  def compileMaintainIndex(si: graft.config.SimilarityConfig)(
+      emb: DataFrame, indexDir: String, iters: Int = 2): Boolean =
+    graft.ext.IvfIndex.maintainIndexAuto(emb,
+      graft.ext.SimSearch.IvfParams.forCorpus(emb.count()).numCentroids,
+      iters, indexDir, retrainPolicyOf(si))
 
   /** ADC shortlist size for a config-dispatched PQ serving at top-k:
     * the shortlist must dominate k, or a config `k` above the default

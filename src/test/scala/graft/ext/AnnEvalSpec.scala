@@ -148,6 +148,160 @@ class AnnEvalSpec extends SparkTestBase {
     assert(r3.getBoolean(5) === false)
   }
 
+  test("retrainSignal on an EMPTY stats frame is a clean no-op row," +
+    " not NULL flags") {
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("cell", "n_base", "n_delta", "n_total")
+    val r = IvfIndex.retrainSignal(empty, IvfIndex.RetrainPolicy(50, 8)).head()
+    assert(r.getLong(0) === 0L)      // n_cells
+    assert(r.getLong(1) === 0L)      // base_total (coalesced, not NULL)
+    assert(r.getLong(2) === 0L)      // delta_total
+    assert(r.getBoolean(3) === false && r.getBoolean(4) === false)
+    assert(r.getBoolean(5) === false) // retrain — getBoolean must not NPE
+  }
+
+  test("maintainIndex on an index published with zero cells is a clean" +
+    " no-op, not an NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString
+    IvfIndex.publishIndex(cents, IvfIndex.assignCells(emb.filter(lit(false)),
+      cents), dir, 0L)
+    assert(!IvfIndex.maintainIndex(emb, lit(true), 16, 2, dir,
+      IvfIndex.RetrainPolicy(1, 1)))
+    assert(IvfIndex.currentIndexVersion(spark, dir) === Some(0L))
+  }
+
+  test("trainStrideFor: stride 1 below the sample target (fixtures" +
+    " unchanged); ceil(n/target) above it; clamped so the sample covers K") {
+    import SimSearch.IvfParams.trainStrideFor
+    // Fixture decades: unchanged behavior.
+    assert(trainStrideFor(500, 23) === 1)
+    assert(trainStrideFor(2000, 45) === 1)
+    assert(trainStrideFor(20000, 142) === 1)
+    assert(trainStrideFor(50000, 224) === 1)
+    // sf10 reproduces exactly the probed stride-4 configuration
+    // (TrainProbe / OUTLIERS_r14 §3: ×45 cheaper than the full build).
+    assert(trainStrideFor(200000, 448) === 4)
+    // Next decades: sample stays pinned at the target.
+    assert(trainStrideFor(2000000, 1415) === 40)
+    assert(trainStrideFor(100000000, 10000) === 2000)
+    // Clamp: the sample must still land K centroids in full.
+    assert(trainStrideFor(1000, 600) === 1)
+    assert(trainStrideFor(200000, 60000) === 3) // n/k = 3 < ceil(n/target)
+  }
+
+  test("sampled locked training REFUSES to underfill K: a hand-picked" +
+    " stride that outruns the corpus fails loudly, not silently") {
+    // 500 fixture vectors at stride 100 leave a 5-vector sample — far
+    // short of K=16 codewords; limit(k) would silently train 5.
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.trainCentroidsLockedSampled(emb, 16, 1, 100).collect()
+    }
+    assert(e.getMessage.contains("underfilled"))
+  }
+
+  test("maintainIndexAuto: watermark-derived delta converges without a" +
+    " caller-side predicate swap — no retrain storm") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    val cutoff = 4L * emb.count() / 5
+    // v=0 trained on the base slice: its watermark is the base max id.
+    val baseCents = SimSearch.trainCentroidsLocked(
+      emb.filter(col("vec_id") < cutoff), 16, 2).localCheckpoint()
+    val upserted = IvfIndex.assignCells(emb, baseCents)
+    IvfIndex.publishIndex(baseCents, upserted, dir, 0L,
+      trainedWatermark = Some(cutoff - 1))
+    assert(IvfIndex.trainedWatermarkOf(s, dir) === Some(cutoff - 1))
+
+    val strict = IvfIndex.RetrainPolicy(maxDeltaPct = 1, maxCellRatio = 1000000)
+    // Tick 1: the 20% post-watermark ingestion breaches → retrain fires
+    // and the publish REBASES the watermark to the full corpus max.
+    assert(IvfIndex.maintainIndexAuto(emb, 16, 2, dir, strict))
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(1L))
+    assert(IvfIndex.trainedWatermarkOf(s, dir) === Some(emb.count() - 1))
+    // Tick 2: SAME arguments — the rebased watermark leaves an empty
+    // delta, the same policy no longer fires. This is the lane the
+    // r14 convergence claim needed a manual lit(false) swap for.
+    assert(!IvfIndex.maintainIndexAuto(emb, 16, 2, dir, strict))
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(1L))
+  }
+
+  test("legacy index without a watermark: maintainIndexAuto treats the" +
+    " corpus as base — delta breaches cannot fire, ratio breaches can") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_legacy").toString
+    IvfIndex.publishIndex(cents, IvfIndex.assignCells(emb, cents), dir, 0L)
+    assert(IvfIndex.trainedWatermarkOf(s, dir) === None)
+    // Delta-only strictness: storm-safe no-op (everything is base).
+    assert(!IvfIndex.maintainIndexAuto(emb, 16, 2, dir,
+      IvfIndex.RetrainPolicy(maxDeltaPct = 1, maxCellRatio = 1000000)))
+    // A ratio breach still fires, and the retrain publishes a
+    // watermark — the legacy index heals into the auto contract.
+    assert(IvfIndex.maintainIndexAuto(emb, 16, 2, dir,
+      IvfIndex.RetrainPolicy(maxDeltaPct = 100, maxCellRatio = 1)))
+    assert(IvfIndex.trainedWatermarkOf(s, dir) === Some(emb.count() - 1))
+  }
+
+  test("breach-triggered retrain acts through the SAMPLED trainer: at a" +
+    " forced stride the published index is exactly the sampled-trained" +
+    " composition, and serving clears the quality bound") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sampled").toString
+    val cutoff = 4L * emb.count() / 5
+    val baseCents = SimSearch.trainCentroidsLocked(
+      emb.filter(col("vec_id") < cutoff), 16, 2).localCheckpoint()
+    IvfIndex.publishIndex(baseCents, IvfIndex.assignCells(emb, baseCents),
+      dir, 0L, trainedWatermark = Some(cutoff - 1))
+    // Fixture corpora derive stride 1 (trainStrideFor lane above), so
+    // force stride 4 through the spec seam to pin the act's plumbing.
+    assert(IvfIndex.maintainIndexImpl(emb, col("vec_id") > cutoff - 1,
+      16, 2, dir, IvfIndex.RetrainPolicy(1, 1000000), strideOverride = Some(4)))
+    val (gotCents, gotCells) = IvfIndex.readCurrentIndex(s, dir)
+    val wantCents = SimSearch.trainCentroidsLockedSampled(emb, 16, 2, 4)
+    val wantCells = IvfIndex.assignCells(emb, wantCents)
+    assert(gotCells.collect().map(_.toSeq).toSet ===
+      wantCells.collect().map(_.toSeq).toSet)
+    assert(gotCents.select("cent_id").collect().map(_.getLong(0)).toSet ===
+      wantCents.select("cent_id").collect().map(_.getLong(0)).toSet)
+    // Serving-quality bound over the sampled-trained published index:
+    // top-1 recall against exact brute ground truth (the SimSearchSpec
+    // stride-4 bar, re-checked on the act's own output).
+    val served = IvfIndex.topKOverCells(emb, gotCells, gotCents, 100, 1, 10)
+    val gt = SimSearch.bruteTopKN(emb, 100, 1)
+    val hits = graft.ext.AnnEval.recallAtK(served, gt)
+      .agg(sum("hits")).head.getLong(0)
+    assert(hits >= 80, s"sampled-retrained serving top-1 recall $hits/100 < 80" +
+      " (the repo's documented recall floor on the near-uniform fixture)")
+  }
+
+  test("config-compiled maintenance act: retrain_when drives" +
+    " maintainIndexAuto with corpus-derived geometry end-to-end") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cfg_act").toString
+    val si = graft.config.ConfigLoader.fromYaml(
+      """source:
+        |  name: m
+        |  type: file
+        |  curation:
+        |    similarity:
+        |      retrain_when:
+        |        max_delta_pct: 1
+        |        max_cell_ratio: 1000000
+        |""".stripMargin).curation.get.similarity.get
+    val cutoff = 4L * emb.count() / 5
+    val k = SimSearch.IvfParams.forCorpus(emb.count()).numCentroids
+    val baseCents = SimSearch.trainCentroidsLocked(
+      emb.filter(col("vec_id") < cutoff), k, 2).localCheckpoint()
+    IvfIndex.publishIndex(baseCents, IvfIndex.assignCells(emb, baseCents),
+      dir, 0L, trainedWatermark = Some(cutoff - 1))
+    // Breach → the config path retrains and converges on the next tick.
+    assert(graft.transform.CurationCompiler.compileMaintainIndex(si)(emb, dir))
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(1L))
+    assert(!graft.transform.CurationCompiler.compileMaintainIndex(si)(emb, dir))
+    // The published geometry is the corpus-derived K, not a config knob.
+    val (gotCents, _) = IvfIndex.readCurrentIndex(s, dir)
+    assert(gotCents.count() === k.toLong)
+  }
+
   test("maintainIndex closes the loop: no retrain below threshold; on" +
     " breach, one atomic versioned retrain equal to a from-scratch index") {
     val s = spark
