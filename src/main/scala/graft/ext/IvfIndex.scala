@@ -267,8 +267,30 @@ object IvfIndex {
       isDelta: org.apache.spark.sql.Column, numCentroids: Int, iters: Int,
       indexDir: String, policy: RetrainPolicy,
       strideOverride: Option[Int]): Boolean = {
+    val (_, cells) = readCurrentIndex(emb.sparkSession, indexDir)
+    maintainIndexOverImpl(emb, cells, isDelta, numCentroids, iters, indexDir,
+      policy, strideOverride)
+  }
+
+  /** The maintenance loop over an EXPLICIT monitored cell table — the
+    * streaming shape ([[graft.stream.StreamIvfUpsert]]): upserted delta
+    * assignments accumulate OUTSIDE the published version (per-batch
+    * partitions), so the health check must run over published ∪
+    * not-yet-published rows while the versioned publish still goes
+    * through `indexDir`. Also serves bootstrap: with no published
+    * version yet, a breach publishes v=0.
+    */
+  def maintainIndexOver(emb: DataFrame, cells: DataFrame,
+      isDelta: org.apache.spark.sql.Column, numCentroids: Int, iters: Int,
+      indexDir: String, policy: RetrainPolicy): Boolean =
+    maintainIndexOverImpl(emb, cells, isDelta, numCentroids, iters, indexDir,
+      policy, strideOverride = None)
+
+  private[graft] def maintainIndexOverImpl(emb: DataFrame, cells: DataFrame,
+      isDelta: org.apache.spark.sql.Column, numCentroids: Int, iters: Int,
+      indexDir: String, policy: RetrainPolicy,
+      strideOverride: Option[Int]): Boolean = {
     val spark = emb.sparkSession
-    val (_, cells) = readCurrentIndex(spark, indexDir)
     val retrain = retrainSignal(cellStats(cells, isDelta), policy)
       .select(col("retrain")).head.getBoolean(0)
     if (retrain) {

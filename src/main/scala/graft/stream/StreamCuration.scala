@@ -74,12 +74,100 @@ import graft.transform.CurationCompiler
   */
 object StreamCuration {
 
-  /** Bucket count for the landed shingle state (`hb = h mod buckets`
-    * partition dirs): revocation probes prune to the eval delta's
-    * buckets. 64 keeps dirs coarse enough for healthy file sizes at
-    * scale while a small eval delta still skips most of the store.
+  /** Bucket count for NEWLY CREATED shingle stores (`hb = h mod
+    * buckets` partition dirs): revocation probes prune to the eval
+    * delta's buckets. The bound is pinned by the probe arithmetic, not
+    * by file-size mechanics: a revocation delta of E eval shingles
+    * touches min(E, buckets) buckets, so the pruning factor saturates
+    * at `buckets` — at 64 a typical ≤10-shingle eval delta still skips
+    * ≥84% of the store, while per-batch writes stay ≤64 files (a
+    * 10k-batch/day stream stays under the small-file line). A store's
+    * ACTUAL count is versioned in its `_BUCKETS` marker
+    * ([[shingleLayout]]), so this default can change — or a deployment
+    * can pick a larger count for a bigger eval suite — without breaking
+    * any existing store's pruning or readability.
     */
   val ShingleBuckets = 64
+
+  /** Name of the shingle store's layout marker file: the bucket count
+    * its `hb=` partition dirs were written with. Underscore-prefixed,
+    * so parquet discovery ignores it.
+    */
+  private[stream] val BucketsMarkerName = "_BUCKETS"
+
+  /** The landed shingle store's layout, probed from disk — the
+    * backward-compatibility seam: stores written before bucketing (or
+    * mixed, if a legacy checkpoint resumed under a bucketing engine)
+    * must keep REVOCATION CORRECT even though they cannot prune.
+    */
+  private[stream] sealed trait ShingleLayout
+  private[stream] object ShingleLayout {
+    /** Every batch dir carries `hb=` partitions written at `buckets`. */
+    final case class Bucketed(buckets: Int) extends ShingleLayout
+    /** At least one batch dir predates bucketing: reads must go per-dir
+      * and unpruned (mixed dirs break whole-store partition discovery).
+      */
+    case object Legacy extends ShingleLayout
+    /** No batch has landed shingles yet. */
+    case object Empty extends ShingleLayout
+  }
+
+  /** Probe `storeDir`'s layout: the `_BUCKETS` marker wins (the
+    * versioned contract); absent a marker, a store whose every batch
+    * dir is `hb=`-partitioned is a pre-marker bucketed store at the
+    * default count; anything else is legacy/mixed.
+    */
+  private[stream] def shingleLayout(spark: SparkSession,
+      storeDir: String): ShingleLayout = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) ShingleLayout.Empty
+    else graft.sink.AtomicPointer.read(conf, storeDir,
+        name = BucketsMarkerName) match {
+      case Some(n) => ShingleLayout.Bucketed(n.toInt)
+      case None =>
+        val batchDirs = fs.listStatus(p).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        if (batchDirs.isEmpty) ShingleLayout.Empty
+        else if (batchDirs.forall(d => fs.listStatus(d.getPath).exists(c =>
+          c.isDirectory && c.getPath.getName.startsWith("hb="))))
+          ShingleLayout.Bucketed(ShingleBuckets)
+        else ShingleLayout.Legacy
+    }
+  }
+
+  /** `(__h, h)` rows of the accumulated shingle store, restricted —
+    * when the layout allows pruning — to the buckets an eval-shingle
+    * delta can touch. Bucketed stores read only the delta's ≤buckets
+    * `hb=` partition dirs (revocation work follows the DELTA's size);
+    * legacy/mixed stores fall back to an unpruned PER-BATCH-DIR union
+    * (whole-store discovery over mixed dirs throws on conflicting
+    * structures), trading the pruning away but never correctness.
+    */
+  private[stream] def shingleStateFor(spark: SparkSession, storeDir: String,
+      evalDelta: DataFrame): DataFrame = shingleLayout(spark, storeDir) match {
+    case ShingleLayout.Bucketed(nb) =>
+      // Buckets the eval delta can possibly touch (≤ nb ints — a
+      // KB-scale metadata collect).
+      val probed = evalDelta
+        .select(pmod(col("h"), lit(nb)).cast("int").as("hb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      spark.read.parquet(storeDir)
+        .filter(col("hb").isin(probed: _*))
+        .select(col("__h"), col("h"))
+    case ShingleLayout.Legacy =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(storeDir)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).map(_.getPath)
+        .filter(d => d.getName.startsWith("batch_id="))
+        .map(d => spark.read.parquet(d.toString).select(col("__h"), col("h")))
+        .reduceLeft(_ unionByName _)
+    case ShingleLayout.Empty =>
+      emptyDf(spark, StructType(Seq(StructField("__h", StringType),
+        StructField("h", LongType))))
+  }
 
   // ---------------------------------------------------------------
   // Atomic versioned output publish (shared by both modes)
@@ -291,16 +379,13 @@ object StreamCuration {
           dirExists(spark, s"$stateDir/evalsh/batch_id=$batchId") =>
         val newEvalShPart =
           spark.read.parquet(s"$stateDir/evalsh/batch_id=$batchId")
-        // Buckets the eval delta can possibly touch (≤ ShingleBuckets
-        // ints — a KB-scale metadata collect): the store scan prunes
-        // to these `hb=` partition dirs, so revocation work follows the
-        // DELTA's size, not the accumulated shingle store's.
-        val probed = newEvalShPart
-          .select(pmod(col("h"), lit(ShingleBuckets)).cast("int").as("hb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val shState = spark.read.parquet(s"$stateDir/shingles")
-          .filter(col("hb").isin(probed: _*))
-          .select(col("__h"), col("h"))
+        // The store scan prunes to the eval delta's `hb=` buckets when
+        // the landed layout supports it (revocation work follows the
+        // DELTA's size, not the accumulated store's); a legacy
+        // pre-bucketing store falls back to an unpruned per-dir scan —
+        // see [[shingleStateFor]].
+        val shState = shingleStateFor(spark, s"$stateDir/shingles",
+            newEvalShPart)
           .join(o.select(col("__h")), Seq("__h"), "left_semi")
         shState.join(broadcast(newEvalShPart.select(col("eval_id"), col("h"))),
             Seq("h"))
@@ -347,20 +432,41 @@ object StreamCuration {
         col("chunk_hash"), col("__key"))
       .write.mode("overwrite").parquet(s"$stateDir/chunks/batch_id=$batchId")
     if (cu.decontam.isDefined) {
-      // Bucketed by shingle hash (hb = h mod ShingleBuckets, the K9
-      // layout idea as partition dirs): the shingle store is
-      // corpus-shingle-sized at scale, and revocation (step 4) probes
-      // it with a usually-tiny eval delta — bucket dirs let that scan
-      // PRUNE to the delta's buckets instead of reading the store.
-      NearDup.shingleSets(
+      // Bucketed by shingle hash (hb = h mod buckets, the K9 layout
+      // idea as partition dirs): the shingle store is corpus-shingle-
+      // sized at scale, and revocation (step 4) probes it with a
+      // usually-tiny eval delta — bucket dirs let that scan PRUNE to
+      // the delta's buckets instead of reading the store. The bucket
+      // count comes from the store's OWN layout (its `_BUCKETS` marker
+      // — never re-bucket an existing store under a changed default);
+      // a legacy store keeps its unbucketed layout so its per-dir
+      // fallback reads stay structurally uniform.
+      val storeDir = s"$stateDir/shingles"
+      val layout = shingleLayout(spark, storeDir)
+      val sh = NearDup.shingleSets(
           newWinners.filter(col("o_id").isNull)
             .select(col("__h"), col("text").as(textF)),
           "__h", textF, cu.decontam.get.shingleLen)
         .select(col("doc_id").as("__h"), explode(col("hs")).as("h"))
-        .withColumn("hb", pmod(col("h"), lit(ShingleBuckets)).cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("hb")
-        .parquet(s"$stateDir/shingles/batch_id=$batchId")
+      layout match {
+        case ShingleLayout.Legacy =>
+          sh.write.mode("overwrite")
+            .parquet(s"$storeDir/batch_id=$batchId")
+        case _ =>
+          val nb = layout match {
+            case ShingleLayout.Bucketed(b) => b
+            case _ => ShingleBuckets
+          }
+          sh.withColumn("hb", pmod(col("h"), lit(nb)).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("hb")
+            .parquet(s"$storeDir/batch_id=$batchId")
+          // Version the layout AFTER the first bucketed write: the
+          // marker is the store's contract for every later read/write.
+          graft.sink.AtomicPointer.write(
+            spark.sparkContext.hadoopConfiguration, storeDir, nb.toString,
+            name = BucketsMarkerName)
+      }
     }
 
     // -- 7. bounded-work stats (the per-batch evidence): every count

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming IVF index maintenance — the continuous form of
@@ -65,6 +65,89 @@ object StreamIvfUpsert {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatch(batch, batchId, cents, outDir)
+      }
+      .start()
+
+  // ---------------------------------------------------------------
+  // The MAINTAINED stream: upsert + closed retrain loop per batch
+  // ---------------------------------------------------------------
+
+  /** The trained-at watermark of a MAINTAINED index — required, not
+    * optional: the maintained serving/monitoring split rests on it
+    * (published rows are ≤ watermark, live upserts are > it), so an
+    * unwatermarked (pre-r15 or hand-published) index must fail fast
+    * here rather than silently mis-split.
+    */
+  private def watermarkOf(spark: SparkSession, indexDir: String): Long =
+    graft.ext.IvfIndex.trainedWatermarkOf(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir has no trained-at watermark — the maintained stream " +
+          "requires a watermarked seed publish (IvfIndex.publishIndex with " +
+          "trainedWatermark)"))
+
+  /** The cell table the maintained stream SERVES and MONITORS: the
+    * published version's rows (everything the last training saw,
+    * vec_id ≤ watermark) plus upsert partitions newer than the
+    * watermark. Upsert partitions at or below the watermark are
+    * superseded by the retrain that covered them — they may even have
+    * been assigned against older centroids — and are excluded, which is
+    * what makes a replayed pre-retrain micro-batch harmless.
+    */
+  def servingCells(spark: SparkSession, indexDir: String,
+      deltaDir: String): DataFrame = {
+    val (_, published) = graft.ext.IvfIndex.readCurrentIndex(spark, indexDir)
+    val w = watermarkOf(spark, indexDir)
+    published.filter(col("vec_id") <= w)
+      .unionByName(readIndex(spark, deltaDir).filter(col("vec_id") > w))
+  }
+
+  /** One measure→decide→act cycle of the maintained stream: health-
+    * check the serving cells against the policy; on breach, retrain
+    * from the ACCUMULATED corpus (the sampled trainer at the corpus-
+    * size-derived stride — [[graft.ext.IvfIndex.maintainIndexOver]])
+    * and atomically publish the next version. K re-derives from the
+    * corpus each tick, so the geometry grows with the stream.
+    */
+  def maintainTick(spark: SparkSession, corpusDir: String, deltaDir: String,
+      indexDir: String, iters: Int,
+      policy: graft.ext.IvfIndex.RetrainPolicy): Boolean = {
+    val corpus = spark.read.parquet(corpusDir).drop("batch_id")
+    val w = watermarkOf(spark, indexDir)
+    graft.ext.IvfIndex.maintainIndexOver(corpus,
+      servingCells(spark, indexDir, deltaDir), col("vec_id") > w,
+      graft.ext.SimSearch.IvfParams.forCorpus(corpus.count()).numCentroids,
+      iters, indexDir, policy)
+  }
+
+  /** Start the MAINTAINED stream — the full closed loop under
+    * streaming ingestion. Each micro-batch: (1) lands its raw vectors
+    * in `corpusDir` (idempotent `batch_id=` partitions — the retrain
+    * corpus accumulates beside the index), (2) upserts against the
+    * CURRENTLY PUBLISHED centroids (re-read per batch: a mid-stream
+    * retrain flips them atomically under the `_CURRENT` pointer), and
+    * (3) ticks [[maintainTick]]. Requires a watermarked seed publish at
+    * `indexDir` (train the initial corpus through the batch path
+    * first). Exactly-once: steps 1-2 are idempotent per batchId; a
+    * replayed pre-retrain batch's delta partition is below the new
+    * watermark and thus invisible to serving; step 3 after a replay is
+    * a no-op (the rebased watermark sees no delta).
+    */
+  def startMaintained(spark: SparkSession, vecs: DataFrame, corpusDir: String,
+      deltaDir: String, indexDir: String, iters: Int,
+      policy: graft.ext.IvfIndex.RetrainPolicy,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        val (cents, _) = graft.ext.IvfIndex.readCurrentIndex(spark, indexDir)
+        writeBatch(batch, batchId, cents, deltaDir)
+        maintainTick(spark, corpusDir, deltaDir, indexDir, iters, policy)
+        ()
       }
       .start()
 }

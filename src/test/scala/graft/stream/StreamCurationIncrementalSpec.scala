@@ -155,6 +155,75 @@ class StreamCurationIncrementalSpec extends SparkTestBase {
       store.filter(org.apache.spark.sql.functions.col("hb") === probed.head).count())
   }
 
+  test("shingle-store layout versioning: marker wins, pre-marker bucketed" +
+    " stores detect at the default, legacy/mixed stores fall back unpruned" +
+    " with identical rows") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 40L).map(i => (s"d$i", i * 7L))
+    val df = rows.toDF("__h", "h")
+    def bucketed(dir: String, batch: Long, nb: Int): Unit =
+      df.withColumn("hb", pmod(col("h"), lit(nb)).cast("int"))
+        .write.mode("overwrite").partitionBy("hb")
+        .parquet(s"$dir/batch_id=$batch")
+    def flat(dir: String, batch: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/batch_id=$batch")
+    val evalDelta = Seq(7L, 14L).toDF("h")
+    def gotRows(dir: String): Set[(String, Long)] =
+      StreamCuration.shingleStateFor(s, dir, evalDelta)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // Rows the delta's buckets hold under the default layout — what a
+    // pruned scan must return; legacy scans return the full store.
+    val deltaBuckets = Set(7L % 64, 14L % 64)
+    val prunedTruth = rows.filter(r => deltaBuckets(r._2 % 64)).toSet
+
+    // 1. Marker wins: a store stamped at 32 buckets prunes at 32, even
+    //    though the engine default is 64.
+    val m32 = tmp("sci_m32")
+    bucketed(m32, 0L, 32)
+    graft.sink.AtomicPointer.write(s.sparkContext.hadoopConfiguration,
+      m32, "32", name = "_BUCKETS")
+    assert(StreamCuration.shingleLayout(s, m32) ===
+      StreamCuration.ShingleLayout.Bucketed(32))
+    assert(gotRows(m32) === rows.filter(r =>
+      Set(7L % 32, 14L % 32)(r._2 % 32)).toSet)
+
+    // 2. Pre-marker bucketed store (the r14 layout): detected at the
+    //    default count; the scan is partition-pruned.
+    val pre = tmp("sci_pre")
+    bucketed(pre, 0L, 64); bucketed(pre, 1L, 64)
+    assert(StreamCuration.shingleLayout(s, pre) ===
+      StreamCuration.ShingleLayout.Bucketed(64))
+    assert(gotRows(pre) === (prunedTruth ++ prunedTruth))
+    val plan = StreamCuration.shingleStateFor(s, pre, evalDelta)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("hb"),
+      s"bucketed fallback must partition-prune:\n$plan")
+
+    // 3. Legacy store (written before bucketing existed): no hb column
+    //    anywhere — reads fall back to the full store, revocation rows
+    //    intact. This is the resume path that previously failed on the
+    //    missing hb partition column.
+    val leg = tmp("sci_leg")
+    flat(leg, 0L); flat(leg, 1L)
+    assert(StreamCuration.shingleLayout(s, leg) ===
+      StreamCuration.ShingleLayout.Legacy)
+    assert(gotRows(leg) === rows.toSet)
+
+    // 4. MIXED store (legacy checkpoint resumed under r14's always-
+    //    bucketed writer): whole-store discovery would throw on
+    //    conflicting structures; the per-dir fallback returns every row.
+    val mix = tmp("sci_mix")
+    flat(mix, 0L); bucketed(mix, 1L, 64)
+    assert(StreamCuration.shingleLayout(s, mix) ===
+      StreamCuration.ShingleLayout.Legacy)
+    assert(gotRows(mix) === rows.toSet)
+
+    // 5. Empty/absent store: clean empty frame, no probe errors.
+    assert(gotRows(tmp("sci_absent")) === Set.empty[(String, Long)])
+  }
+
   test("dedup displacement: a smaller id arriving later replaces the winner") {
     val dup = Seq(
       ScDoc(50L, "alpha beta gamma delta epsilon zeta", "en"),

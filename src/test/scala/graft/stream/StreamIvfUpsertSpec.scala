@@ -86,6 +86,75 @@ class StreamIvfUpsertSpec extends SparkTestBase {
     assert(after.size === all.size)
   }
 
+  test("maintained stream closes the loop end-to-end: micro-batches" +
+    " accumulate deltas, the policy breaches mid-stream, the retrain" +
+    " publishes atomically, and the loop converges") {
+    val s = spark; import s.implicits._
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count() // 500, dense ids (AnnEvalSpec pins density)
+    val seedCut = 300L
+    val corpusDir = Files.createTempDirectory("sivm_corpus").toString
+    val deltaDir = Files.createTempDirectory("sivm_delta").toString
+    val indexDir = Files.createTempDirectory("sivm_index").toString
+    val ckpt = Files.createTempDirectory("sivm_ckpt").toString
+
+    // Seed: v=0 trained on the initial corpus through the batch path,
+    // watermarked at its max id; the raw seed vectors land in the
+    // corpus store like any batch (a pre-stream backfill partition).
+    val seed = emb.filter(col("vec_id") < seedCut)
+    val seedCents = SimSearch.trainCentroidsLocked(seed, 16, 2).localCheckpoint()
+    IvfIndex.publishIndex(seedCents, IvfIndex.assignCells(seed, seedCents),
+      indexDir, 0L, trainedWatermark = Some(seedCut - 1))
+    seed.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+
+    // Any fresh delta breaches (max_delta_pct = 1): every micro-batch
+    // that lands new vectors must trigger exactly one retrain.
+    val policy = IvfIndex.RetrainPolicy(maxDeltaPct = 1, maxCellRatio = 1000000)
+    val vecs = emb.collect()
+      .map(r => SivVec(r.getLong(0), r.getSeq[Float](1)))
+      .filter(_.vec_id >= seedCut)
+    val (batchA, batchB) = vecs.partition(_.vec_id < 400L)
+
+    val ms = MemoryStream[SivVec](
+      org.apache.spark.sql.Encoders.product[SivVec], s.sqlContext)
+    val q = StreamIvfUpsert.startMaintained(s, ms.toDF(), corpusDir, deltaDir,
+      indexDir, iters = 2, policy, ckpt)
+    try {
+      // Batch A: 100 new vectors → breach → v=1, watermark rebased to
+      // the corpus max SO FAR. The flip happens mid-stream.
+      ms.addData(batchA.toSeq); q.processAllAvailable()
+      assert(IvfIndex.currentIndexVersion(s, indexDir) === Some(1L))
+      assert(IvfIndex.trainedWatermarkOf(s, indexDir) === Some(399L))
+      // Batch B: next 100 → second breach → v=2, watermark = corpus max.
+      ms.addData(batchB.toSeq); q.processAllAvailable()
+      assert(IvfIndex.currentIndexVersion(s, indexDir) === Some(2L))
+      assert(IvfIndex.trainedWatermarkOf(s, indexDir) === Some(n - 1))
+    } finally q.stop()
+
+    // The final published index IS the from-scratch build over
+    // everything that arrived (K corpus-derived per tick; at this scale
+    // the derived stride is 1, where sampled ≡ full training).
+    val k = SimSearch.IvfParams.forCorpus(n).numCentroids
+    val freshCents = SimSearch.trainCentroidsLocked(emb, k, 2).localCheckpoint()
+    val (_, gotCells) = IvfIndex.readCurrentIndex(s, indexDir)
+    assert(gotCells.collect().map(_.toSeq).toSet ===
+      IvfIndex.assignCells(emb, freshCents).collect().map(_.toSeq).toSet)
+    // Serving state: everything is covered by the published version
+    // (no post-watermark deltas), and the composed serving cells agree.
+    val served = StreamIvfUpsert.servingCells(s, indexDir, deltaDir)
+    assert(served.collect().map(_.toSeq).toSet ===
+      gotCells.collect().map(_.toSeq).toSet)
+    // Convergence: one more tick with the SAME policy no-ops — the
+    // rebased watermark sees an empty delta.
+    assert(!StreamIvfUpsert.maintainTick(s, corpusDir, deltaDir, indexDir,
+      2, policy))
+    assert(IvfIndex.currentIndexVersion(s, indexDir) === Some(2L))
+  }
+
   test("serving over the streamed index equals batch serving") {
     val s = spark; import s.implicits._
     val out = runStream(16)
