@@ -43,25 +43,35 @@ class PlanGuardSpec extends SparkTestBase {
   }
 
   // (query, expected shuffles, expected broadcasts) — the 10 most
-  // expensive rows of BENCH_r12 (headline sf0.1 sweep).
-  // Audited shapes (r12 plan audit): profile_table = map-only HLL
-  // partials + ONE sketch-width exchange; video_frames = map-only
-  // (zero exchanges — payloads never shuffle); the join-bearing rows
-  // carry their small sides as broadcasts (a broadcast decaying into
-  // a shuffle shows up here as a -1/+1 move).
+  // expensive rows of BENCH_r14_sliced (headline sf0.1 sweep; the r12
+  // top-10's dropped rows stay pinned below so coverage never
+  // shrinks). Audited shapes: simhash_pairs + image_neardup are the
+  // r14 hot-bucket-safe re-plans (one materialized fingerprint/hash
+  // exchange shared across the collapse/tiled-hamming/banded branches
+  // — their extra skinny exchanges are the documented price of
+  // skew-safety, and this pin is what keeps a refactor from silently
+  // re-fattening them); the join-bearing rows carry their small sides
+  // as broadcasts (a broadcast decaying into a shuffle shows up here
+  // as a -1/+1 move).
   private val pinned: Seq[(String, Int, Int)] = Seq(
-    ("profile_table", 1, 0),
     ("jaccard_pairs", 4, 3),
+    ("simhash_pairs", 4, 5),
     ("containment_join", 2, 4),
-    ("price_deciles", 7, 2),
-    ("sim_topk_pq", 2, 4),
-    ("profile_table_exact", 8, 0),
-    ("triangle_topk", 3, 2),
-    ("video_frames", 0, 0),
+    ("cfg_decontam", 1, 1),
+    ("image_neardup", 4, 5),
     ("cfg_lm_buckets", 8, 4),
+    ("sim_topk_pq", 2, 4),
+    ("triangle_topk", 3, 2),
+    ("mmr_rerank_filtered", 0, 0),
+    ("ccnet_buckets", 8, 4),
+    // r12-era top-10 rows no longer in the r14 top-10 — kept pinned.
+    ("profile_table", 1, 0),
+    ("price_deciles", 7, 2),
+    ("profile_table_exact", 8, 0),
+    ("video_frames", 0, 0),
     ("q18_bigorders", 1, 2))
 
-  test("exchange counts of the 10 most expensive bench queries are pinned") {
+  test("exchange counts of the most expensive bench queries are pinned") {
     val actual = pinned.map { case (name, _, _) =>
       val df = graft.SparkEntry.queries(name)(staticSession, sf0001)
       name -> counts(df)
@@ -73,5 +83,26 @@ class PlanGuardSpec extends SparkTestBase {
     }
     assert(bad.isEmpty,
       s"\nplan shapes moved:\n  ${bad.mkString("\n  ")}\nfull actual: $actual")
+  }
+
+  test("hot-bucket-safe re-plans (simhash_pairs, image_neardup) keep their" +
+    " audited shape: no cartesian product, one exchange REUSED across the" +
+    " collapse/hamming/banded branches") {
+    for (name <- Seq("simhash_pairs", "image_neardup")) {
+      val plan = expand(graft.SparkEntry.queries(name)(staticSession, sf0001)
+        .queryExecution.executedPlan)
+      val cartesians = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesians.isEmpty, s"$name grew a cartesian product:\n$plan")
+      // The r14 design shares ONE materialized fingerprint/hash exchange
+      // across its branches — if reuse disappears, every branch re-pays
+      // the decode/fingerprint scan.
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"$name lost its shared materialized exchange (ReusedExchange):\n$plan")
+    }
   }
 }
