@@ -93,15 +93,15 @@ object StreamCuration {
     * its `hb=` partition dirs were written with. Underscore-prefixed,
     * so parquet discovery ignores it.
     */
-  private[stream] val BucketsMarkerName = "_BUCKETS"
+  private[graft] val BucketsMarkerName = "_BUCKETS"
 
   /** The landed shingle store's layout, probed from disk — the
     * backward-compatibility seam: stores written before bucketing (or
     * mixed, if a legacy checkpoint resumed under a bucketing engine)
     * must keep REVOCATION CORRECT even though they cannot prune.
     */
-  private[stream] sealed trait ShingleLayout
-  private[stream] object ShingleLayout {
+  private[graft] sealed trait ShingleLayout
+  private[graft] object ShingleLayout {
     /** Every batch dir carries `hb=` partitions written at `buckets`. */
     final case class Bucketed(buckets: Int) extends ShingleLayout
     /** At least one batch dir predates bucketing: reads must go per-dir
@@ -117,7 +117,7 @@ object StreamCuration {
     * dir is `hb=`-partitioned is a pre-marker bucketed store at the
     * default count; anything else is legacy/mixed.
     */
-  private[stream] def shingleLayout(spark: SparkSession,
+  private[graft] def shingleLayout(spark: SparkSession,
       storeDir: String): ShingleLayout = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(storeDir)
@@ -145,7 +145,7 @@ object StreamCuration {
     * (whole-store discovery over mixed dirs throws on conflicting
     * structures), trading the pruning away but never correctness.
     */
-  private[stream] def shingleStateFor(spark: SparkSession, storeDir: String,
+  private[graft] def shingleStateFor(spark: SparkSession, storeDir: String,
       evalDelta: DataFrame): DataFrame = shingleLayout(spark, storeDir) match {
     case ShingleLayout.Bucketed(nb) =>
       // Buckets the eval delta can possibly touch (≤ nb ints — a
