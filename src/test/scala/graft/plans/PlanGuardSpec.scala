@@ -62,7 +62,13 @@ class PlanGuardSpec extends SparkTestBase {
     ("cfg_lm_buckets", 8, 4),
     ("sim_topk_pq", 2, 4),
     ("triangle_topk", 3, 2),
-    ("mmr_rerank_filtered", 0, 0),
+    // r16 re-pin: MmrRerank's single-pass re-plan (VERDICT r15 #1) —
+    // the old (0, 0) was an artifact of per-step localCheckpoints
+    // hiding the lineage; the new whole-operator static plan is
+    // exactly 1 shuffle (the top-m window on qid, reused by the
+    // per-qid collect) + 1 broadcast (the bounded query side). More
+    // of either means the driver-sequenced greedy grew back.
+    ("mmr_rerank_filtered", 1, 1),
     ("ccnet_buckets", 8, 4),
     // r12-era top-10 rows no longer in the r14 top-10 — kept pinned.
     ("profile_table", 1, 0),
