@@ -40,6 +40,7 @@ def main():
     merged, failed, fixture = {}, [], {}
     slice_canary, query_slice = [], {}
     slice_canary_ok, warmed = [], set()
+    twin_of = {}
     stamp0 = classes_stamp()
     for k in range(n):
         if classes_stamp() != stamp0:
@@ -73,6 +74,7 @@ def main():
         slice_canary.append(round(sum(cmap.values()), 3))
         slice_canary_ok.append(ok)
         warmed.update(part.get("warmed", []))
+        twin_of.update(part.get("twin_of", {}))
         failed += part.get("failed_queries", [])
         stamp = part.get("fixture", {})
         if fixture and stamp and stamp != fixture:
@@ -106,12 +108,27 @@ def main():
            "norm_skipped_slices": [k for k, ok in enumerate(slice_canary_ok)
                                    if not ok],
            "warmed": sorted(warmed),
+           "twin_of": dict(sorted(twin_of.items())),
            "queries": dict(sorted(merged.items())),
            "queries_norm": dict(sorted(norm.items()))}
     with open(out, "w") as f:
         json.dump(doc, f)
     print(f"total {total}s over {len(merged)} queries "
           f"(canaries {slice_canary}, med {canary_med}) -> {out}")
+    # Twin drift report: a cfg_* row compiles to the SAME plan its
+    # Scala twin runs, so (normalized) cfg/twin >> 1 when both are
+    # multi-second rows points at the config COMPILER, not the
+    # operator. Informational — nothing here gates.
+    drifted = []
+    for cfg, twin in sorted(twin_of.items()):
+        if cfg in norm and twin in norm and min(norm[cfg], norm[twin]) >= 1.0:
+            r = norm[cfg] / norm[twin]
+            if r > 1.4 or r < 1 / 1.4:
+                drifted.append(f"  {cfg} {norm[cfg]}s vs {twin} {norm[twin]}s"
+                               f" (x{r:.2f})")
+    if drifted:
+        print("twin drift (cfg vs Scala twin, normalized):")
+        print("\n".join(drifted))
 
 
 if __name__ == "__main__":

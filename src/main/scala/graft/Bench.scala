@@ -179,9 +179,19 @@ object Bench {
     // The full file line carries the complete fixture stamp AND the
     // per-canary map; stdout (truncation-budgeted) carries the short
     // combined hash plus the one-number canary total.
+    // Twin stamps (file line only): cfg_* rows re-measure a composition
+    // their Scala twin already times — the stamp lets a cross-round
+    // reader separate operator drift (twin moved too) from
+    // config-compiler drift (only the cfg row moved) without paying
+    // the rows twice in ITS accounting.
+    val twinJson = queries.Registry.twinOf.toSeq
+      .filter { case (c, _) => results.exists(_._1 == c) }.sortBy(_._1)
+      .map { case (c, t) => s"\"" + c + "\":\"" + t + "\"" }
+      .mkString("{", ",", "}")
     val fullLine = line(allEntries, failedNames,
       s""","fixture":$fixtureStamp,"canary":$canaryJson""" +
-        s""","canary_failed":${fqJson(canaryFailed)},"warmed":${fqJson(warmed)}""")
+        s""","canary_failed":${fqJson(canaryFailed)},"warmed":${fqJson(warmed)}""" +
+        s""","twin_of":$twinJson""")
     val stdoutExtra = StdoutExtra +
       s""","fixture_hash":"${FixtureStamp.shortHash(fixtureStamp)}"""" +
       s""","canary_sec":${ms(canaryTotal)},"canary_failed_n":${canaryFailed.size}"""

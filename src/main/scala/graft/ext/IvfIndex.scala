@@ -298,8 +298,28 @@ object IvfIndex {
       // the no-op path stays K-row work.
       val hint = emb.agg(count(lit(1)), max(col("vec_id"))).head
       val n = hint.getLong(0)
-      val stride = strideOverride.getOrElse(
-        SimSearch.IvfParams.trainStrideFor(n, numCentroids))
+      // Possible via maintainIndexOver, where the monitored cells are
+      // decoupled from emb: a breach with nothing to train on must
+      // name the condition, not die on a null max / bad-stride require.
+      require(n > 0L, s"retrain fired with an EMPTY corpus: the policy " +
+        s"breached at $indexDir but the emb frame has no rows - pass the " +
+        "corpus the monitored cells were assigned from")
+      // trainStrideFor's clamp (stride ≤ n/k) guarantees fill only for
+      // DENSE 0..n-1 ids; with sparse or structured ids (all-even,
+      // snowflake-style) the residue-0 class can hold far fewer than
+      // n/stride rows and trip the trainer's underfill require,
+      // aborting the maintenance tick. Probe the ACTUAL class size and
+      // halve until it fills — each probe is one limit(k)-bounded
+      // skinny job on the act path, which is already paying
+      // corpus-scale training. An explicit strideOverride stays raw:
+      // hand-picked strides keep the fail-fast.
+      val stride = strideOverride.getOrElse {
+        var s = SimSearch.IvfParams.trainStrideFor(n, numCentroids)
+        while (s > 1 && emb.filter(col("vec_id") % s === 0)
+            .limit(numCentroids).count() < numCentroids)
+          s = math.max(1, s / 2)
+        s
+      }
       val cents = SimSearch.trainCentroidsLockedSampled(
           emb, numCentroids, iters, stride)
         .localCheckpoint()

@@ -518,9 +518,12 @@ object SimSearch {
     // silently trains fewer centroids than the corpus-derived geometry
     // demands — a quality cliff, not a degraded mode. The init is
     // already materialized (localCheckpoint), so the count is free.
-    // [[IvfParams.trainStrideFor]] clamps its stride so derived
-    // deployments can never hit this; it fires only on a hand-picked
-    // stride that outruns the corpus.
+    // [[IvfParams.trainStrideFor]]'s clamp sizes the stride for DENSE
+    // 0..n-1 ids; sparse or structured ids (all-even, snowflake-style)
+    // can underfill the residue class anyway, which is why the derived
+    // act path (IvfIndex.maintainIndexOverImpl) probes the class size
+    // and lowers the stride before calling here. This require is the
+    // fail-fast for hand-picked strides that outrun the corpus.
     val got = init.count()
     require(got == k,
       s"sampled locked training underfilled: sampleEvery=$sampleEvery left " +

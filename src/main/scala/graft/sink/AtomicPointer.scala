@@ -37,7 +37,31 @@ object AtomicPointer {
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(value.getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, new Path(d, name), Options.Rename.OVERWRITE)
+    reclaimStaleTmps(conf, d, name)
   }
+
+  /** How old a `<name>.tmp.<uuid>` must be before [[write]] reclaims
+    * it. Per-writer tmps are orphaned only by a crash between create
+    * and rename; without reclamation every failed publish leaves one
+    * behind forever (unbounded metadata litter on object stores). The
+    * age guard keeps reclamation safe under racing publishers: a LIVE
+    * writer's tmp is seconds old, never minutes, so only genuinely
+    * abandoned files are deleted — deleting an in-flight tmp would
+    * fail that writer's rename.
+    */
+  private val StaleTmpAgeMs = 10 * 60 * 1000L
+
+  private def reclaimStaleTmps(conf: Configuration, d: Path,
+      name: String): Unit =
+    try {
+      val fs = d.getFileSystem(conf)
+      val cutoff = System.currentTimeMillis() - StaleTmpAgeMs
+      fs.listStatus(d)
+        .filter(s => s.getPath.getName.startsWith(s"$name.tmp.") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => try fs.delete(s.getPath, false)
+          catch { case _: Exception => () })
+    } catch { case _: Exception => () } // best-effort, never fail a publish
 
   /** The current pointer value, or None if nothing has published yet. */
   def read(conf: Configuration, dir: String,

@@ -132,7 +132,13 @@ object StreamCuration {
         if (batchDirs.isEmpty) ShingleLayout.Empty
         else if (batchDirs.forall(d => fs.listStatus(d.getPath).exists(c =>
           c.isDirectory && c.getPath.getName.startsWith("hb="))))
-          ShingleLayout.Bucketed(ShingleBuckets)
+          // Pinned to LITERAL 64, not ShingleBuckets: marker-less
+          // bucketed stores can only have been written by the r14
+          // engine, whose (only ever) bucket count was 64. Tracking
+          // the default here would, after a default change, prune
+          // `hb` (written mod 64) against probes computed mod the new
+          // default — silently missing revocations.
+          ShingleLayout.Bucketed(64)
         else ShingleLayout.Legacy
     }
   }

@@ -1,7 +1,9 @@
 package graft.stream
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit, min}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming IVF index maintenance — the continuous form of
@@ -101,21 +103,60 @@ object StreamIvfUpsert {
       .unionByName(readIndex(spark, deltaDir).filter(col("vec_id") > w))
   }
 
+  /** Fold-forward marker carrying the accumulated corpus row count as
+    * `<lastBatchId>:<lastBatchRows>:<cumulativeRows>` — so a
+    * maintenance tick derives K from metadata instead of re-counting
+    * the (growing) corpus every micro-batch. Underscore-prefixed:
+    * parquet discovery ignores it.
+    */
+  private[stream] val CorpusRowsMarker = "_CORPUS_ROWS"
+
+  /** The corpus row count after batch `batchId` (of `batchN` rows)
+    * landed, derived WITHOUT a corpus scan in the steady state: the
+    * marker's cumulative count + this batch (or, on a replay of the
+    * last failed batch, cumulative − its old rows + its new rows —
+    * the landing is an idempotent partition overwrite). A missing
+    * marker (first maintained tick, possibly over seed partitions from
+    * the batch path) or an out-of-band landing (batch-id gap) falls
+    * back to one real count, then the fold-forward resumes.
+    */
+  private[stream] def foldForwardCorpusRows(spark: SparkSession, corpusDir: String,
+      batchId: Long, batchN: Long): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cum = graft.sink.AtomicPointer.read(conf, corpusDir,
+        name = CorpusRowsMarker) match {
+      case Some(s) =>
+        val parts = s.split(":").map(_.toLong)
+        if (batchId == parts(0) + 1) parts(2) + batchN
+        else if (batchId == parts(0)) parts(2) - parts(1) + batchN
+        else spark.read.parquet(corpusDir).count()
+      case None => spark.read.parquet(corpusDir).count()
+    }
+    graft.sink.AtomicPointer.write(conf, corpusDir, s"$batchId:$batchN:$cum",
+      name = CorpusRowsMarker)
+    cum
+  }
+
   /** One measure→decide→act cycle of the maintained stream: health-
     * check the serving cells against the policy; on breach, retrain
     * from the ACCUMULATED corpus (the sampled trainer at the corpus-
     * size-derived stride — [[graft.ext.IvfIndex.maintainIndexOver]])
     * and atomically publish the next version. K re-derives from the
-    * corpus each tick, so the geometry grows with the stream.
+    * corpus each tick, so the geometry grows with the stream —
+    * `knownCorpusRows` supplies the size from fold-forward metadata
+    * (what [[startMaintained]] passes), keeping the no-breach tick
+    * free of corpus-sized work; absent it, the tick counts once.
     */
   def maintainTick(spark: SparkSession, corpusDir: String, deltaDir: String,
       indexDir: String, iters: Int,
-      policy: graft.ext.IvfIndex.RetrainPolicy): Boolean = {
+      policy: graft.ext.IvfIndex.RetrainPolicy,
+      knownCorpusRows: Option[Long] = None): Boolean = {
     val corpus = spark.read.parquet(corpusDir).drop("batch_id")
     val w = watermarkOf(spark, indexDir)
+    val n = knownCorpusRows.getOrElse(corpus.count())
     graft.ext.IvfIndex.maintainIndexOver(corpus,
       servingCells(spark, indexDir, deltaDir), col("vec_id") > w,
-      graft.ext.SimSearch.IvfParams.forCorpus(corpus.count()).numCentroids,
+      graft.ext.SimSearch.IvfParams.forCorpus(n).numCentroids,
       iters, indexDir, policy)
   }
 
@@ -131,6 +172,17 @@ object StreamIvfUpsert {
     * replayed pre-retrain batch's delta partition is below the new
     * watermark and thus invisible to serving; step 3 after a replay is
     * a no-op (the rebased watermark sees no delta).
+    *
+    * HARD PRECONDITION — monotone vec_ids: the serving/monitoring
+    * split is watermark-based, so a NEVER-SEEN batch carrying a
+    * `vec_id ≤` the published watermark would land but be excluded
+    * from serving (published lacks it, the delta filter drops it) and
+    * from monitoring — silently vanishing until an unrelated retrain.
+    * Each batch therefore fails fast if it is genuinely new (its
+    * corpus partition does not already exist) and violates the
+    * watermark. A REPLAYED batch legitimately sits at or below the
+    * watermark when the crashed attempt's retrain covered it — its
+    * partition already exists, so the check skips it.
     */
   def startMaintained(spark: SparkSession, vecs: DataFrame, corpusDir: String,
       deltaDir: String, indexDir: String, iters: Int,
@@ -139,14 +191,29 @@ object StreamIvfUpsert {
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val part = new Path(s"$corpusDir/batch_id=$batchId")
+        val alreadyLanded = part.getFileSystem(conf).exists(part)
+        val stats = batch.agg(min(col("vec_id")), count(lit(1))).head
+        val batchN = stats.getLong(1)
+        if (!alreadyLanded && batchN > 0L) {
+          val w = watermarkOf(spark, indexDir)
+          val mn = stats.getLong(0)
+          require(mn > w, s"micro-batch $batchId carries vec_id $mn <= the " +
+            s"published trained-at watermark $w: the maintained stream " +
+            "requires monotone vec_ids (a non-monotone new row would be " +
+            "invisible to serving and monitoring until an unrelated retrain)")
+        }
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(corpusDir)
+        val cum = foldForwardCorpusRows(spark, corpusDir, batchId, batchN)
         val (cents, _) = graft.ext.IvfIndex.readCurrentIndex(spark, indexDir)
         writeBatch(batch, batchId, cents, deltaDir)
-        maintainTick(spark, corpusDir, deltaDir, indexDir, iters, policy)
+        maintainTick(spark, corpusDir, deltaDir, indexDir, iters, policy,
+          knownCorpusRows = Some(cum))
         ()
       }
       .start()

@@ -302,6 +302,110 @@ class AnnEvalSpec extends SparkTestBase {
     assert(gotCents.count() === k.toLong)
   }
 
+  test("a breach over an EMPTY corpus names the condition instead of" +
+    " dying on a null max-id") {
+    // maintainIndexOver decouples the monitored cells from emb, so a
+    // breach can fire with nothing to train on.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_emptycorpus").toString
+    val breaching = Seq((0L, 0L), (1L, 0L)).toDF("vec_id", "cell")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.maintainIndexOver(emb.filter(lit(false)), breaching,
+        lit(true), 16, 2, dir, IvfIndex.RetrainPolicy(1, 1000000))
+    }
+    assert(e.getMessage.contains("EMPTY corpus"), e.getMessage)
+  }
+
+  /** 60k deterministic ring-clustered vectors (120 tight angle
+    * clusters, dim 8, per-id jitter) — the first corpus size whose
+    * DERIVED training stride exceeds 1 (trainStrideFor(60000, 245) =
+    * 2), so the sampled act runs genuinely sampled instead of
+    * degenerating to the full build like every parquet fixture decade.
+    */
+  private def ringCorpus(n: Int, idOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val theta = lit(2 * math.Pi) * ((col("id") % 120).cast("double") / 120.0 +
+      col("id").cast("double") / (n * 100.0))
+    spark.range(n).select(
+      idOf(col("id")).as("vec_id"),
+      array((1 to 4).flatMap(h => Seq(
+        cos(lit(h) * theta).cast("float"),
+        sin(lit(h) * theta).cast("float"))): _*).as("embedding"))
+  }
+
+  test("config-act at a DERIVED stride > 1: a 60k corpus drives" +
+    " retrain_when end-to-end through the sampled trainer at stride 2" +
+    " and the served index clears the recall floor") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cfg_s2").toString
+    val big = ringCorpus(60000, identity).localCheckpoint()
+    val k = SimSearch.IvfParams.forCorpus(60000L).numCentroids
+    assert(SimSearch.IvfParams.trainStrideFor(60000L, k) === 2,
+      "lane precondition: 60k must derive stride 2")
+    val si = graft.config.ConfigLoader.fromYaml(
+      """source:
+        |  name: m
+        |  type: file
+        |  curation:
+        |    similarity:
+        |      retrain_when:
+        |        max_delta_pct: 1
+        |        max_cell_ratio: 1000000
+        |""".stripMargin).curation.get.similarity.get
+    // Cheap seed publish: a small-K index over the first 2048 rows,
+    // watermarked there — everything later is delta, so the first
+    // config tick breaches.
+    val seed = big.filter(col("vec_id") < 2048L)
+    val seedCents = SimSearch.trainCentroidsLocked(seed, 16, 1).localCheckpoint()
+    // Cells over the FULL corpus (maintainIndexAuto monitors the
+    // published cell table; rows past the watermark are its delta).
+    IvfIndex.publishIndex(seedCents, IvfIndex.assignCells(big, seedCents),
+      dir, 0L, trainedWatermark = Some(2047L))
+    assert(graft.transform.CurationCompiler.compileMaintainIndex(si)(big, dir))
+    assert(IvfIndex.currentIndexVersion(s, dir) === Some(1L))
+    assert(IvfIndex.trainedWatermarkOf(s, dir) === Some(59999L))
+    // Convergence: the rebased watermark sees no delta.
+    assert(!graft.transform.CurationCompiler.compileMaintainIndex(si)(big, dir))
+    // The published centroids ARE the stride-2 sampled composition —
+    // had the act trained unsampled (stride 1) they would differ.
+    val (gotCents, gotCells) = IvfIndex.readCurrentIndex(s, dir)
+    val want = SimSearch.trainCentroidsLockedSampled(big, k, 2, 2)
+    assert(gotCents.select("cent_id").collect().map(_.getLong(0)).toSet ===
+      want.select("cent_id").collect().map(_.getLong(0)).toSet)
+    assert(gotCells.collect().map(_.toSeq).toSet ===
+      IvfIndex.assignCells(big, want).collect().map(_.toSeq).toSet)
+    assert(gotCents.count() === k.toLong)
+    // Serving quality over the sampled-trained index: top-1 recall
+    // against exact brute ground truth.
+    val p = SimSearch.IvfParams.forCorpus(60000L).probes
+    val served = IvfIndex.topKOverCells(big, gotCells, gotCents, 100, 1, p)
+    val gt = SimSearch.bruteTopKN(big, 100, 1)
+    val hits = graft.ext.AnnEval.recallAtK(served, gt)
+      .agg(sum("hits")).head.getLong(0)
+    assert(hits >= 80, s"stride-2 config-act serving recall $hits/100 < 80")
+  }
+
+  test("sparse ids cannot abort the derived act: an all-odd 60k corpus" +
+    " (empty residue class at the derived stride) lowers the stride and" +
+    " trains instead of throwing") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sparse").toString
+    // All-odd ids: vec_id % 2 == 0 selects NOTHING, the advisor's
+    // structured-id counterexample to the dense-id clamp.
+    val odd = ringCorpus(60000, id => id * 2L + 1L).localCheckpoint()
+    assert(SimSearch.IvfParams.trainStrideFor(60000L, 32) === 2)
+    assert(odd.filter(col("vec_id") % 2 === 0).count() === 0L)
+    val breaching = Seq((1L, 0L), (3L, 0L)).toDF("vec_id", "cell")
+    assert(IvfIndex.maintainIndexOver(odd, breaching, lit(true), 32, 1, dir,
+      IvfIndex.RetrainPolicy(1, 1000000)))
+    val (gotCents, gotCells) = IvfIndex.readCurrentIndex(s, dir)
+    assert(gotCents.count() === 32L)
+    // The fallback landed at stride 1 == the full locked build.
+    val want = SimSearch.trainCentroidsLockedSampled(odd, 32, 1, 1)
+    assert(gotCents.select("cent_id").collect().map(_.getLong(0)).toSet ===
+      want.select("cent_id").collect().map(_.getLong(0)).toSet)
+    assert(gotCells.collect().map(_.toSeq).toSet ===
+      IvfIndex.assignCells(odd, want).collect().map(_.toSeq).toSet)
+  }
+
   test("maintainIndex closes the loop: no retrain below threshold; on" +
     " breach, one atomic versioned retrain equal to a from-scratch index") {
     val s = spark

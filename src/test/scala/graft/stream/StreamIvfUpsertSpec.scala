@@ -155,6 +155,116 @@ class StreamIvfUpsertSpec extends SparkTestBase {
     assert(IvfIndex.currentIndexVersion(s, indexDir) === Some(2L))
   }
 
+  test("fold-forward corpus count: the marker tracks the real count across" +
+    " appends, replays, gaps, and a missing-marker bootstrap") {
+    val s = spark; import s.implicits._
+    val corpusDir = Files.createTempDirectory("sivf_cnt").toString
+    val conf = s.sparkContext.hadoopConfiguration
+    def land(batchId: Long, ids: Seq[Long]): Unit =
+      ids.map(i => SivVec(i, Seq(1f, 0f))).toDF()
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(corpusDir)
+    def realCount: Long = s.read.parquet(corpusDir).count()
+
+    // Bootstrap over a seed partition the marker never saw.
+    land(-1L, 0L until 10L)
+    land(0L, 10L until 14L)
+    assert(StreamIvfUpsert.foldForwardCorpusRows(s, corpusDir, 0L, 4L) === 14L)
+    // Steady-state append: no recount, still exact.
+    land(1L, 14L until 20L)
+    assert(StreamIvfUpsert.foldForwardCorpusRows(s, corpusDir, 1L, 6L) === 20L)
+    // Replay of the last batch with a DIFFERENT row set (the failed
+    // attempt's partition is overwritten idempotently).
+    land(1L, 14L until 17L)
+    assert(StreamIvfUpsert.foldForwardCorpusRows(s, corpusDir, 1L, 3L) === 17L)
+    assert(realCount === 17L)
+    // Batch-id gap (out-of-band landing): falls back to one recount.
+    land(5L, 100L until 108L)
+    assert(StreamIvfUpsert.foldForwardCorpusRows(s, corpusDir, 5L, 8L) === 25L)
+    assert(realCount === 25L)
+  }
+
+  test("no-breach maintained tick with the fold-forward count runs strictly" +
+    " fewer jobs than a counting tick (the corpus count job is gone)") {
+    val s = spark; import s.implicits._
+    val corpusDir = Files.createTempDirectory("sivt_corpus").toString
+    val deltaDir = Files.createTempDirectory("sivt_delta").toString
+    val indexDir = Files.createTempDirectory("sivt_index").toString
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val cents16 = SimSearch.trainCentroidsLocked(emb, 16, 2).localCheckpoint()
+    IvfIndex.publishIndex(cents16, IvfIndex.assignCells(emb, cents16),
+      indexDir, 0L, trainedWatermark = Some(n - 1))
+    emb.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+    val neverBreach = IvfIndex.RetrainPolicy(
+      maxDeltaPct = 100, maxCellRatio = 1000000)
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(300) } finally s.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    // Warm both paths once (JIT/codegen jobs would skew the first read).
+    StreamIvfUpsert.maintainTick(s, corpusDir, deltaDir, indexDir, 2, neverBreach)
+    val withCount = jobsDuring {
+      assert(!StreamIvfUpsert.maintainTick(
+        s, corpusDir, deltaDir, indexDir, 2, neverBreach))
+    }
+    val withKnown = jobsDuring {
+      assert(!StreamIvfUpsert.maintainTick(
+        s, corpusDir, deltaDir, indexDir, 2, neverBreach,
+        knownCorpusRows = Some(n)))
+    }
+    assert(withKnown < withCount,
+      s"fold-forward tick ran $withKnown jobs vs counting tick's $withCount" +
+        " — the corpus count job did not disappear")
+  }
+
+  test("a genuinely NEW micro-batch below the trained-at watermark fails" +
+    " fast (non-monotone vec_ids would silently vanish from serving)") {
+    val s = spark; import s.implicits._
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpusDir = Files.createTempDirectory("sivw_corpus").toString
+    val deltaDir = Files.createTempDirectory("sivw_delta").toString
+    val indexDir = Files.createTempDirectory("sivw_index").toString
+    val ckpt = Files.createTempDirectory("sivw_ckpt").toString
+    val seed = emb.filter(col("vec_id") < 300L)
+    val seedCents = SimSearch.trainCentroidsLocked(seed, 16, 2).localCheckpoint()
+    IvfIndex.publishIndex(seedCents, IvfIndex.assignCells(seed, seedCents),
+      indexDir, 0L, trainedWatermark = Some(299L))
+    seed.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+    val policy = IvfIndex.RetrainPolicy(maxDeltaPct = 100, maxCellRatio = 1000000)
+    val ms = MemoryStream[SivVec](
+      org.apache.spark.sql.Encoders.product[SivVec], s.sqlContext)
+    val q = StreamIvfUpsert.startMaintained(s, ms.toDF(), corpusDir, deltaDir,
+      indexDir, iters = 2, policy, ckpt)
+    try {
+      // vec_id 100 <= watermark 299 and batch 0 never landed: fail fast.
+      ms.addData(SivVec(100L, Seq(1f, 0f, 0f, 0f)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(chain(ex).exists(_.contains("monotone vec_ids")),
+        s"wrong failure: ${chain(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("serving over the streamed index equals batch serving") {
     val s = spark; import s.implicits._
     val out = runStream(16)
