@@ -61,9 +61,17 @@ object LmBuckets {
       .select(col("__id"), col("__lang"), col("__ref"),
         col("bg.h1").as("h1"), col("bg.hb").as("hb"))
 
-    val ref = inst.filter(col("__ref"))
-    val cb = ref.groupBy(col("hb")).agg(count(lit(1)).as("__cb"))
-    val cu = ref.groupBy(col("h1")).agg(count(lit(1)).as("__cu"))
+    // ONE pass over the reference bigram stream: counts keyed (h1, hb)
+    // — the bigram count table with its prefix hash carried along.
+    // Both lookup tables derive from it by vocabulary-sized re-aggregation
+    // (sum of (h1, hb) counts over hb IS the h1 prefix count, exactly),
+    // so the instance stream is scanned and shuffled once, not twice
+    // (guide §2.3 "aggregate before you shuffle"; the r16 before-plan had
+    // two full instance exchanges and 16 parquet scans).
+    val refCounts = inst.filter(col("__ref"))
+      .groupBy(col("h1"), col("hb")).agg(count(lit(1)).as("__c"))
+    val cb = refCounts.groupBy(col("hb")).agg(sum(col("__c")).as("__cb"))
+    val cu = refCounts.groupBy(col("h1")).agg(sum(col("__c")).as("__cu"))
     // Add-one denominator: reference vocabulary size (1-row broadcast).
     val vocab = base.filter(col("__ref"))
       .select(explode(col("__toks")).as("w"))

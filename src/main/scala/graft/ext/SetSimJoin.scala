@@ -61,7 +61,27 @@ object SetSimJoin {
       threshold: Double,
       shingleLen: Int = NearDup.DefaultShingleLen): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    // One materialized exchange on the hashed-shingle sets: the
+    // inverted-index explode and BOTH verify-side joins consume this
+    // same doc_id-keyed exchange (AQE ReuseExchange), so text is
+    // scanned and shingled ONCE. The r16 before-plan computed this
+    // subtree three times (12 parquet scans); at corpus scale three
+    // full text re-reads cost more than one extra shuffle of 8-byte
+    // hash arrays (guide §8: move the heavy bytes once), and the
+    // doc_id keying is exactly what the verify joins need.
+    // One doc_id-keyed exchange under the shingle sets: the TWO verify
+    // joins share a single computation of it (their subtrees are
+    // canonically identical, so ReuseExchange folds them), instead of
+    // each re-scanning and re-shingling the text (the r16 before-plan
+    // computed this subtree three times / 12 parquet scans). The
+    // inverted-index branch deliberately keeps its OWN fused
+    // scan→shingle→explode pipeline rather than consuming this
+    // exchange: unifying all three (measured, OPTIMIZATION_r16.md)
+    // serializes the whole query behind one single-task exchange and
+    // costs ~0.7 s at sf0.1/32 cores — fusion + branch overlap beats
+    // total-compute dedup there, at every measured core count.
     val sh = NearDup.shingleSets(docs, idCol, textCol, shingleLen)
+      .repartition(col("doc_id"))
 
     // Corpus document frequency per shingle hash — the shared total
     // order is (df ASC, hash ASC); both components are data-determined,
@@ -158,13 +178,35 @@ object SetSimJoin {
       threshold: Double,
       shingleLen: Int = NearDup.DefaultShingleLen): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // Same single-computation discipline as [[jaccardPairs]]: each
+    // side's (expensive, text-scanning) shingle subtree materializes
+    // through ONE id-keyed exchange that the inverted-index branch and
+    // the verify join both reuse — the r16 before-plan shingled the
+    // corpus three times and the needles twice (10 parquet scans).
+    // The needle-side keying also feeds the prefix window (partitioned
+    // by needle_id) without a further exchange.
+    // As in [[jaccardPairs]], the not-null filters below the exchanges
+    // keep every consumer's exchange subtree canonically identical
+    // (the verify joins would otherwise push an inferred
+    // IsNotNull(id) below their copy only, defeating ReuseExchange);
+    // null-id rows cannot reach the output in any case.
     val shN = NearDup.shingleSets(needles, idCol, textCol, shingleLen)
       .select(col("doc_id").as("needle_id"), col("hs"))
+      .filter(col("needle_id").isNotNull && col("hs").isNotNull &&
+        size(col("hs")) > 0)
+      .repartition(col("needle_id"))
     val shC = NearDup.shingleSets(corpus, idCol, textCol, shingleLen)
       .select(col("doc_id").as("corpus_id"), col("hs"))
+      .filter(col("corpus_id").isNotNull && col("hs").isNotNull &&
+        size(col("hs")) > 0)
+      .repartition(col("corpus_id"))
 
     val corpusIdx = shC.select(col("corpus_id"), explode(col("hs")).as("h"))
-    val freq = corpusIdx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // count(corpus_id), not count(1): keeps corpus_id in the df
+    // branch's column set, so column pruning cannot specialize (and
+    // thereby un-share) its copy of the corpus exchange; equal counts,
+    // since corpus_id is non-null by the filter above.
+    val freq = corpusIdx.groupBy(col("h")).agg(count(col("corpus_id")).as("df"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("needle_id")).orderBy(col("df"), col("h"))

@@ -319,7 +319,10 @@ object Analytics {
         Window.orderBy(col("__bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bucket"), col("__off"))
-    val n = li.agg(count(lit(1)).as("__n"))
+    // Total row count folds from the frequency table (Σ __c) instead of
+    // a second full lineitem scan — the freq exchange is reused (AQE),
+    // so the only corpus-sized work is the one map-side-combined groupBy.
+    val n = freq.agg(sum(col("__c")).as("__n"))
     val wIn = Window.partitionBy(col("__bucket")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def decileOf(i: String): org.apache.spark.sql.Column = expr(

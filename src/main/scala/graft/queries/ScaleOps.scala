@@ -536,8 +536,10 @@ object ScaleOps {
     floorFrac match {
       case None => pairs.filter(col("support") >= fixedFloor)
       case Some(frac) =>
-        val n = baskets.select(col(orderCol)).distinct()
-          .agg(count(lit(1)).as("__n_baskets"))
+        // Basket count folds from the signature table (Σ multiplicity
+        // = one per distinct order, exactly) — no second scan +
+        // distinct over the raw baskets; the sigs exchange is reused.
+        val n = sigs.agg(sum(col("__m")).as("__n_baskets"))
         pairs.crossJoin(broadcast(n))
           .filter(col("support") >=
             greatest(lit(fixedFloor), ceil(lit(frac) * col("__n_baskets"))))
@@ -610,7 +612,15 @@ object ScaleOps {
     * input graph.
     */
   private def trianglesOf(edges: DataFrame): DataFrame = {
+    // The edge list is consumed three times (two wedge sides + the
+    // closing join) and arrives as a TakeOrderedAndProject, which has
+    // no exchange AQE could reuse — without a materialization point
+    // the whole upstream mining chain re-runs per consumer (the r16
+    // before-plan had 6 parquet scans and 45 MB shuffle-read vs 21 MB
+    // written). One exchange on part_a materializes the (≤ K-row)
+    // edges once; the second wedge side consumes it key-aligned.
     val e = edges.select(col("part_a"), col("part_b"))
+      .repartition(col("part_a"))
     val wedges = e.select(col("part_a").as("a"), col("part_b").as("b"))
       .join(e.select(col("part_a").as("b"), col("part_b").as("c")), "b")
     wedges.join(

@@ -5,9 +5,14 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_PLAN_AQE=off dumps the STATIC physical plan (AQE
+    // disabled): ReuseExchange then shows as explicit ReusedExchange
+    // nodes instead of being applied invisibly at runtime — the form
+    // the plans/r16 exchange-reuse evidence is committed in.
+    val aqe = if (sys.env.get("SPARK_GRAFT_PLAN_AQE").contains("off")) "false" else "true"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()

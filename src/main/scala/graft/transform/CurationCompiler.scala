@@ -37,7 +37,12 @@ object CurationCompiler {
 
     val survivors = cu.dedup match {
       case "exact" =>
+        // One materialized digest exchange feeds the keep-side groupBy
+        // AND the survivor join (AQE ReuseExchange) — the gate + md5
+        // text pass runs once, exactly as in
+        // [[graft.queries.NorthStar.trainingManifest]].
         val hashed = gated.withColumn("__h", md5(text.cast("binary")))
+          .repartition(col("__h"))
         val keep = hashed.groupBy(col("__h")).agg(min(id).as(cu.idField))
         hashed.join(keep, Seq("__h", cu.idField)).drop("__h")
       case "none" => gated
@@ -49,7 +54,14 @@ object CurationCompiler {
       if (cu.mix) TextAnalysis.temperatureMix(survivors, cu.idField, cu.stratumField)
       else survivors
 
-    shardJoin(cu)(chunksKeyed(cu)(mixed))
+    // Project chunk_start away and materialize the chunk-metadata table
+    // through one __key exchange: the shard prefix-sum's two consumers
+    // and the shard-attach join all reuse it instead of re-running the
+    // gate→dedup→mix→chunk text chain per consumer (same re-plan as the
+    // Scala twin; the streaming path lands chunks to state instead and
+    // is untouched).
+    shardJoin(cu)(chunksKeyed(cu)(mixed)
+      .drop("chunk_start").repartition(col("__key")))
   }
 
   /** The quality gate stage of [[compile]] on its own: (id, text,

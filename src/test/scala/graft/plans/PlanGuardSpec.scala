@@ -53,15 +53,30 @@ class PlanGuardSpec extends SparkTestBase {
   // re-fattening them); the join-bearing rows carry their small sides
   // as broadcasts (a broadcast decaying into a shuffle shows up here
   // as a -1/+1 move).
+  // r16 re-pins (OPTIMIZATION_r16.md): jaccard_pairs /
+  // containment_join materialize their shingle subtrees through ONE
+  // id-keyed exchange each (before: the text was re-scanned and
+  // re-shingled once per consumer — 12 and 10 parquet scans); the
+  // extra pinned shuffles are those explicit repartitions plus the
+  // consumers that now read them key-aligned, and the broadcast
+  // counts are UNCHANGED (no small side decayed to a shuffle).
+  // ccnet_buckets/cfg_lm_buckets derive both LM lookup tables from one
+  // (h1, hb) aggregate — +1 vocabulary-sized shuffle, −1 full
+  // instance-stream exchange. triangle_topk materializes the top-K
+  // edge list once (+1 K-row shuffle, −2 recomputations of the whole
+  // mining chain).
   private val pinned: Seq[(String, Int, Int)] = Seq(
-    ("jaccard_pairs", 4, 3),
+    ("jaccard_pairs", 7, 3),
     ("simhash_pairs", 4, 5),
-    ("containment_join", 2, 4),
+    // containment_join's static plan is fully exchange-deduplicated
+    // (needle + corpus shingle subtrees computed once each): 3
+    // distinct shuffles, every further consumer a ReusedExchange.
+    ("containment_join", 3, 4),
     ("cfg_decontam", 1, 1),
     ("image_neardup", 4, 5),
-    ("cfg_lm_buckets", 8, 4),
+    ("cfg_lm_buckets", 9, 4),
     ("sim_topk_pq", 2, 4),
-    ("triangle_topk", 3, 2),
+    ("triangle_topk", 4, 2),
     // r16 re-pin: MmrRerank's single-pass re-plan (VERDICT r15 #1) —
     // the old (0, 0) was an artifact of per-step localCheckpoints
     // hiding the lineage; the new whole-operator static plan is
@@ -69,7 +84,7 @@ class PlanGuardSpec extends SparkTestBase {
     // per-qid collect) + 1 broadcast (the bounded query side). More
     // of either means the driver-sequenced greedy grew back.
     ("mmr_rerank_filtered", 1, 1),
-    ("ccnet_buckets", 8, 4),
+    ("ccnet_buckets", 9, 4),
     // r12-era top-10 rows no longer in the r14 top-10 — kept pinned.
     ("profile_table", 1, 0),
     ("price_deciles", 7, 2),
