@@ -61,27 +61,17 @@ object SetSimJoin {
       threshold: Double,
       shingleLen: Int = NearDup.DefaultShingleLen): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
-    // One materialized exchange on the hashed-shingle sets: the
-    // inverted-index explode and BOTH verify-side joins consume this
-    // same doc_id-keyed exchange (AQE ReuseExchange), so text is
-    // scanned and shingled ONCE. The r16 before-plan computed this
-    // subtree three times (12 parquet scans); at corpus scale three
-    // full text re-reads cost more than one extra shuffle of 8-byte
-    // hash arrays (guide §8: move the heavy bytes once), and the
-    // doc_id keying is exactly what the verify joins need.
-    // One doc_id-keyed exchange under the shingle sets: the TWO verify
-    // joins share a single computation of it (their subtrees are
-    // canonically identical, so ReuseExchange folds them), instead of
-    // each re-scanning and re-shingling the text (the r16 before-plan
-    // computed this subtree three times / 12 parquet scans). The
-    // inverted-index branch deliberately keeps its OWN fused
-    // scan→shingle→explode pipeline rather than consuming this
-    // exchange: unifying all three (measured, OPTIMIZATION_r16.md)
-    // serializes the whole query behind one single-task exchange and
-    // costs ~0.7 s at sf0.1/32 cores — fusion + branch overlap beats
-    // total-compute dedup there, at every measured core count.
+    // The shingle subtree is computed exactly TWICE — once fused into
+    // the inverted-index pipeline below, once streamed through the
+    // single verify join at the bottom — and never exchanged whole.
+    // Two rejected alternatives, both measured (OPTIMIZATION_r16.md):
+    // the r15 shape re-shingled the text a THIRD time (one pass per
+    // verify side), and a doc_id-keyed exchange shared by the verify
+    // sides won ~10% at sf0.1 but regressed ×1.3 at sf10 — a
+    // corpus-wide shuffle of the hash ARRAYS grows linearly while the
+    // map-only re-shingle it saves stays cheap, exactly the wrong
+    // trade at 100 TB.
     val sh = NearDup.shingleSets(docs, idCol, textCol, shingleLen)
-      .repartition(col("doc_id"))
 
     // Corpus document frequency per shingle hash — the shared total
     // order is (df ASC, hash ASC); both components are data-determined,
@@ -136,9 +126,23 @@ object SetSimJoin {
 
     val jac = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
       size(array_union(col("hs_a"), col("hs_b"))).cast("double")
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+    // Verify through ONE join: each candidate pair explodes into two
+    // probe rows, joins the shingle stream once on doc_id, and regroups
+    // to (hs_a, hs_b). vs the r15 two-join shape this halves the verify
+    // passes over the corpus (sh streams once, not once per side) and
+    // the only arrays that ever shuffle are the MATCHED candidates'
+    // (candidate-bounded, never corpus-bounded) in the regroup — each
+    // group holds exactly two rows, one per role, so first(ignoreNulls)
+    // is deterministic.
+    val probes = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    probes.join(sh, "doc_id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("doc_id") === col("id_a"), col("hs")), ignoreNulls = true)
+          .as("hs_a"),
+        first(when(col("doc_id") === col("id_b"), col("hs")), ignoreNulls = true)
+          .as("hs_b"))
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }

@@ -66,7 +66,15 @@ class PlanGuardSpec extends SparkTestBase {
   // edge list once (+1 K-row shuffle, −2 recomputations of the whole
   // mining chain).
   private val pinned: Seq[(String, Int, Int)] = Seq(
-    ("jaccard_pairs", 7, 3),
+    // jaccard_pairs r16 final shape: 4 shuffles (df agg, prefix window,
+    // the h-keyed self-join exchange, candidate distinct + the verify
+    // regroup folding into it) and NO corpus-wide exchange of the
+    // shingle arrays — the verify side explodes each candidate pair
+    // into two probe rows and joins the shingle stream ONCE; only
+    // matched candidates' arrays shuffle. A 5th shuffle appearing here
+    // usually means the verify went back to per-side joins or an array
+    // exchange crept in.
+    ("jaccard_pairs", 4, 3),
     ("simhash_pairs", 4, 5),
     // containment_join's static plan is fully exchange-deduplicated
     // (needle + corpus shingle subtrees computed once each): 3
