@@ -47,7 +47,8 @@ def main():
             sys.exit("compiled classes changed mid-run; slice indices "
                      "would no longer partition the query set — aborting")
         env = dict(os.environ,
-                   SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                    SPARK_GRAFT_SLICE=f"{k}/{n}",
                    SPARK_GRAFT_REPS=os.environ.get("SPARK_GRAFT_REPS", "5"))
         cmd = (["java"] + OPENS +

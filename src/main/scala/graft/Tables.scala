@@ -38,6 +38,32 @@ object Tables {
       catch { case e: Throwable => landed.remove(path); throw e }
     }
 
+  /** Resolved-relation cache, keyed by (session, path) — the engine's
+    * stand-in for a metastore catalog: `spark.read.parquet` re-runs
+    * file listing, footer schema inference and DataSource resolution
+    * on EVERY call (measured ~64 ms/table on this box — ResolveProbe;
+    * across the 252-query × 3-rep bench that re-resolution was a
+    * double-digit share of total wall time). A production deployment
+    * resolves a table once through its catalog; this map is that, for
+    * path tables. Only IMMUTABLE-per-JVM paths may go through it: the
+    * driver fixture tables and the [[landOnce]]-guarded scratch
+    * artifacts (built exactly once per JVM, then read-only) — paths
+    * that are VERSIONED or rewritten in place (published index dirs,
+    * streaming sinks) must keep calling spark.read directly. Caching
+    * is per SparkSession (a DataFrame is bound to its session and its
+    * conf — e.g. the AQE-off plan-guard session must not share plans
+    * with the main one), and it caches RESOLUTION ONLY: every query
+    * still builds its own plan on top and re-executes every job.
+    */
+  private val resolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Cached read of an immutable-per-JVM parquet path (see
+    * [[resolvedCache]] for the contract).
+    */
+  def readImmutable(spark: SparkSession, path: String): DataFrame =
+    resolvedCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     // reader rejects; read nanos as long and truncate to micros (same
@@ -46,21 +72,23 @@ object Tables {
     // time; this set-once guard covers foreign sessions (e.g. the
     // harness smoke session) without re-mutating conf on every read.
     if (spark.conf.get(NanosKey, "false") != "true") spark.conf.set(NanosKey, "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // Integral `div`, NOT `/`: Column./ is double division, and at
-      // ~1.7e18 nanos a double's ulp exceeds 1000, rounding some
-      // timestamps up a microsecond (caught by the session-window
-      // oracle, and enough to push boundary events across windows).
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else if (name == "events")
-      // Micros-precision fixtures arrive as TIMESTAMP_NTZ; normalize to
-      // TimestampType (sessions pin UTC, so the instant is unchanged) so
-      // every downstream plan sees the same type as the nanos path.
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-    else df
+    resolvedCache.computeIfAbsent((spark, s"$dir/$name.parquet"), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        // Integral `div`, NOT `/`: Column./ is double division, and at
+        // ~1.7e18 nanos a double's ulp exceeds 1000, rounding some
+        // timestamps up a microsecond (caught by the session-window
+        // oracle, and enough to push boundary events across windows).
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      else if (name == "events")
+        // Micros-precision fixtures arrive as TIMESTAMP_NTZ; normalize to
+        // TimestampType (sessions pin UTC, so the instant is unchanged) so
+        // every downstream plan sees the same type as the nanos path.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      else df
+    })
   }
 }

@@ -130,14 +130,122 @@ object FuzzyJoin {
     * exceeds ~cap² comparisons regardless of block-key skew. Returns
     * the joined frame with `a.*`/`b.*` qualifiers intact.
     */
-  private[ext] def tiledPairs(base: DataFrame, cap: Int): DataFrame = {
+  private[ext] def tiledPairs(base: DataFrame, cap: Int,
+      symmetric: Boolean = false): DataFrame = {
     val keyed = chunked(base, cap)
     val lhs = keyed.withColumn("cj", explode(sequence(col("chunk"), col("nchunks") - 1)))
-    val rhs = keyed.withColumn("ci", explode(sequence(lit(0), col("chunk"))))
+    // symmetric = true: `nchunks - nchunks` IS zero — spelled that way
+    // so both join sides require the same columns from the chunk
+    // window, its exchange canonicalizes equal on both sides and
+    // ReuseExchange computes the window ONCE (the caller must keep its
+    // other column references symmetric too). With a bare lit(0)
+    // column pruning drops `nchunks` from this side only and each side
+    // computes its own window — which the blocked/FastSS callers
+    // PREFER: the two single-task window stages overlap at fixture
+    // scale, and their duplicated work is one map-side pass (measured:
+    // fuzzy_match 1.08 → 1.40 s at 32 cores under the symmetric form).
+    val rhs = keyed.withColumn("ci",
+      explode(sequence(
+        if (symmetric) col("nchunks") - col("nchunks") else lit(0),
+        col("chunk"))))
     lhs.alias("a").join(rhs.alias("b"),
       col("a.blk") === col("b.blk") &&
         col("a.chunk") === col("b.ci") && col("a.cj") === col("b.chunk") &&
         col("a.id") < col("b.id"))
+  }
+
+  /** Folded two-lane Hamming near-dup engine over PACKED 64-bit
+    * fingerprints — the shared core of [[TextAnalysis.simhashPairsFromFingerprints]]
+    * and [[ImageHash.nearDup]] (r17: previously each ran
+    * [[tiledPairs]] twice — once for the identical-fingerprint
+    * "within" lane over members, once for the banded candidate lane
+    * over representatives — paying two chunk windows, two cell
+    * self-joins and a candidate `distinct`; the two lanes now ride ONE
+    * lane-tagged frame through one window + one join, guide §2.4).
+    *
+    * Inputs: `members` (id, fp) — pre-exchanged by the caller so the
+    * upstream fingerprint computation materializes once — and `groups`
+    * (fp, rep), its identical-fingerprint collapse. `bandKeys(fp)` are
+    * the per-band LSH keys (pigeonhole-complete for `maxHamming` by the
+    * caller's contract).
+    *
+    * Lane fold: within-lane rows block on "W:<fp>" (identical
+    * fingerprints), band-lane rows on "B:<band>:<key>" — disjoint block
+    * spaces, so one [[tiledPairs]] pass emits exactly the union of both
+    * lanes' pairs, under the same ≤ cap² per-task bound. Hamming
+    * computes directly from the carried fingerprints (within pairs are
+    * 0 by identity), and multi-band candidate duplicates drop via the
+    * FIRST-SHARED-BAND rule — band j emits a pair only when no band
+    * i < j also matched, a local recomputation of the pair's key
+    * columns — instead of a candidate-wide `distinct` exchange.
+    *
+    * Returned pre-expansion frame: (band, id_a, id_b, hamming) with
+    * band = -1 for within-lane MEMBER pairs and the matching band for
+    * cross-group REP pairs (each qualifying rep pair exactly once).
+    */
+  private[ext] def hammingLanePairs(
+      members: DataFrame, groups: DataFrame,
+      bandKeys: Column => Seq[Column],
+      maxHamming: Int, bucketCap: Int): DataFrame = {
+    val nBands = bandKeys(col("fp")).size
+    val wLane = members.select(col("id"), col("fp"),
+      concat_ws(":", lit("W"), col("fp")).as("blk"), lit(-1).as("band"))
+    val bLane = groups
+      .select(col("rep").as("id"), col("fp"),
+        posexplode(array(bandKeys(col("fp")): _*)).as(Seq("band", "bkey")))
+      .select(col("id"), col("fp"),
+        concat_ws(":", lit("B"), col("band"), col("bkey")).as("blk"), col("band"))
+    def firstBandOf(fa: Column, fb: Column): Column =
+      coalesce((0 until nBands).map(j =>
+        when(bandKeys(fa)(j) === bandKeys(fb)(j), lit(j))): _*)
+    tiledPairs(wLane.unionByName(bLane), bucketCap, symmetric = true)
+      // a.band = b.band is ALWAYS true (band is a function of the block
+      // key the join equates) — the conjunct is here so both join sides
+      // require the band column and the two chunk-window exchanges stay
+      // canonically equal (same reuse argument as tiledPairs' rhs
+      // sequence bound).
+      .filter(col("a.band") === col("b.band") &&
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHamming &&
+        (col("a.band") === -1 || col("a.band") === firstBandOf(col("a.fp"), col("b.fp"))))
+      .select(col("a.band").as("band"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+  }
+
+  /** [[hammingLanePairs]] expanded to member-level output (id_a, id_b,
+    * hamming). The two consumers (the within-lane projection and the
+    * cross-lane rep→member expansion) each take a copy of the lane-fold
+    * subtree with their lane filter PUSHED onto the probe side of the
+    * cell join — deliberate: every exchange below (the fingerprint
+    * exchange, the shared chunk window, the cell join's build side) is
+    * canonically identical across the copies and ReuseExchange folds
+    * them, so the duplicated work is exactly one extra probe pass over
+    * the already-shuffled window output, with each pass probing ONLY
+    * its own lane's rows. The alternative — materializing the verified
+    * pairs through one more exchange both consumers share — was built
+    * and measured SLOWER at fixture scale (it adds a sequential stage
+    * boundary where the two lane branches previously overlapped) while
+    * saving only the second probe pass; see OPTIMIZATION_r17.md.
+    * Cross pairs expand arithmetically AFTER the Hamming verify,
+    * exactly as before: only true output pairs materialize from
+    * cluster mass.
+    */
+  private[ext] def hammingPairs(
+      members: DataFrame, groups: DataFrame,
+      bandKeys: Column => Seq[Column],
+      maxHamming: Int, bucketCap: Int): DataFrame = {
+    val verified =
+      hammingLanePairs(members, groups, bandKeys, maxHamming, bucketCap)
+    val within = verified.filter(col("band") === -1)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    val mem = members.join(groups, "fp").select(col("rep"), col("id"))
+    val cross = verified.filter(col("band") >= 0)
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("hamming"))
+      .join(mem.select(col("rep").as("rep_a"), col("id").as("ma")), "rep_a")
+      .join(mem.select(col("rep").as("rep_b"), col("id").as("mb")), "rep_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Chunk assignment for salting: contiguous id-ordered chunks of at

@@ -88,31 +88,24 @@ object ImageHash {
 
   private val HashCols = Seq("b0", "b1", "b2", "b3")
 
-  /** Distinct hashes with their representative (min member doc_id) —
-    * the collapse that makes the band join skew-safe: an identical-hash
-    * cluster of m images (ubiquitous at corpus scale — aHash maps every
-    * near-uniform image, placeholders/spacers/solid backgrounds, to the
-    * all-zero hash) contributes ONE row to the candidate join instead
-    * of m.
+  /** The 4 × 16-bit bands packed into ONE long (band b at bits
+    * [16b, 16b+16)) — the form the folded pair engine
+    * ([[FuzzyJoin.hammingPairs]]) consumes: packing is injective, so
+    * grouping/joining on the packed value is grouping on the 4 bands,
+    * and the bands never overlap, so bit_count(xor) of packed values
+    * IS the summed per-band Hamming distance.
     */
-  private[ext] def hashGroups(members: DataFrame): DataFrame =
-    members.groupBy(HashCols.map(col): _*).agg(min(col("doc_id")).as("rep"))
+  private[ext] def packedHash: org.apache.spark.sql.Column =
+    HashCols.zipWithIndex.map { case (c, b) =>
+      shiftleft(col(c).cast("long"), 16 * b)
+    }.reduce(_ bitwiseOR _)
 
-  /** Cross-group candidate pairs (rep_a < rep_b) from band equality at
-    * the REPRESENTATIVE level, with oversized band buckets chunk-split
-    * into ≤ cap² cells ([[FuzzyJoin.tiledPairs]]) so natural band-value
-    * skew can never concentrate a bucket's quadratic work on one task.
+  /** Band b of a packed hash — the LSH key of [[nearDup]]'s candidate
+    * lane, recomputable locally from either side's fingerprint (the
+    * first-shared-band dedup relies on that).
     */
-  private[ext] def repCandidates(groups: DataFrame, bucketCap: Int): DataFrame = {
-    val bands = groups.select(col("rep"),
-      posexplode(array(HashCols.map(col): _*)).as(Seq("band", "bval")))
-    FuzzyJoin.tiledPairs(
-        bands.select(col("rep").as("id"),
-          concat_ws(":", col("band"), col("bval")).as("blk")),
-        bucketCap)
-      .select(col("a.id").as("rep_a"), col("b.id").as("rep_b"))
-      .distinct()
-  }
+  private[ext] def bandAt(fp: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
+    shiftright(fp, 16 * b).bitwiseAND(lit(0xFFFFL))
 
   /** Near-duplicate pairs at Hamming ≤ `maxHamming` over a
     * (doc_id, b0..b3) hash frame. Requires maxHamming ≤ 3 so the
@@ -121,7 +114,7 @@ object ImageHash {
     * Hot-bucket safety (the two corpus-scale skew amplifiers of a
     * naive per-image band join, and their fixes here):
     *  1. Identical hashes collapse to one representative BEFORE
-    *     banding ([[hashGroups]]) — the m-member all-zero cluster of
+    *     banding (the identical-hash group collapse) — the m-member all-zero cluster of
     *     near-uniform images meets the candidate join once, not m²
     *     times; its true hamming-0 pairs come from a separate
     *     per-task-bounded tiled self-join on the full hash key, and
@@ -135,46 +128,26 @@ object ImageHash {
     * The emitted pair set is IDENTICAL to the uncollapsed join
     * (`ImageHashSpec` asserts equality vs brute Hamming and bounded
     * candidate volume on a planted 10⁴-image hot bucket).
+    *
+    * r17: both lanes (the hamming-0 member tiling and the banded rep
+    * candidates) fold over ONE chunk window + ONE cell join —
+    * [[FuzzyJoin.hammingPairs]] on the packed 64-bit hash; the pair
+    * set is unchanged.
     */
   def nearDup(hashes: DataFrame, maxHamming: Int, bucketCap: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"band-complete threshold is 0..3 over 4 bands: $maxHamming")
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
-    // One materialized exchange on the hash: the group collapse, the
-    // hamming-0 tiling and the membership join all consume (b0..b3)
+    // One materialized exchange on the packed hash: the group collapse,
+    // the lane fold and the membership join all consume fp
     // partitioning, so the (decode-heavy) upstream hashing runs once
     // (ReuseExchange), not once per branch.
-    val members = hashes.select(col("doc_id") +: HashCols.map(col): _*)
-      .repartition(HashCols.map(col): _*)
-    val groups = hashGroups(members)
-    // Hamming-0 lane: all unordered pairs within an identical-hash
-    // cluster, tiled so a giant cluster's (true, irreducible) pair
-    // output is produced by many ≤ cap² tasks instead of one.
-    val within = FuzzyJoin.tiledPairs(
-        members.select(col("doc_id").as("id"),
-          concat_ws(":", HashCols.map(col): _*).as("blk")),
-        bucketCap)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(0L).as("hamming"))
-    // Cross-group lane: candidates at rep level, exact Hamming on the
-    // 4 ints, THEN expansion to member pairs (distinct groups differ in
-    // ≥ 1 bit, so the two lanes are disjoint by construction).
-    def hx(side: String, suffix: String) = groups.select(
-      col("rep").as(side) +: HashCols.map(c => col(c).as(s"$c$suffix")): _*)
-    val hamming = (0 to 3).map(i =>
-      bit_count(col(s"b$i" + "_a").bitwiseXOR(col(s"b$i" + "_b"))))
-      .reduce(_ + _)
-    val repPairs = repCandidates(groups, bucketCap)
-      .join(hx("rep_a", "_a"), "rep_a").join(hx("rep_b", "_b"), "rep_b")
-      .select(col("rep_a"), col("rep_b"), hamming.cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    val mem = members.join(groups, HashCols).select(col("rep"), col("doc_id"))
-    val cross = repPairs
-      .join(mem.select(col("rep").as("rep_a"), col("doc_id").as("ma")), "rep_a")
-      .join(mem.select(col("rep").as("rep_b"), col("doc_id").as("mb")), "rep_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
-    within.unionByName(cross)
+    val members = hashes
+      .select(col("doc_id").as("id"), packedHash.as("fp"))
+      .repartition(col("fp"))
+    val groups = members.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+    FuzzyJoin.hammingPairs(members, groups,
+      fp => (0 to 3).map(bandAt(fp, _)), maxHamming, bucketCap)
   }
 
   /** Pixel-replay CTEs shared by both oracles: `eSql` is the effective

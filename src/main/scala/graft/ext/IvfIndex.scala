@@ -308,17 +308,26 @@ object IvfIndex {
       // DENSE 0..n-1 ids; with sparse or structured ids (all-even,
       // snowflake-style) the residue-0 class can hold far fewer than
       // n/stride rows and trip the trainer's underfill require,
-      // aborting the maintenance tick. Probe the ACTUAL class size and
-      // halve until it fills — each probe is one limit(k)-bounded
-      // skinny job on the act path, which is already paying
-      // corpus-scale training. An explicit strideOverride stays raw:
-      // hand-picked strides keep the fail-fast.
+      // aborting the maintenance tick. Probe the ACTUAL class sizes of
+      // EVERY halving candidate in one skinny aggregate (r17: the
+      // per-candidate limit(k).count() loop was up to log₂(stride)
+      // driver-sequenced jobs; one conditional-count pass replaces
+      // them all) and keep the first candidate that fills — the same
+      // stride the loop converged to. An explicit strideOverride stays
+      // raw: hand-picked strides keep the fail-fast.
       val stride = strideOverride.getOrElse {
-        var s = SimSearch.IvfParams.trainStrideFor(n, numCentroids)
-        while (s > 1 && emb.filter(col("vec_id") % s === 0)
-            .limit(numCentroids).count() < numCentroids)
-          s = math.max(1, s / 2)
-        s
+        val s0 = SimSearch.IvfParams.trainStrideFor(n, numCentroids)
+        val candidates = Iterator.iterate(s0)(_ / 2).takeWhile(_ > 1).toSeq
+        if (candidates.isEmpty) 1
+        else {
+          val counts = emb.agg(
+            count(when(col("vec_id") % candidates.head === 0, 1)).as("c0"),
+            candidates.tail.map(s =>
+              count(when(col("vec_id") % s === 0, 1)).as(s"c$s")): _*).head
+          candidates.zipWithIndex
+            .collectFirst { case (s, i) if counts.getLong(i) >= numCentroids => s }
+            .getOrElse(1)
+        }
       }
       val cents = SimSearch.trainCentroidsLockedSampled(
           emb, numCentroids, iters, stride)

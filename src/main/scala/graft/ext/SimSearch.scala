@@ -1403,7 +1403,7 @@ object SimSearch {
     * it; [[trainPqCodebooks]] is the quality upgrade with the same
     * schema.
     */
-  private def pqCodebook(emb: DataFrame, dim: Int): DataFrame =
+  private[graft] def pqCodebook(emb: DataFrame, dim: Int): DataFrame =
     pqSubs(emb.filter(col("vec_id") < PqK), dim)
       .select(col("m"), col("vec_id").as("cw"), col("us").as("cs"))
 
@@ -1466,6 +1466,16 @@ object SimSearch {
       dim: Int, shortlist: Int = 20): DataFrame =
     pqSearch(codes, emb, queryBound, dim, shortlist, pqCodebook(emb, dim))
 
+  /** [[pqTopKFromCodes]] against an EXPLICIT codebook table ((m, cw,
+    * cs) — typically landed next to the codes as part of the index
+    * build): the per-query plan skips re-deriving the
+    * parameter-locked codebook from the embedding corpus (a second
+    * emb scan + quantize + explode per query at serving time).
+    */
+  def pqTopKFromCodes(codes: DataFrame, emb: DataFrame, queryBound: Int,
+      dim: Int, shortlist: Int, codebook: DataFrame): DataFrame =
+    pqSearch(codes, emb, queryBound, dim, shortlist, codebook)
+
   private def pqSearch(codes: DataFrame, emb: DataFrame, queryBound: Int,
       dim: Int, shortlist: Int, codebook: DataFrame): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
@@ -1504,12 +1514,21 @@ object SimSearch {
     */
   def pqTopKNFilteredFromCodes(codes: DataFrame, emb: DataFrame,
       queryBound: Int, k: Int, dim: Int, candWhere: Column,
-      shortlist: Int = 20): DataFrame = {
+      shortlist: Int = 20): DataFrame =
+    pqTopKNFilteredFromCodes(codes, emb, queryBound, k, dim, candWhere,
+      shortlist, pqCodebook(emb, dim))
+
+  /** [[pqTopKNFilteredFromCodes]] against an EXPLICIT (typically
+    * landed) codebook — same rationale as the unfiltered overload.
+    */
+  def pqTopKNFilteredFromCodes(codes: DataFrame, emb: DataFrame,
+      queryBound: Int, k: Int, dim: Int, candWhere: Column,
+      shortlist: Int, codebook: DataFrame): DataFrame = {
     val ndot = graft.functions.DotProduct.fn(emb.sparkSession)
     val codesF = codes.filter(candWhere)
       .select(col("vec_id"), col("m"), col("code"))
     val lut = pqSubs(emb.filter(col("vec_id") < queryBound), dim)
-      .join(pqCodebook(emb, dim), Seq("m"))
+      .join(codebook, Seq("m"))
       .select(col("vec_id").as("qid"), col("m"), col("cw"),
         ndot(col("us"), col("cs")).as("dp"))
     val wS = Window.partitionBy(col("qid"))

@@ -167,7 +167,15 @@ object TextAnalysis {
     * (e.g. 3 → 6 blocks, 20 bands, 30-bit keys) trades more bands for
     * another 64× key space at corpus scale.
     */
-  def simhashBandKeys(fp: Column, maxHamming: Int, combine: Int): Column = {
+  def simhashBandKeys(fp: Column, maxHamming: Int, combine: Int): Column =
+    array(simhashBandKeyExprs(fp, maxHamming, combine): _*)
+
+  /** The band keys of [[simhashBandKeys]] as one column PER band —
+    * the per-index form the folded pair engine needs (its
+    * first-shared-band dedup recomputes individual keys locally).
+    */
+  private[ext] def simhashBandKeyExprs(
+      fp: Column, maxHamming: Int, combine: Int): Seq[Column] = {
     require(combine >= 1, "combine must be >= 1")
     require(maxHamming >= 0, "maxHamming must be >= 0")
     val blocks = maxHamming + combine
@@ -180,28 +188,10 @@ object TextAnalysis {
     def block(j: Int): Column =
       shiftright(fp, j * blockBits).bitwiseAND((1L << width(j)) - 1)
     val combos = (0 until blocks).combinations(combine).toSeq
-    array(combos.map(c =>
+    combos.map(c =>
       c.foldLeft(lit(0L)) { (acc, j) =>
         shiftleft(acc, width(j)).bitwiseOR(block(j))
-      }): _*)
-  }
-
-  /** Cross-group candidate pairs (rep_a < rep_b) from band-key equality
-    * over DISTINCT fingerprints, with oversized buckets chunk-split into
-    * ≤ cap² cells ([[FuzzyJoin.tiledPairs]]) — natural band-key skew can
-    * never concentrate a bucket's quadratic work on one task.
-    */
-  private[ext] def simhashRepCandidates(
-      groups: DataFrame, maxHamming: Int, combine: Int, bucketCap: Int): DataFrame = {
-    val banded = groups.select(col("rep"),
-      posexplode(simhashBandKeys(col("simhash"), maxHamming, combine))
-        .as(Seq("band", "bkey")))
-    FuzzyJoin.tiledPairs(
-        banded.select(col("rep").as("id"),
-          concat_ws(":", col("band"), col("bkey")).as("blk")),
-        bucketCap)
-      .select(col("a.id").as("rep_a"), col("b.id").as("rep_b"))
-      .distinct()
+      })
   }
 
   /** SimHash near-dup candidate pairs from precomputed fingerprints
@@ -221,41 +211,25 @@ object TextAnalysis {
     * filter. Band buckets above `bucketCap` representatives chunk-split
     * into id-ordered cells. Emitted pair set identical to the
     * uncollapsed join (spec-asserted on a planted hot cluster).
+    *
+    * r17: both lanes (the hamming-0 member tiling and the banded rep
+    * candidates) fold over ONE chunk window + ONE cell join —
+    * [[FuzzyJoin.hammingPairs]]; the pair set is unchanged.
     */
   def simhashPairsFromFingerprints(
       fps: DataFrame, idCol: String,
       maxHamming: Int = 3, combine: Int = 2, bucketCap: Int = 4096): DataFrame = {
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     // One materialized exchange on the fingerprint: the group collapse,
-    // the hamming-0 tiling and the membership join all consume simhash
+    // the lane fold and the membership join all consume fp
     // partitioning, so the (expensive) upstream fingerprint computation
     // runs once (ReuseExchange), not once per branch.
-    val members = fps.select(col(idCol).as("id"), col("simhash"))
-      .repartition(col("simhash"))
-    val groups = members.groupBy(col("simhash")).agg(min(col("id")).as("rep"))
-    // Hamming-0 lane: all unordered pairs within an identical-
-    // fingerprint cluster, tiled so a giant cluster's (true,
-    // irreducible) pair output comes from many ≤ cap² tasks.
-    val within = FuzzyJoin.tiledPairs(
-        members.select(col("id"), col("simhash").as("blk")), bucketCap)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(0L).as("hamming"))
-    // Cross-group lane: rep-level candidates, exact Hamming on the two
-    // fingerprints, THEN expansion to member pairs (distinct groups
-    // differ in ≥ 1 bit, so the lanes are disjoint by construction).
-    val repPairs = simhashRepCandidates(groups, maxHamming, combine, bucketCap)
-      .join(groups.select(col("rep").as("rep_a"), col("simhash").as("sh_a")), "rep_a")
-      .join(groups.select(col("rep").as("rep_b"), col("simhash").as("sh_b")), "rep_b")
-      .select(col("rep_a"), col("rep_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    val mem = members.join(groups, "simhash").select(col("rep"), col("id"))
-    val cross = repPairs
-      .join(mem.select(col("rep").as("rep_a"), col("id").as("ma")), "rep_a")
-      .join(mem.select(col("rep").as("rep_b"), col("id").as("mb")), "rep_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
-    within.unionByName(cross)
+    val members = fps.select(col(idCol).as("id"), col("simhash").as("fp"))
+      .repartition(col("fp"))
+    val groups = members.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+    FuzzyJoin.hammingPairs(members, groups,
+      fp => simhashBandKeyExprs(fp, maxHamming, combine),
+      maxHamming, bucketCap)
   }
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bits, end

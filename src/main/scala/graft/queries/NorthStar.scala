@@ -215,7 +215,7 @@ object NorthStar {
         lockedParams(s, dir).numCentroids, LockedIters)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    graft.Tables.readImmutable(s, path)
   }
 
   /** Trained-IVF ANN with the parameter-LOCKED Lloyd unroll (2
@@ -239,7 +239,7 @@ object NorthStar {
         lockedParams(s, dir).numCentroids, LockedIters, TrainSampleEvery)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    graft.Tables.readImmutable(s, path)
   }
 
   /** Trained-IVF ANN whose centroids trained on a deterministic 1/4
@@ -332,7 +332,7 @@ object NorthStar {
         emb.filter(col("vec_id") < cutoff), p.numCentroids, LockedIters)
         .write.mode("overwrite").parquet(centsPath)
     }
-    val cents = s.read.parquet(centsPath)
+    val cents = graft.Tables.readImmutable(s, centsPath)
     val cellsPath = s"/tmp/graft_upsert_cells/$tag"
     graft.Tables.landOnce(cellsPath) {
       graft.ext.IvfIndex.assignCells(emb.filter(col("vec_id") < cutoff), cents)
@@ -342,7 +342,7 @@ object NorthStar {
       graft.ext.IvfIndex.assignCells(emb.filter(col("vec_id") >= cutoff), cents)
         .write.mode("append").parquet(cellsPath)
     }
-    (s.read.parquet(cellsPath), cents, p.probes)
+    (graft.Tables.readImmutable(s, cellsPath), cents, p.probes)
   }
 
   /** The upserted cell table alone — for the config-compiled retrain
@@ -446,7 +446,7 @@ object NorthStar {
       graft.ext.RandomProjection.reduceToArrays(t(s, dir, "embeddings"), EmbDim, SrpDim)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    graft.Tables.readImmutable(s, path)
   }
 
   /** Signed-random-projection reduced corpus, long format — the
@@ -537,7 +537,7 @@ object NorthStar {
         .nearDuplicateClusters(t(s, dir, "documents"), "doc_id", "text", 0.5)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    graft.Tables.readImmutable(s, path)
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -1170,7 +1170,7 @@ object NorthStar {
           trainedCents(s, dir))
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    graft.Tables.readImmutable(s, path)
   }
 
   /** Embedding-cosine near-dup pairs (cell-scoped candidates under the

@@ -122,11 +122,13 @@ class ImageHashSpec extends SparkTestBase {
     // DISTINCT hash, so candidates are bounded by distinct-hash pairs
     // (<= C(51, 2) here) — a per-image band join would have generated
     // >= C(10^4, 2) ~ 5*10^7 candidate rows from this one bucket.
-    val groups = ImageHash.hashGroups(
-      hashes.select("doc_id", "b0", "b1", "b2", "b3"))
+    val members = hashes.select(col("doc_id").as("id"), ImageHash.packedHash.as("fp"))
+    val groups = members.groupBy(col("fp")).agg(min(col("id")).as("rep"))
     val nGroups = groups.count()
     assert(nGroups <= 51)
-    val candRows = ImageHash.repCandidates(groups, 4096).count()
+    val candRows = graft.ext.FuzzyJoin.hammingLanePairs(members, groups,
+        fp => (0 to 3).map(ImageHash.bandAt(fp, _)), 3, 4096)
+      .filter(col("band") >= 0).count()
     assert(candRows <= nGroups * (nGroups - 1) / 2)
 
     // Brute ground truth, computed arithmetically over distinct hashes:

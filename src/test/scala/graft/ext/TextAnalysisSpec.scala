@@ -99,12 +99,17 @@ class TextAnalysisSpec extends SparkTestBase {
       }
     val fps = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 16)).toDF("doc_id", "simhash")
-    val groups = fps.select($"doc_id".as("id"), $"simhash")
-      .groupBy($"simhash").agg(min($"id").as("rep"))
+    val members = fps.select($"doc_id".as("id"), $"simhash".as("fp"))
+    val groups = members.groupBy($"fp").agg(min($"id").as("rep"))
     val nGroups = groups.count()
     assert(nGroups <= 41)
-    val candRows = TextAnalysis.simhashRepCandidates(groups, 3, 2, 4096).count()
-    // Rep-level: bounded by distinct-fingerprint pairs, not member pairs.
+    // Rep-level: the banded lane (band >= 0) of the folded engine is
+    // bounded by distinct-fingerprint pairs, not member pairs — a
+    // per-member band join would have generated >= C(10^4, 2) rows
+    // from the hot cluster (and would not finish in test time).
+    val candRows = graft.ext.FuzzyJoin.hammingLanePairs(members, groups,
+        fp => TextAnalysis.simhashBandKeyExprs(fp, 3, 2), 3, 4096)
+      .filter($"band" >= 0).count()
     assert(candRows <= nGroups * (nGroups - 1) / 2)
 
     // Arithmetic brute over distinct fingerprints × group sizes.

@@ -75,16 +75,32 @@ class PlanGuardSpec extends SparkTestBase {
     // usually means the verify went back to per-side joins or an array
     // exchange crept in.
     ("jaccard_pairs", 4, 3),
-    ("simhash_pairs", 4, 5),
+    // r17 re-pin: simhash_pairs / image_neardup fold their two
+    // tiledPairs lanes (hamming-0 member tiling + banded rep
+    // candidates) over ONE lane-tagged chunk window and ONE cell join
+    // (FuzzyJoin.hammingPairs). Shuffles: fingerprint agg (simhash
+    // only), the materialized fingerprint exchange, and the shared
+    // chunk-window exchange (reused by both join sides AND both lane
+    // consumers) — the old shape's second window, candidate distinct
+    // and two fp-attach joins are gone. Broadcasts 5 → 4: the tile
+    // join's build side, the two expansion builds (mem reused), and
+    // the groups build under mem.
+    ("simhash_pairs", 3, 4),
     // containment_join's static plan is fully exchange-deduplicated
     // (needle + corpus shingle subtrees computed once each): 3
     // distinct shuffles, every further consumer a ReusedExchange.
     ("containment_join", 3, 4),
     ("cfg_decontam", 1, 1),
-    ("image_neardup", 4, 5),
+    ("image_neardup", 2, 4), // r17 lane fold — see simhash_pairs above
+
     ("cfg_lm_buckets", 9, 4),
     ("sim_topk_pq", 2, 4),
-    ("triangle_topk", 4, 2),
+    // r17 re-pin: triangle_topk mines from the landed basket-signature
+    // table (ScaleOps.landedBasketSigs — the shared prefix of the
+    // copurchase family), so the basket collect_set and signature-merge
+    // exchanges left its per-query plan: what remains is the support
+    // aggregate and the top-K edge materialization.
+    ("triangle_topk", 2, 2),
     // r16 re-pin: MmrRerank's single-pass re-plan (VERDICT r15 #1) —
     // the old (0, 0) was an artifact of per-step localCheckpoints
     // hiding the lineage; the new whole-operator static plan is
