@@ -53,6 +53,13 @@ object SetSimJoin {
     * over distinct word-`shingleLen`-gram sets. Exact and complete —
     * equality with brute-force all-pairs is spec-asserted, not
     * probabilistic.
+    *
+    * Precondition: `idCol` values are UNIQUE (the corpus contract every
+    * fixture table satisfies). The single-join verify regroups each
+    * candidate pair's two probe rows by id with first(ignoreNulls);
+    * duplicate ids would collapse to one arbitrarily-chosen shingle
+    * set per side instead of one verified row per duplicate
+    * combination.
     */
   def jaccardPairs(
       docs: DataFrame,
