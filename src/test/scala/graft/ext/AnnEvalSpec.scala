@@ -406,6 +406,29 @@ class AnnEvalSpec extends SparkTestBase {
       IvfIndex.assignCells(odd, want).collect().map(_.toSeq).toSet)
   }
 
+  test("stride probe picks the FIRST halving candidate that fills, in one" +
+    " aggregate: ids ≡ 4 (mod 8) on a derived-stride-8 corpus land at 4") {
+    // r17: the per-candidate limit(k).count() halving loop became ONE
+    // conditional-count aggregate over every candidate — this lane pins
+    // the mid-chain equivalence the all-odd lane above cannot (there
+    // the chain is [2] and the answer is the stride-1 fallback; here
+    // the chain is [8, 4, 2] and the probe must stop at 4, exactly
+    // where the loop converged).
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivf_mod8").toString
+    val mod8 = ringCorpus(400000, id => id * 8L + 4L).localCheckpoint()
+    assert(SimSearch.IvfParams.trainStrideFor(400000L, 32) === 8)
+    assert(mod8.filter(col("vec_id") % 8 === 0).count() === 0L)
+    val breaching = Seq((4L, 0L), (12L, 0L)).toDF("vec_id", "cell")
+    assert(IvfIndex.maintainIndexOver(mod8, breaching, lit(true), 32, 1, dir,
+      IvfIndex.RetrainPolicy(1, 1000000)))
+    val (gotCents, _) = IvfIndex.readCurrentIndex(s, dir)
+    // Equality with the stride-4 locked build IS the stride decision.
+    val want = SimSearch.trainCentroidsLockedSampled(mod8, 32, 1, 4)
+    assert(gotCents.select("cent_id").collect().map(_.getLong(0)).toSet ===
+      want.select("cent_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("maintainIndex closes the loop: no retrain below threshold; on" +
     " breach, one atomic versioned retrain equal to a from-scratch index") {
     val s = spark
